@@ -1,13 +1,70 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Inventory => I, Oracles => O}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one entry per implemented operator from SURVEY.md §2;
+  * `oracleSql` holds the DuckDB-equivalent SQL for every entry whose
+  * result is exactly reproducible outside Spark (same column names, same
+  * total ORDER BY, same rounding). Entries without an oracle are
+  * rows-only checked by the driver and asserted in ScalaTest.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    I.q5GroupbyAgg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_derived_key"    -> (I.q1DerivedKey(_, _)),
+    "q2_anti_join"      -> (I.q2AntiJoin(_, _)),
+    "q3_dim_join"       -> (I.q3DimJoin(_, _)),
+    "q4_scalar_subquery" -> (I.q4ScalarSubquery(_, _)),
+    "q5_groupby_agg"    -> (I.q5GroupbyAgg(_, _)),
+    "q6_distinct"       -> (I.q6Distinct(_, _)),
+    "q6b_distinct_values" -> (I.q6bDistinctValues(_, _)),
+    "q7_rollup"         -> (I.q7Rollup(_, _)),
+    "q8_approx_distinct" -> (I.q8ApproxDistinct(_, _)),
+    "q9_window_rank"    -> (I.q9WindowRank(_, _)),
+    "q10_window_frame"  -> (I.q10WindowFrame(_, _)),
+    "q11_topk"          -> (I.q11TopK(_, _)),
+    "q12_setops"        -> (I.q12SetOps(_, _)),
+    "q13_semi_join"     -> (I.q13SemiJoin(_, _)),
+    "q14_range_join"    -> (I.q14RangeJoin(_, _)),
+    "q15_phone_regex"   -> (I.q15PhoneRegex(_, _)),
+    "q16_date_json"     -> (I.q16DateJson(_, _)),
+    "q17_cross_join"    -> (I.q17CrossJoin(_, _)),
+    "q18_tumbling_day"  -> (I.q18TumblingDay(_, _)),
+    "q19_grouping_sets" -> (I.q19GroupingSets(_, _)),
+    "q20_cosine_topk"   -> (I.q20CosineTopk(_, _)),
+    "q21_array_ops"     -> (I.q21ArrayOps(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_derived_key"    -> O.q1DerivedKey,
+    "q2_anti_join"      -> O.q2AntiJoin,
+    "q3_dim_join"       -> O.q3DimJoin,
+    "q4_scalar_subquery" -> O.q4ScalarSubquery,
+    "q5_groupby_agg"    -> O.q5GroupbyAgg,
+    "q6_distinct"       -> O.q6Distinct,
+    "q6b_distinct_values" -> O.q6bDistinctValues,
+    "q7_rollup"         -> O.q7Rollup,
+    // q8: HLL++ sketch, no exact oracle (rows-only; bound-checked in tests)
+    "q9_window_rank"    -> O.q9WindowRank,
+    "q10_window_frame"  -> O.q10WindowFrame,
+    "q11_topk"          -> O.q11TopK,
+    "q12_setops"        -> O.q12SetOps,
+    "q13_semi_join"     -> O.q13SemiJoin,
+    "q14_range_join"    -> O.q14RangeJoin,
+    "q15_phone_regex"   -> O.q15PhoneRegex,
+    "q16_date_json"     -> O.q16DateJson,
+    "q17_cross_join"    -> O.q17CrossJoin,
+    "q18_tumbling_day"  -> O.q18TumblingDay,
+    "q19_grouping_sets" -> O.q19GroupingSets,
+    "q20_cosine_topk"   -> O.q20CosineTopk,
+    "q21_array_ops"     -> O.q21ArrayOps,
+  )
 }

@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.t
+
+/** SURVEY.md §2.9 declared query inventory, Q1–Q20(+), as Spark-first
+  * DataFrame programs.
+  *
+  * Oracle-stability rules (mirrored by [[Oracles]], the DuckDB SQL side):
+  *   - every query ends in a total ORDER BY (ties broken by a unique key);
+  *   - DOUBLE aggregates are ROUND(x, 2) (similarities ROUND(x, 4));
+  *   - dates/timestamps leave the engine as "yyyy-MM-dd[ HH:mm:ss]" strings
+  *     so parquet physical type differences can never cause a hash diff;
+  *   - column names are identical on both sides (driver sorts by name).
+  *
+  * Scale notes (100 TB thinking, tested at sf0.1): aggregations are
+  * partial/final hash aggs (map-side combine) by construction; dimension
+  * joins broadcast explicitly; the one self-join (Q14) carries an equi key
+  * (user_id) so it shuffles once, never nested-loops; no query collects to
+  * the driver.
+  */
+object Inventory {
+
+  /** Q1 — derived natural key + projection (reference `create_uniq_id`,
+    * scraper.py:105-119). Narrow, no shuffle except the final sort+limit
+    * (TakeOrderedAndProject — O(k) per partition, no full sort at scale).
+    */
+  def q1DerivedKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      concat_ws("-",
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderpriority")).as("uniq_id"),
+      col("o_orderkey"), col("o_custkey"))
+      .orderBy("uniq_id").limit(100)
+
+  /** Q2 — anti join: incremental discovery (etl_process.py:297-301).
+    * left_anti, not NOT IN: identical here (keys NOT NULL) and immune to
+    * the NOT-IN null trap; Catalyst plans a shuffled hash/SMJ anti join.
+    */
+  def q2AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** Q3 — broadcast dim enrichment (site-map join, etl_process.py:320-323).
+    * nation (25) and region (5) are broadcast explicitly: zero shuffle on
+    * the fact side regardless of fact-table scale.
+    */
+  def q3DimJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q4 — scalar-subquery temporal filter (conform_dbs,
+    * etl_process.py:230-235). The single-row aggregate is cross-joined
+    * (broadcast nested loop over ONE row) — the fact scan stays pruned.
+    */
+  def q4ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val minD = o.filter(col("o_orderstatus") === "F")
+      .agg(min(col("o_orderdate")).as("min_d"))
+    o.join(broadcast(minD))
+      .where(col("o_orderdate") >= col("min_d"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Q5 — TPC-H Q1-shape grouped aggregation. Partial agg on 2×~(RF×LS)
+    * groups map-side, one tiny shuffle; filter pushed to parquet scan.
+    */
+  def q5GroupbyAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q6 — distinct / dedup (set-dedup, scraper.py:159-160). Two exact
+    * count-distincts (one expand+two-phase agg) in one scan.
+    */
+  def q6Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** Q6b — DISTINCT projection, ordered. */
+  def q6bDistinctValues(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+  /** Q7 — ROLLUP over customer⋈nation; (all) totals via coalesce so no
+    * NULL-ordering divergence between engines can appear.
+    */
+  def q7Rollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .select(
+        coalesce(col("n_name"), lit("(all)")).as("n_name"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("c_mktsegment"),
+        col("cnt"), col("sum_bal"))
+      .orderBy("n_name", "c_mktsegment")
+  }
+
+  /** Q8 — approx_count_distinct (HLL++). No DuckDB oracle (different
+    * sketch): driver records rows-only; the ScalaTest asserts the 5%
+    * relative-error bound against the exact count.
+    */
+  def q8ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      count(lit(1)).as("n_rows"))
+
+  /** Q9 — window ranking: top-3 orders per customer. */
+  def q9WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q10 — window frame: running total per customer (rows frame, total
+    * intra-partition order ⇒ deterministic accumulation on both engines).
+    */
+  def q10WindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running", round(sum(col("o_totalprice")).over(w), 2))
+      .select("o_custkey", "o_orderkey", "running")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q11 — top-k (LIMIT etl_process.py:301, made deterministic).
+    * Plans as TakeOrderedAndProject: per-partition heap of 50, no global
+    * sort — the shape that survives 100 TB.
+    */
+  def q11TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(50)
+
+  /** Q12 — set ops: EXCEPT + INTERSECT branches unioned. */
+  def q12SetOps(s: SparkSession, dir: String): DataFrame = {
+    val bldg = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    bldg.except(urgent).withColumn("op", lit("except"))
+      .unionByName(bldg.intersect(urgent).withColumn("op", lit("intersect")))
+      .select("op", "custkey")
+      .orderBy("op", "custkey")
+  }
+
+  /** Q13 — semi join (UNIQUE-constraint insert, scraper.py:211-218). */
+  def q13SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Q14 — range self-join on events: pairs of events by the same user
+    * within 1 hour. The equi key (user_id) makes this a single hash
+    * shuffle with the range condition as a post-join filter — not a
+    * nested-loop; per-user skew is bounded by the hour window.
+    */
+  def q14RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val e1 = e.select(col("user_id"), col("ts").as("ts1"), col("event_id").as("id1"))
+    val e2 = e.select(col("user_id").as("user_id2"), col("ts").as("ts2"), col("event_id").as("id2"))
+    e1.join(e2,
+      col("user_id") === col("user_id2") &&
+        col("ts2") >= col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR") &&
+        col("id1") < col("id2"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** Q15 — the reference's phone-extraction chain (etl_process.py:79-126)
+    * as pure built-in expressions (whole-stage codegen, zero UDFs):
+    * lower → strip punctuation except '$' → drop spaces → spelled-digit
+    * substring replace (fixed zero..nine order; the reference's dict
+    * order was nondeterministic) → digit runs → len∈[7,11] → distinct →
+    * sort (reference's set order was nondeterministic; we fix it) →
+    * ';'-join.
+    */
+  def q15PhoneRegex(s: SparkSession, dir: String): DataFrame = {
+    val phones = phoneExtractChain(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), phones.as("phones"))
+      .orderBy("doc_id")
+  }
+
+  /** The §2.6 `phone_extract` semantics as a Column→Column function.
+    * string.punctuation minus '$' (rationale comment etl_process.py:84). */
+  def phoneExtractChain(text: Column): Column = {
+    val punct = "!\"#%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+    val digitWords = Seq(
+      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+      "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+      "eight" -> "8", "nine" -> "9")
+    var c = lower(text)
+    c = translate(c, punct, "")
+    c = translate(c, " ", "")
+    for ((w, d) <- digitWords) c = regexp_replace(c, w, d)
+    val runs = regexp_extract_all(c, lit("[0-9]+"), lit(0))
+    val kept = filter(runs, x => length(x).between(7, 11))
+    array_join(array_sort(array_distinct(kept)), ";")
+  }
+
+  /** Q16 — date + JSON scalar functions per event_type. */
+  def q16DateJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(get_json_object(col("props"), "$.k").cast("double")), 2).as("avg_k"),
+        date_format(min(date_trunc("DAY", col("ts"))), "yyyy-MM-dd").as("first_day"),
+        date_format(max(date_trunc("DAY", col("ts"))), "yyyy-MM-dd").as("last_day"))
+      .orderBy("event_type")
+
+  /** Q17 — cross join (crawl frontier, scraper.py:163-166). Small side
+    * broadcast; count per region.
+    */
+  def q17CrossJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .crossJoin(broadcast(t(s, dir, "part").filter(col("p_size") < 10)))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("r_name")
+
+  /** Q18 — tumbling daily window (batch form of the polling loop,
+    * etl_process.py:294-347).
+    */
+  def q18TumblingDay(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type", "day")
+
+  /** Q19 — GROUPING SETS ((event_type),(event_type,day),()) counts. */
+  def q19GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("day", date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd"))
+    e.groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("event_type"), col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day"), lit("(all)")).as("day"),
+        col("cnt"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Q20 — cosine-similarity top-k against a fixed query vector (the
+    * north-star similarity-search baseline). Vectors are cast to double
+    * before any arithmetic (float32 accumulation would diverge from the
+    * oracle); the query vector is a 1-row broadcast; ranking is a top-k,
+    * not a global sort.
+    */
+  def q20CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("vec", transform(col("embedding"), _.cast("double")))
+    val qv = emb.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
+    emb.crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        round(cosineSim(col("vec"), col("qvec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** dot(a,b) / (||a||·||b||) over ArrayType(Double) columns, pure
+    * built-ins (zip_with + aggregate) ⇒ codegen-friendly, no UDF. */
+  def cosineSim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Q21 — array basics on embeddings (len/label counts). */
+  def q21ArrayOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"),
+        min(size(col("embedding"))).as("min_len"),
+        max(size(col("embedding"))).as("max_len"))
+      .orderBy("label")
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[Inventory]] — same semantics, same column
+  * names, same total ORDER BY, same rounding. Only queries whose result
+  * is exactly reproducible outside Spark get an oracle; sketch-based or
+  * hash-seeded operators (q8, minhash, simhash, …) are rows-only checked
+  * by the driver and bound by ScalaTest assertions instead.
+  */
+object Oracles {
+
+  val q1DerivedKey: String =
+    """SELECT concat_ws('-', strftime(o_orderdate, '%Y-%m-%d'), o_orderkey, o_custkey, o_orderpriority) AS uniq_id,
+      |       o_orderkey, o_custkey
+      |FROM orders ORDER BY uniq_id LIMIT 100""".stripMargin
+
+  val q2AntiJoin: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val q3DimJoin: String =
+    """SELECT c_custkey, n_name, r_name
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY c_custkey""".stripMargin
+
+  val q4ScalarSubquery: String =
+    """SELECT count(*) AS cnt FROM orders
+      |WHERE o_orderdate >= (SELECT min(o_orderdate) FROM orders WHERE o_orderstatus = 'F')""".stripMargin
+
+  val q5GroupbyAgg: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |       round(avg(l_quantity), 2) AS avg_qty,
+      |       round(avg(l_extendedprice), 2) AS avg_price,
+      |       round(avg(l_discount), 2) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val q6Distinct: String =
+    """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem""".stripMargin
+
+  val q6bDistinctValues: String =
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+  val q7Rollup: String =
+    """SELECT * FROM (
+      |  SELECT coalesce(n_name, '(all)') AS n_name,
+      |         coalesce(c_mktsegment, '(all)') AS c_mktsegment,
+      |         count(*) AS cnt,
+      |         round(sum(c_acctbal), 2) AS sum_bal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY ROLLUP(n_name, c_mktsegment)
+      |) ORDER BY n_name, c_mktsegment""".stripMargin
+
+  val q9WindowRank: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  val q10WindowFrame: String =
+    """SELECT o_custkey, o_orderkey,
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val q11TopK: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 50""".stripMargin
+
+  val q12SetOps: String =
+    """SELECT * FROM (
+      |  SELECT 'except' AS op, custkey FROM (
+      |    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    EXCEPT
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |  UNION ALL
+      |  SELECT 'intersect' AS op, custkey FROM (
+      |    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |) ORDER BY op, custkey""".stripMargin
+
+  val q13SemiJoin: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin
+
+  val q14RangeJoin: String =
+    """SELECT e1.user_id AS user_id, count(*) AS n_pairs
+      |FROM events e1 JOIN events e2
+      |  ON e1.user_id = e2.user_id
+      | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+      | AND e1.event_id < e2.event_id
+      |GROUP BY e1.user_id ORDER BY user_id""".stripMargin
+
+  /** Mirrors Inventory.phoneExtractChain exactly: same punctuation set
+    * (string.punctuation minus '$'), same fixed zero..nine replace order,
+    * same [7,11] length filter, distinct, ascending sort, ';' join. */
+  val q15PhoneRegex: String =
+    """SELECT doc_id,
+      |  coalesce(array_to_string(list_sort(list_distinct(list_filter(
+      |    regexp_extract_all(
+      |      replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+      |        replace(translate(lower(text), '!"#%&''()*+,-./:;<=>?@[\]^_`{|}~', ''), ' ', ''),
+      |        'zero','0'),'one','1'),'two','2'),'three','3'),'four','4'),
+      |        'five','5'),'six','6'),'seven','7'),'eight','8'),'nine','9'),
+      |      '[0-9]+'),
+      |    x -> len(x) BETWEEN 7 AND 11))), ';'), '') AS phones
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val q16DateJson: String =
+    """SELECT event_type, count(*) AS cnt,
+      |       round(sum(value), 2) AS sum_value,
+      |       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS avg_k,
+      |       strftime(min(date_trunc('day', ts)), '%Y-%m-%d') AS first_day,
+      |       strftime(max(date_trunc('day', ts)), '%Y-%m-%d') AS last_day
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val q17CrossJoin: String =
+    """SELECT r_name, count(*) AS cnt
+      |FROM region CROSS JOIN (SELECT * FROM part WHERE p_size < 10)
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  val q18TumblingDay: String =
+    """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
+
+  val q19GroupingSets: String =
+    """SELECT * FROM (
+      |  SELECT coalesce(event_type, '(all)') AS event_type,
+      |         coalesce(day, '(all)') AS day,
+      |         count(*) AS cnt
+      |  FROM (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events)
+      |  GROUP BY GROUPING SETS ((event_type), (event_type, day), ())
+      |) ORDER BY event_type, day""".stripMargin
+
+  val q20CosineTopk: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec), 4) AS sim
+      |FROM embeddings, q
+      |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
+
+  val q21ArrayOps: String =
+    """SELECT label, count(*) AS cnt, min(len(embedding)) AS min_len, max(len(embedding)) AS max_len
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+}
