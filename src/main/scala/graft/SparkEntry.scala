@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Inventory => I, Oracles => O}
+import graft.queries.{Extensions => E, ExtensionOracles => EO, Inventory => I, Oracles => O}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,20 @@ object SparkEntry {
     "q19_grouping_sets" -> (I.q19GroupingSets(_, _)),
     "q20_cosine_topk"   -> (I.q20CosineTopk(_, _)),
     "q21_array_ops"     -> (I.q21ArrayOps(_, _)),
+    // LLM-data-pipeline operators (BASELINE.json north star)
+    "dedup_exact"       -> (E.dedupExact(_, _)),
+    "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
+    "dedup_minhash"     -> (E.dedupMinhash(_, _)),
+    "dedup_simhash"     -> (E.dedupSimhash(_, _)),
+    "dedup_embedding"   -> (E.dedupEmbedding(_, _)),
+    "ann_lsh_topk"      -> (E.annLsh(_, _)),
+    "text_tokens"       -> (E.textTokens(_, _)),
+    "text_quality"      -> (E.textQuality(_, _)),
+    "text_langid"       -> (E.textLangid(_, _)),
+    "text_fingerprint"  -> (E.textFingerprint(_, _)),
+    "mm_bytes"          -> (E.mmBytes(_, _)),
+    "mm_decode"         -> (E.mmDecode(_, _)),
+    "mm_frames"         -> (E.mmFrames(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -66,5 +80,11 @@ object SparkEntry {
     "q19_grouping_sets" -> O.q19GroupingSets,
     "q20_cosine_topk"   -> O.q20CosineTopk,
     "q21_array_ops"     -> O.q21ArrayOps,
+    // deterministic extension ops; sketch/LSH ops are rows-only
+    "dedup_exact"       -> EO.dedupExact,
+    "dedup_jaccard"     -> EO.dedupJaccard,
+    "text_tokens"       -> EO.textTokens,
+    "text_quality"      -> EO.textQuality,
+    "mm_bytes"          -> EO.mmBytes,
   )
 }

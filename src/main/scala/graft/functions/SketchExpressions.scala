@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers referenced from generated code (top-level Scala objects
+  * emit static forwarders, so `graft.functions.SketchUtil.simhash(...)`
+  * is a plain static call inside whole-stage codegen).
+  *
+  * Hashing is FNV-1a 64-bit — public-domain, byte-deterministic across
+  * JVMs, no dependency.
+  */
+object SketchUtil {
+
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def fnv1a(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over a token array: per bit, sum +1/-1 weighted by
+    * token-hash bit, take signs. Near-duplicate texts land at small
+    * Hamming distance. Null tokens are skipped.
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Winnowing-style document fingerprint: minimum FNV-1a hash over all
+    * k-byte windows of the UTF-8 text (k-gram rolling fingerprint,
+    * cf. the standard winnowing scheme). Deterministic; equal for equal
+    * text; robust to where in the doc the content sits. Texts shorter
+    * than k hash whole.
+    */
+  def fingerprint(text: UTF8String, k: Int): Long = {
+    val bytes = text.getBytes
+    if (bytes.length <= k) return fnv1a(bytes)
+    var min = Long.MaxValue
+    var i = 0
+    while (i + k <= bytes.length) {
+      var h = FnvOffset
+      var j = i
+      while (j < i + k) {
+        h ^= (bytes(j) & 0xffL)
+        h *= FnvPrime
+        j += 1
+      }
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** simhash64(array<string>) → long. Custom Catalyst expression (not a
+  * UDF): participates in whole-stage codegen via a static call, so the
+  * surrounding projection never breaks out of Tungsten.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(tokens: Any): Any =
+    SketchUtil.simhash(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchUtil.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** doc_fingerprint(string, k) → long rolling-hash fingerprint. */
+case class DocFingerprint(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(text: Any): Any =
+    SketchUtil.fingerprint(text.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchUtil.fingerprint($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): DocFingerprint =
+    copy(child = newChild)
+}
+
+/** Column-API and SQL registration for the sketch expressions. */
+object Sketches {
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def docFingerprint(text: Column, k: Int = 8): Column =
+    ColumnBridge.column(DocFingerprint(ColumnBridge.expression(text), k))
+
+  /** Register as SQL functions on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("doc_fingerprint",
+      es => DocFingerprint(es.head, 8), "scala_udf")
+  }
+}

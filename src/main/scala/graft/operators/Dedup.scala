@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+
+/** Deduplication operators for large-scale corpus curation: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): everything is expressed as shuffles on compact
+  * keys (hashes/band buckets), never all-pairs. Candidate generation is
+  * LSH-bucket self-joins with a hot-bucket guard (a degenerate bucket —
+  * e.g. boilerplate — would otherwise explode quadratically); exact
+  * verification runs only on candidates. Signatures are built from
+  * built-in expressions (codegen) with deterministic seeds, so results
+  * are reproducible run-to-run.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup: one row kept per distinct value of `on` (hash groupBy,
+    * single shuffle; map-side partial agg does the heavy lifting). */
+  def exact(df: DataFrame, on: String, idCol: String): DataFrame =
+    df.groupBy(col(on))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // ---------- shingling ----------
+
+  /** Word n-gram shingles of lowercased whitespace-tokenized text; a doc
+    * shorter than n shingles whole. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    when(size(tokens) < n, array(concat_ws(" ", tokens)))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) <= n, array(t))
+      .otherwise(transform(
+        sequence(lit(1), length(t) - (n - 1)),
+        i => substring(t, i, lit(n))))
+  }
+
+  /** Jaccard similarity of two shingle arrays (distinct semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    inter / (size(da) + size(db) - inter)
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** Deterministic permutation coefficients from a fixed seed (splitmix64
+    * over the index — public-domain mixer). */
+  private def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val a = mix(seed + 2L * i) | 1L   // odd multiplier
+      val b = mix(seed + 2L * i + 1)
+      (a, b)
+    }
+
+  /** 2^31-1: keeps a*h+b under 2^62 — ANSI mode makes Long overflow an
+    * ERROR, not a wraparound, so the classic 64-bit mix is off-limits. */
+  private val MersennePrime = (1L << 31) - 1
+
+  /** MinHash signature (array<long> of length numHashes) over a shingle
+    * array — pure built-ins: xxhash64 the shingles once, reduce mod
+    * 2^31-1, then one (a*h+b) mod p min per permutation. Codegen end to
+    * end; overflow-safe under ANSI ((p-1)*p + p < 2^62).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
+    val hashes = transform(array_distinct(shingles), s => pmod(xxhash64(s), lit(MersennePrime)))
+    val perms = coeffs(numHashes, seed).map { case (a, b) =>
+      (((a % (MersennePrime - 1)) + (MersennePrime - 1)) % (MersennePrime - 1) + 1,
+        ((b % MersennePrime) + MersennePrime) % MersennePrime)
+    }
+    array(perms.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** (doc, band_key) pairs: the signature cut into `bands` bands of
+    * `rowsPerBand`, each band hashed to one bucket key. Same-bucket docs
+    * are near-dup candidates.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { bnd =>
+      xxhash64(lit(bnd), concat_ws(",", slice(sig, bnd * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+
+  /** Candidate pairs via LSH banding. `maxBucket` guards hot buckets:
+    * a bucket with more than maxBucket docs contributes no pairs from
+    * that band (the docs still pair through their other bands), keeping
+    * the self-join linear-ish under boilerplate skew.
+    */
+  def candidatePairs(docBands: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
+    val exploded = docBands
+      .select(col(idCol), explode(col("band_keys")).as("band_key"))
+    val smallBuckets = exploded
+      .groupBy("band_key").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
+    val pruned = exploded.join(smallBuckets, Seq("band_key"), "left_semi")
+    val a = pruned.select(col("band_key"), col(idCol).as("id_a"))
+    val b = pruned.select(col("band_key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash near-dup pipeline over (idCol, textCol): returns
+    * verified pairs (id_a, id_b, jaccard ≥ threshold). Shingle → sign →
+    * band → candidate join → exact Jaccard verify on candidates only.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val shingled = df.select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
+    val banded = shingled.select(col(idCol),
+      lshBandKeys(minhashSignature(col("shingles"), numHashes), bands, rowsPerBand).as("band_keys"))
+    val cands = candidatePairs(banded, idCol)
+    val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Cluster assignment from verified pairs: iterative min-id label
+    * propagation (each round: label = min(label of self, labels of
+    * neighbors); near-dup clusters are tiny, so few rounds converge;
+    * each round is one shuffle on id).
+    */
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    // materialize the (usually tiny) edge set once: the iterative joins
+    // below must not re-evaluate the whole candidate-generation lineage
+    // every round (plan growth is what kills iterative Spark jobs).
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    var i = 0
+    while (i < maxIter) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("cluster_id")).as("nbr_min"))
+      labels = labels.join(viaNeighbor, labels("id") === viaNeighbor("id2"), "left")
+        .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()   // cut lineage each round
+      i += 1
+    }
+    labels
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash per doc + its 4×16-bit band keys (near-dups at
+    * Hamming distance ≤ 3 must collide on at least one band). Uses the
+    * custom Catalyst expression (codegen, no UDF).
+    */
+  def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = split(lower(trim(col(textCol))), "\\s+")
+    df.select(col(idCol), Sketches.simhash64(tokens).as("simhash"))
+      .withColumn("bands", array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+      }: _*))
+  }
+
+  /** SimHash near-dup pairs: band-collision candidates, verified by
+    * Hamming distance ≤ maxHamming (bit_count is a built-in).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val docs = simhashDocs(df, idCol, textCol)
+    val exploded = docs.select(col(idCol), col("simhash"), explode(col("bands")).as("bk"))
+      .select(col(idCol), col("simhash"), concat_ws(":", col("bk.band"), col("bk.key")).as("band_key"))
+    val small = exploded.groupBy("band_key").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
+    val pruned = exploded.join(small, Seq("band_key"), "left_semi")
+    val a = pruned.select(col("band_key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = pruned.select(col("band_key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ---------- embedding near-dup ----------
+
+  /** Near-duplicate embeddings: sign-LSH bucket candidates verified by
+    * exact cosine ≥ threshold. See [[Similarity.signBucket]].
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, nbits: Int = 16): DataFrame = {
+    val vecs = df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("bucket", Similarity.signBucket(col("v"), nbits))
+    val a = vecs.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val b = vecs.select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.queries.Inventory.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Inventory.cosineSim
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Scale design: brute force is the exactness baseline (one broadcast of
+  * the query set, full corpus scan, top-k via window rank — linear, no
+  * all-pairs materialization). The scale path is sign-LSH bucketing:
+  * corpus bucketed once (16-bit code → 65k buckets), queries probe their
+  * own bucket plus multiprobe neighbors (Hamming-1 flips), candidates
+  * re-ranked exactly. At 100 TB the bucketed corpus is also the natural
+  * partitioning/bucketing key for storage, so probes prune partitions.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (splitmix64 →
+    * [-1,1] components), fixed seed ⇒ reproducible buckets. */
+  private def hyperplanes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(nbits, dim) { (b, d) =>
+      val u = mix(seed + b.toLong * 131071L + d)
+      (u.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    }
+  }
+
+  /** dot(vec, plane_b) > 0 bit per plane, packed into a long bucket id.
+    * Pure built-ins over a literal plane matrix — codegen, no UDF. */
+  def signBucket(vec: Column, nbits: Int = 16, dim: Int = 64, seed: Long = 7L): Column = {
+    val planes = hyperplanes(nbits, dim, seed)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      val d = aggregate(zip_with(vec, planeLit, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** All Hamming-1 neighbors of a bucket id (multiprobe set). */
+  def probeSet(bucket: Column, nbits: Int = 16): Column =
+    array_union(array(bucket),
+      array((0 until nbits).map(i => bucket.bitwiseXOR(lit(1L << i))): _*))
+
+  /** Exact top-k by cosine for each query vector (brute force).
+    * queries: (qidCol, vecCol) — small, broadcast; corpus: (idCol,
+    * vecCol). Returns (qid, id, rank, sim).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     qidCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
+    val q = queries.select(col(qidCol).as("qid"), transform(col(vecCol), _.cast("double")).as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    c.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** ANN top-k via sign-LSH: bucket corpus once, explode each query to
+    * its multiprobe buckets, equi-join (shuffle on bucket — no cross
+    * join anywhere), exact re-rank within candidates. Recall < 1 by
+    * construction; raise nbits/probes for precision, lower for speed.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              qidCol: String, vecCol: String, k: Int, nbits: Int = 16): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("bucket", signBucket(col("v"), nbits))
+    val q = queries
+      .select(col(qidCol).as("qid"), transform(col(vecCol), _.cast("double")).as("qv"))
+      .withColumn("bucket", explode(probeSet(signBucket(col("qv"), nbits), nbits)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    c.join(q, Seq("bucket"))
+      .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim"))
+      .groupBy("qid", "id").agg(first(col("sim")).as("sim"))   // probe dedup
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * of `centroids` (a driver-side array — nlist is small and bounded,
+    * e.g. ≤4096, the standard IVF regime). Returns corpus + `list_id`.
+    * Search = probe the nprobe nearest lists only. Centroid selection
+    * here is deterministic sampling (vec_id stride); a k-means refiner
+    * can replace it without changing the search path.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val cents = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    val c = corpus.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+    // argmin over the literal centroid array: compute (dist, cid) structs,
+    // array_min picks lexicographic min = nearest centroid.
+    val best = array_min(transform(cents, ct =>
+      struct(
+        aggregate(zip_with(col("v"), ct.getField("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d).as("dist"),
+        ct.getField("cid").as("cid"))))
+    c.withColumn("list_id", best.getField("cid"))
+  }
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.t
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operators (BASELINE.json north star) as declared
+  * queries over the documents/embeddings testdata. Deterministic
+  * operators carry DuckDB oracles ([[ExtensionOracles]]); sketch/LSH
+  * operators (seeded hashes DuckDB can't replicate) are rows-only at the
+  * driver and bound by ScalaTest instead.
+  */
+object Extensions {
+
+  /** Exact dedup by content hash (hash-groupBy, one shuffle). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(md5(col("text")).as("text_hash"), col("keep_id"), col("n_dups"))
+      .orderBy("text_hash")
+
+  /** Word-set Jaccard similarity vs a fixed document (doc_id=0), top 50
+    * — the exact-verification kernel of n-gram dedup, oracle-checkable.
+    * Single-space split for DuckDB parity (library form is regex-based).
+    */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(lower(trim(col("text"))), " ")).as("tok"))
+    val q = docs.filter(col("doc_id") === 0).select(col("tok").as("qtok"))
+    val inter = size(array_intersect(col("tok"), col("qtok"))).cast("double")
+    val jac = inter / (size(col("tok")) + size(col("qtok")) - inter).cast("double")
+    docs.filter(col("doc_id") > 0)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), round(jac, 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** MinHash+LSH near-dup cluster assignment (seeded sketch — rows-only;
+    * pair quality asserted in DedupSpec). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .localCheckpoint()   // candidate generation runs once
+    Dedup.clusters(docs.select("doc_id"), "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash per doc (custom Catalyst expression) + near-dup pair count. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_near_dups"))
+    Dedup.simhashDocs(docs, "doc_id", "text")
+      .select(col("doc_id"), col("simhash"))
+      .join(pairs, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding sign-LSH bucket assignment + verified near-dup pairs. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val buckets = emb
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("bucket", Similarity.signBucket(col("v")))
+    val nearDups = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.9)
+      .groupBy(col("id_a").as("vec_id")).agg(count(lit(1)).as("n_near"))
+    buckets.select(col("vec_id"), col("bucket"))
+      .join(nearDups, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .orderBy("vec_id")
+  }
+
+  /** ANN: LSH-bucketed top-10 for 5 query vectors, exact re-rank on
+    * candidates (recall vs brute force asserted in SimilaritySpec). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "vec_id",
+      "embedding", k = 10, nbits = 8)   // 256 buckets: dense enough at test SFs
+      .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Token counting (whitespace + BPE-ish regex), oracle-checked. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** Quality signals, oracle-checked. Outputs exact integer numerators/
+    * denominators rather than rounded ratios: `round(sum/n, 2)` diverges
+    * between engines at decimal-halfway points that are binary-inexact
+    * (Spark rounds the shortest decimal repr, DuckDB the binary value —
+    * e.g. 4.725 → 4.73 vs 4.72). The ratio form lives in
+    * [[TextAnalysis.qualitySignals]]; the exact form is what the gate
+    * checks.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val tokens = split(lower(trim(col("text"))), " ")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+    t(s, dir, "documents").select(col("doc_id"),
+      size(tokens).cast("long").as("n_tokens"),
+      aggregate(tokens, lit(0L), (acc, tk) => acc + length(tk)).as("sum_token_len"),
+      size(filter(tokens, tk => tk.isin(stop.map(lit(_).cast("string")): _*)))
+        .cast("long").as("n_stop"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+        .cast("long").as("n_punct"),
+      length(col("text")).cast("long").as("n_chars_measured"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID (stopword argmax; accuracy bound in tests). */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprint (custom expression; determinism in tests). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Multimodal: byte length of the opaque payload (oracle-checked). */
+  def mmBytes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+      .orderBy("doc_id")
+
+  /** Multimodal decode plumbing (STUB codec, real mapPartitions shape). */
+  def mmDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decode(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
+  /** Frame sampling generator over decoded media. */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.decode(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")),
+      everyN = 30)
+      .groupBy("media_id").agg(count(lit(1)).as("n_samples"))
+      .orderBy("media_id")
+}
+
+/** DuckDB oracles for the deterministic extension queries. */
+object ExtensionOracles {
+
+  val dedupExact: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY text ORDER BY text_hash""".stripMargin
+
+  val dedupJaccard: String =
+    """WITH tok AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS tk FROM documents),
+      |q AS (SELECT tk AS qtk FROM tok WHERE doc_id = 0)
+      |SELECT doc_id,
+      |       round(len(list_intersect(tk, qtk))::DOUBLE /
+      |             (len(tk) + len(qtk) - len(list_intersect(tk, qtk)))::DOUBLE, 4) AS jaccard
+      |FROM tok, q WHERE doc_id > 0
+      |ORDER BY jaccard DESC, doc_id LIMIT 50""".stripMargin
+
+  val textTokens: String =
+    """SELECT doc_id,
+      |       CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS n_ws,
+      |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val textQuality: String =
+    """WITH tok AS (
+      |  SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS tk FROM documents)
+      |SELECT doc_id,
+      |       len(tk)::BIGINT AS n_tokens,
+      |       list_sum(list_transform(tk, t -> len(t)))::BIGINT AS sum_token_len,
+      |       len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::BIGINT AS n_stop,
+      |       (len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::BIGINT AS n_punct,
+      |       len(text)::BIGINT AS n_chars_measured
+      |FROM tok ORDER BY doc_id""".stripMargin
+
+  val mmBytes: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

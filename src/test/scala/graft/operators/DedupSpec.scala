@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog again and again for fun"
+  val nearDup = base.replace("lazy", "sleepy")      // one-token edit
+  val distinct = "completely unrelated content about spark query planning and shuffles"
+
+  lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, distinct)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("keep_id").select("keep_id", "n_dups").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("jaccard of identical/disjoint shingle sets") {
+    val df = Seq((base, base), (base, distinct)).toDF("a", "b")
+      .select(Dedup.jaccard(
+        Dedup.wordShingles(col("a"), 3), Dedup.wordShingles(col("b"), 3)).as("j"))
+    val js = df.as[Double].collect()
+    assert(js(0) == 1.0)
+    assert(js(1) == 0.0)
+  }
+
+  test("minhashPairs finds exact and near duplicates, not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))        // exact dup always collides
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("clusters propagates min id through pair chains") {
+    val ids = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, "doc_id", pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (9L, 9L)))
+  }
+
+  test("simhash: equal text -> equal hash; near-dup -> small hamming") {
+    val d = Dedup.simhashDocs(docs, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(d(1L) == d(2L))
+    val hammingNear = java.lang.Long.bitCount(d(1L) ^ d(3L))
+    val hammingFar = java.lang.Long.bitCount(d(1L) ^ d(4L))
+    assert(hammingNear < hammingFar)
+    assert(hammingNear <= 16, s"near-dup hamming was $hammingNear")
+  }
+
+  test("simhashPairs returns the exact-dup pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embeddingPairs finds planted identical vectors") {
+    val v1 = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val v2 = Array.tabulate(64)(i => math.cos(i * 2).toFloat)
+    val emb = Seq((1L, v1), (2L, v1), (3L, v2)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
