@@ -50,6 +50,13 @@ object Main {
       }
       spark.stop()
 
+    case "etl-stream" :: rawDir :: dimPath :: outDir :: Nil =>
+      val spark = session()
+      graft.streaming.EtlStream.run(spark, rawDir, dimPath,
+        s"$outDir/warehouse", s"$outDir/quarantine", s"$outDir/checkpoint")
+      println(s"etl-stream: warehouse=${spark.read.parquet(s"$outDir/warehouse").count()}")
+      spark.stop()
+
     case "conform" :: warehousePath :: rawPath :: outDir :: Nil =>
       val spark = session()
       val wh = spark.read.parquet(warehousePath)
@@ -62,6 +69,7 @@ object Main {
     case _ =>
       System.err.println(
         """usage: etl <raw.jsonl> <site_dim.csv> <outDir>
+          |       etl-stream <rawDir> <site_dim.csv> <outDir>
           |       query <name> <sfDir>
           |       conform <warehouseParquet> <raw.jsonl> <outDir>""".stripMargin)
       sys.exit(2)

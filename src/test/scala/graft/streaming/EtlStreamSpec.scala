@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class EtlStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft_stream").toString
+
+  test("streaming ETL: drain, idempotent restart, incremental file") {
+    val rawDir = tmp(); val out = tmp()
+    val wh = s"$out/warehouse"; val qr = s"$out/quarantine"; val cp = s"$out/checkpoint"
+    val fixtures = Files.readString(Paths.get(fixture("raw_ads.jsonl")))
+    Files.writeString(Paths.get(s"$rawDir/batch1.jsonl"), fixtures)
+
+    EtlStream.run(spark, rawDir, fixture("site_dim.csv"), wh, qr, cp)
+    assert(spark.read.parquet(wh).count() == 5)        // same as batch pipeline
+    assert(spark.read.parquet(qr).count() == 2)
+
+    // restart with the same checkpoint: no new input -> no duplicates
+    EtlStream.run(spark, rawDir, fixture("site_dim.csv"), wh, qr, cp)
+    assert(spark.read.parquet(wh).count() == 5)
+
+    // drop a new file containing one genuinely new ad + one replay dup
+    val lines = fixtures.linesIterator.toSeq
+    val newAd = lines.head
+      .replace("10000001", "10000099")
+    Files.writeString(Paths.get(s"$rawDir/batch2.jsonl"), newAd + "\n" + lines.head)
+    EtlStream.run(spark, rawDir, fixture("site_dim.csv"), wh, qr, cp)
+    val ids = spark.read.parquet(wh).select("ad_id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(spark.read.parquet(wh).count() == 6)
+    assert(ids.contains("10000099"))
+    assert(ids.count(_ == "10000001") == 1)            // replay did not duplicate
+  }
+
+  test("streaming tumbling-window agg matches the batch q18 totals") {
+    import org.apache.spark.sql.functions._
+    // the file streaming source requires a directory, and the sf dirs mix
+    // ten schemas — stage events.parquet alone
+    val evDir = tmp()
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$evDir/events.parquet"))
+    val q = EtlStream.eventWindowCounts(spark, evDir, "ev_window")
+    q.awaitTermination()
+    val streamed = spark.table("ev_window")
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    val batch = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "events").count()
+    assert(streamed == batch)
+  }
+}
