@@ -76,13 +76,25 @@ object Dedup {
     * ERROR, not a wraparound, so the classic 64-bit mix is off-limits. */
   private val MersennePrime = (1L << 31) - 1
 
-  /** MinHash signature (array<long> of length numHashes) over a shingle
-    * array — pure built-ins: xxhash64 the shingles once, reduce mod
-    * 2^31-1, then one (a*h+b) mod p min per permutation. Codegen end to
-    * end; overflow-safe under ANSI ((p-1)*p + p < 2^62).
+  /** Shingle array → array of 31-bit hashes (xxhash64 reduced mod
+    * 2^31-1; ANSI mode makes 64-bit wraparound an error, and
+    * (p-1)*p + p < 2^62 keeps the permutation arithmetic overflow-free).
+    *
+    * IMPORTANT perf contract: materialize this ONCE per row (its own
+    * projection) and build [[minhashSignature]] over the resulting
+    * *attribute*. Inlining it under each of the N signature elements
+    * looked harmless but cost N× recomputation of shingling+hashing —
+    * CollapseProject keeps separate projections apart precisely because
+    * the expression is expensive and referenced N times.
     */
-  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
-    val hashes = transform(array_distinct(shingles), s => pmod(xxhash64(s), lit(MersennePrime)))
+  def shingleHashes(shingles: Column): Column =
+    transform(array_distinct(shingles), s => pmod(xxhash64(s), lit(MersennePrime)))
+
+  /** MinHash signature (array<long> of length numHashes) over a
+    * [[shingleHashes]] column: one (a*h+b) mod p min per permutation —
+    * cheap arithmetic only, O(numHashes · |shingles|) per row.
+    */
+  def minhashSignature(hashes: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
     val perms = coeffs(numHashes, seed).map { case (a, b) =>
       (((a % (MersennePrime - 1)) + (MersennePrime - 1)) % (MersennePrime - 1) + 1,
         ((b % MersennePrime) + MersennePrime) % MersennePrime)
@@ -104,9 +116,13 @@ object Dedup {
   /** Candidate pairs via LSH banding. `maxBucket` guards hot buckets:
     * a bucket with more than maxBucket docs contributes no pairs from
     * that band (the docs still pair through their other bands), keeping
-    * the self-join linear-ish under boilerplate skew.
+    * the self-join linear-ish under boilerplate skew. The default is
+    * deliberately small — a band bucket holding >100 docs is boilerplate
+    * collision, not near-dup signal, and each such bucket costs
+    * O(bucket²) join rows concentrated on ONE shuffle key (measured:
+    * near-cap buckets serialized the whole stage onto one core).
     */
-  def candidatePairs(docBands: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
+  def candidatePairs(docBands: DataFrame, idCol: String, maxBucket: Int = 100): DataFrame = {
     val exploded = docBands
       .select(col(idCol), explode(col("band_keys")).as("band_key"))
     val smallBuckets = exploded
@@ -128,9 +144,24 @@ object Dedup {
                    shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Materialize shingles and band keys (localCheckpoint): the inner
+    // self-join on band_key makes Catalyst infer `band_key IS NOT NULL`
+    // and push it below the projection WITH the defining expression
+    // inlined — i.e. the whole shingle→hash→sign→band tree re-evaluated
+    // per row inside an interpreted Filter (HOFs are CodegenFallback).
+    // Cutting lineage here turns every downstream join/filter into pure
+    // attribute ops. These are also the natural persistence points of a
+    // minhash pipeline at scale (signatures are reused artifacts).
     val shingled = df.select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
-    val banded = shingled.select(col(idCol),
-      lshBandKeys(minhashSignature(col("shingles"), numHashes), bands, rowsPerBand).as("band_keys"))
+      .localCheckpoint()
+    // staged projections: hashes once per row, then signature over the
+    // attribute, then band keys over the attribute (see shingleHashes doc)
+    val hashed = shingled.select(col(idCol), shingleHashes(col("shingles")).as("shash"))
+    val signed = hashed.select(col(idCol),
+      minhashSignature(col("shash"), numHashes).as("sig"))
+    val banded = signed.select(col(idCol),
+      lshBandKeys(col("sig"), bands, rowsPerBand).as("band_keys"))
+      .localCheckpoint()
     val cands = candidatePairs(banded, idCol)
     val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
@@ -185,6 +216,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val docs = simhashDocs(df, idCol, textCol)
+      .localCheckpoint()   // joins below must see attributes, not the hash expr
     val exploded = docs.select(col(idCol), col("simhash"), explode(col("bands")).as("bk"))
       .select(col(idCol), col("simhash"), concat_ws(":", col("bk.band"), col("bk.key")).as("band_key"))
     val small = exploded.groupBy("band_key").agg(count(lit(1)).as("bsz"))
@@ -209,6 +241,7 @@ object Dedup {
                      threshold: Double = 0.95, nbits: Int = 16): DataFrame = {
     val vecs = df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
       .withColumn("bucket", Similarity.signBucket(col("v"), nbits))
+      .localCheckpoint()   // see minhashPairs: keep the bucket expr out of inferred filters
     val a = vecs.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))
     val b = vecs.select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

@@ -75,9 +75,12 @@ object Similarity {
     val c = corpus
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
       .withColumn("bucket", signBucket(col("v"), nbits))
+      .localCheckpoint()   // bucket join must see attributes (inferred
+                           // IS NOT NULL would inline the plane dot-products)
     val q = queries
       .select(col(qidCol).as("qid"), transform(col(vecCol), _.cast("double")).as("qv"))
       .withColumn("bucket", explode(probeSet(signBucket(col("qv"), nbits), nbits)))
+      .localCheckpoint()
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     c.join(q, Seq("bucket"))
       .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim"))
