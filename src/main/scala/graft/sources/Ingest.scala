@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HtmlLite
+
+/** The ingest connector (SURVEY §2.1, §7 module 3): the reference's
+  * Tor-proxied crawler (scraper.py:27-119,159-218) re-expressed as a
+  * Spark source — a crawl frontier cross join, a paginated listing scan
+  * with the "No matches found." stop sentinel, and per-ad fetch into the
+  * raw JSON envelope.
+  *
+  * Spark has no built-in web source, so fetching runs in mapPartitions
+  * behind [[PageFetcher]] (one client per task/partition). CI and tests
+  * use [[FileStubFetcher]] — the connector logic (pagination, sentinel
+  * stop, retry, envelope/uniq_id construction) is fully exercised with
+  * zero network.
+  *
+  * Scale notes: the frontier is repartitioned so each (city×category)
+  * walk — inherently sequential because of the stop sentinel — runs in
+  * parallel with the others; per-ad fetches are a flat distributed map.
+  */
+object Ingest {
+
+  final case class FetchedPage(code: Int, body: String)
+
+  /** One HTTP(-ish) client per partition; implementations own retry/
+    * backoff/proxy policy (the reference's Tor re-dial at
+    * scraper.py:76-81 would live here). */
+  trait PageFetcher extends Serializable {
+    def fetch(url: String): Option[FetchedPage]
+  }
+
+  /** File-backed stub: resolves a URL to `<baseDir>/<sanitized-url>.html`.
+    * Missing file = fetch failure (None), mirroring an HTTP error. */
+  final case class FileStubFetcher(baseDir: String) extends PageFetcher {
+    def fetch(url: String): Option[FetchedPage] = {
+      val p = Paths.get(baseDir, FileStubFetcher.sanitize(url) + ".html")
+      if (Files.exists(p)) Some(FetchedPage(200, Files.readString(p))) else None
+    }
+  }
+  object FileStubFetcher {
+    def sanitize(url: String): String = url.replaceAll("[^A-Za-z0-9]+", "_")
+  }
+
+  /** Param-file scan (scraper.py:159-160): lowercase, trim, dedup. */
+  def params(spark: SparkSession, path: String, colName: String): DataFrame =
+    spark.read.text(path)
+      .select(lower(trim(col("value"))).as(colName))
+      .filter(length(col(colName)) > 0)
+      .distinct()
+
+  /** Crawl frontier: cities × categories (scraper.py:163-166). */
+  def frontier(cities: DataFrame, categories: DataFrame): DataFrame =
+    cities.crossJoin(categories)
+
+  final case class ListingHit(city: String, category: String, page: Int, ad_url: String)
+
+  /** Paginated listing scan (scraper.py:43-83): for each frontier pair,
+    * fetch pages 1..maxPages, stop on the "No matches found." sentinel
+    * or a failed fetch, and explode the div.cat* anchor hrefs. Each
+    * pair's walk is sequential (the sentinel forces it); pairs run in
+    * parallel across partitions.
+    */
+  def scanListings(frontierDf: DataFrame, fetcher: PageFetcher,
+                   maxPages: Int = 49): Dataset[ListingHit] = {
+    implicit val enc = Encoders.product[ListingHit]
+    val parallelism = frontierDf.sparkSession.sparkContext.defaultParallelism
+    frontierDf.select(col("city"), col("category"))
+      .repartition(parallelism)
+      .as(Encoders.product[(String, String)])
+      .mapPartitions { pairs =>
+        pairs.flatMap { case (city, category) =>
+          Iterator.range(1, maxPages + 1)
+            .map { page =>
+              val url = listingUrl(city, category, page)
+              (page, fetcher.fetch(url))
+            }
+            .takeWhile { case (_, fetched) =>
+              fetched.exists(p => !p.body.contains("No matches found."))
+            }
+            .flatMap { case (page, fetched) =>
+              HtmlLite.findAll(fetched.get.body, "div", "class", "cat.*")
+                .flatMap(HtmlLite.hrefs)
+                .map(u => ListingHit(city, category, page, u))
+            }
+        }
+      }
+  }
+
+  /** `http://{city}.backpage.com/{category}/` with `?page=N` from page 2
+    * (scraper.py:56,175). */
+  def listingUrl(city: String, category: String, page: Int): String = {
+    val base = s"http://$city.backpage.com/$category/"
+    if (page <= 1) base else s"$base?page=$page"
+  }
+
+  final case class RawAd(scrape_date: String, code: Int, url: String,
+                         read: String, uniq_id: String)
+
+  /** Per-ad fetch → raw envelope (scraper.py:94-119,187-208): wraps the
+    * body with scrape_date/code/url and derives uniq_id =
+    * post_date-ad_id-site_id-category (create_uniq_id re-parses the
+    * HTML, scraper.py:105-119). Ads whose fetch fails are dropped, as in
+    * the reference's error path.
+    */
+  def fetchAds(adUrls: Dataset[ListingHit], fetcher: PageFetcher,
+               scrapeDate: String): Dataset[RawAd] = {
+    implicit val enc = Encoders.product[RawAd]
+    adUrls.mapPartitions { hits =>
+      hits.flatMap { hit =>
+        fetcher.fetch(hit.ad_url).map { page =>
+          RawAd(scrapeDate, page.code, hit.ad_url, page.body,
+            uniqId(hit.ad_url, page.body))
+        }
+      }
+    }
+  }
+
+  private val inFmt = DateTimeFormatter.ofPattern("MMMM d, yyyy h:mm a", Locale.US)
+  private val outFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss", Locale.US)
+
+  /** Plain-Scala twin of the Column-side post-date extraction, for the
+    * connector path (create_uniq_id parses HTML outside any DataFrame —
+    * scraper.py:105-116). Same semantics: adInfo text → ascii → strip
+    * "Posted:" and the weekday prefix → parse → reformat; "" on failure.
+    */
+  def postDateOf(html: String): String = {
+    val txt = HtmlLite.findFirst(html, "div", "class", "adInfo")
+      .map(HtmlLite.text).getOrElse("")
+    val cleaned = txt.replaceAll("[^\\x00-\\x7F]", "").replaceAll("[\\r\\n]", "")
+      .replace("Posted:", "").trim
+      .replaceFirst("^[A-Za-z]+,\\s*", "")
+    try LocalDateTime.parse(cleaned, inFmt).format(outFmt)
+    catch { case _: Exception => "" }
+  }
+
+  /** create_uniq_id (scraper.py:105-119): post_date-ad_id-site_id-category. */
+  def uniqId(url: String, html: String): String = {
+    val parts = url.split("/")
+    def part(i: Int) = if (parts.length > i) parts(i) else ""
+    val siteId = part(2).split("\\.").headOption.getOrElse("")
+    Seq(postDateOf(html), part(5), siteId, part(3)).mkString("-")
+  }
+
+  /** Envelope → JSON lines matching the scraper's json.dumps landing
+    * format (scraper.py:208), ready for the raw store / EtlStream. */
+  def toRawJson(ads: Dataset[RawAd]): DataFrame =
+    ads.toDF().select(to_json(struct(
+      col("scrape_date"), col("code"), col("url"), col("read"), col("uniq_id")
+    )).as("value"))
+}
