@@ -1,0 +1,228 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native vector kernels, called from generated code (static forwarders).
+  *
+  * Why these exist: Spark's higher-order functions (`zip_with`,
+  * `aggregate`, `transform`) are CodegenFallback — every call breaks the
+  * enclosing WholeStageCodegen span, runs interpreted, and allocates an
+  * intermediate array per lambda application. For one dot product per
+  * row that is tolerable; for 16 hyperplane projections (sign-LSH
+  * bucketing) or 64–128 MinHash permutations per row it dominates the
+  * operator. Each kernel below is a single allocation-free pass that the
+  * surrounding projection inlines into Tungsten codegen.
+  *
+  * Semantics are bit-identical to the HOF formulations they replace
+  * (same element order, same double accumulation sequence, same
+  * modular arithmetic), so swapping them in changes no query result.
+  */
+object VecUtil {
+
+  /** dot(a,b) / sqrt(dot(a,a)) / sqrt(dot(b,b)) — the division sequence
+    * matches the Column formulation exactly (two divides, not one by a
+    * product). Arrays shorter than each other: zip_with pads with null
+    * and null poisons the HOF sum; here mismatched lengths return NaN
+    * (embeddings are fixed-dim, so this path never fires on real data).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    dab / math.sqrt(daa) / math.sqrt(dbb)
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 }
+    d
+  }
+
+  /** Squared euclidean distance (IVF assignment kernel). */
+  def squaredDist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) { val t = a.getDouble(i) - b.getDouble(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** splitmix64 — public-domain mixer; the shared seed→pseudorandom
+    * primitive for hyperplanes and MinHash permutations. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Hyperplane component (b-th plane, d-th dim) in [-1, 1] — identical
+    * to the literal-matrix formulation in the sign-LSH operator. */
+  @inline private def planeComp(seed: Long, b: Int, d: Int): Double =
+    mix(seed + b.toLong * 131071L + d).toDouble / Long.MaxValue.toDouble
+
+  /** Sign-LSH bucket id: bit b set iff dot(vec, plane_b) > 0. One pass
+    * per plane over the vector, zero allocation (the HOF version built
+    * nbits zipped arrays per row).
+    */
+  def signBucket(vec: ArrayData, nbits: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var b = 0
+    while (b < nbits) {
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += vec.getDouble(i) * planeComp(seed, b, i); i += 1 }
+      if (d > 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** MinHash signature: sig[j] = min over h of (h*a[j]+b[j]) mod p,
+    * p = 2^31-1. Inputs are 31-bit hashes, coefficients bounded below p,
+    * so the arithmetic stays under 2^62 — no overflow (matches the
+    * ANSI-safe Column formulation). Empty input → all-null signature
+    * (array_min of an empty array is null).
+    */
+  def minhash(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val p = (1L << 31) - 1
+    val n = hashes.numElements()
+    val k = a.length
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var min = Long.MaxValue
+      var i = 0
+      val aj = a(j); val bj = b(j)
+      while (i < n) {
+        val v = (hashes.getLong(i) * aj + bj) % p
+        if (v < min) min = v
+        i += 1
+      }
+      out(j) = min
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** cosine_sim(array<double>, array<double>) → double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** dot_product(array<double>, array<double>) → double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** squared_dist(array<double>, array<double>) → double. */
+case class SquaredDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.squaredDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.squaredDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredDist =
+    copy(left = l, right = r)
+}
+
+/** sign_bucket(array<double>) → long LSH bucket id (nbits planes, fixed seed). */
+case class SignBucket(child: Expression, nbits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(vec: Any): Any =
+    VecUtil.signBucket(vec.asInstanceOf[ArrayData], nbits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.signBucket($c, $nbits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): SignBucket =
+    copy(child = newChild)
+}
+
+/** minhash_sig(array<long>) → array<long> signature. Coefficients are
+  * derived on the driver from (numHashes, seed) and shipped inside the
+  * expression; codegen references them as a constant pool object.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  // permutation coefficients: a odd-mixed into [1, p-1], b into [0, p-1]
+  // (identical normalization to the Column formulation it replaces)
+  private lazy val (aCoef, bCoef): (Array[Long], Array[Long]) = {
+    val p = (1L << 31) - 1
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = VecUtil.mix(seed + 2L * i) | 1L
+      val b = VecUtil.mix(seed + 2L * i + 1)
+      as(i) = ((a % (p - 1)) + (p - 1)) % (p - 1) + 1
+      bs(i) = ((b % p) + p) % p
+      i += 1
+    }
+    (as, bs)
+  }
+
+  override def nullSafeEval(hashes: Any): Any =
+    VecUtil.minhash(hashes.asInstanceOf[ArrayData], aCoef, bCoef)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aCoef, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bCoef, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.minhash($c, $aRef, $bRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Column-API surface for the vector kernels. */
+object Vecs {
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def squaredDist(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def signBucket(vec: Column, nbits: Int = 16, seed: Long = 7L): Column =
+    ColumnBridge.column(SignBucket(ColumnBridge.expression(vec), nbits, seed))
+  def minhashSig(hashes: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes, seed))
+
+  /** Register as SQL functions on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("squared_dist", es => SquaredDist(es.head, es(1)), "scala_udf")
+  }
+}

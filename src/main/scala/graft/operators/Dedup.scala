@@ -57,21 +57,6 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** Deterministic permutation coefficients from a fixed seed (splitmix64
-    * over the index — public-domain mixer). */
-  private def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] =
-    (0 until numHashes).map { i =>
-      def mix(z0: Long): Long = {
-        var z = z0 + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
-      val a = mix(seed + 2L * i) | 1L   // odd multiplier
-      val b = mix(seed + 2L * i + 1)
-      (a, b)
-    }
-
   /** 2^31-1: keeps a*h+b under 2^62 — ANSI mode makes Long overflow an
     * ERROR, not a wraparound, so the classic 64-bit mix is off-limits. */
   private val MersennePrime = (1L << 31) - 1
@@ -92,17 +77,12 @@ object Dedup {
 
   /** MinHash signature (array<long> of length numHashes) over a
     * [[shingleHashes]] column: one (a*h+b) mod p min per permutation —
-    * cheap arithmetic only, O(numHashes · |shingles|) per row.
+    * O(numHashes · |shingles|) per row in a single codegen'd pass
+    * ([[graft.functions.MinHashSig]]; the HOF formulation this replaces
+    * ran numHashes interpreted array_min(transform(...)) per row).
     */
-  def minhashSignature(hashes: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
-    val perms = coeffs(numHashes, seed).map { case (a, b) =>
-      (((a % (MersennePrime - 1)) + (MersennePrime - 1)) % (MersennePrime - 1) + 1,
-        ((b % MersennePrime) + MersennePrime) % MersennePrime)
-    }
-    array(perms.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }: _*)
-  }
+  def minhashSignature(hashes: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    graft.functions.Vecs.minhashSig(hashes, numHashes, seed)
 
   /** (doc, band_key) pairs: the signature cut into `bands` bands of
     * `rowsPerBand`, each band hashed to one bucket key. Same-bucket docs

@@ -18,32 +18,13 @@ import graft.queries.Inventory.cosineSim
   */
 object Similarity {
 
-  /** Deterministic pseudo-random unit-ish hyperplanes (splitmix64 →
-    * [-1,1] components), fixed seed ⇒ reproducible buckets. */
-  private def hyperplanes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    Array.tabulate(nbits, dim) { (b, d) =>
-      val u = mix(seed + b.toLong * 131071L + d)
-      (u.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
-    }
-  }
-
   /** dot(vec, plane_b) > 0 bit per plane, packed into a long bucket id.
-    * Pure built-ins over a literal plane matrix — codegen, no UDF. */
-  def signBucket(vec: Column, nbits: Int = 16, dim: Int = 64, seed: Long = 7L): Column = {
-    val planes = hyperplanes(nbits, dim, seed)
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val d = aggregate(zip_with(vec, planeLit, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-      when(d > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * Native Catalyst expression ([[graft.functions.SignBucket]]): all
+    * nbits hyperplane projections in one allocation-free codegen'd pass
+    * (planes are derived splitmix64(seed, bit, dim) — deterministic,
+    * reproducible buckets, no plane matrix to ship). */
+  def signBucket(vec: Column, nbits: Int = 16, seed: Long = 7L): Column =
+    graft.functions.Vecs.signBucket(vec, nbits, seed)
 
   /** All Hamming-1 neighbors of a bucket id (multiprobe set). */
   def probeSet(bucket: Column, nbits: Int = 16): Column =
@@ -106,8 +87,7 @@ object Similarity {
     // array_min picks lexicographic min = nearest centroid.
     val best = array_min(transform(cents, ct =>
       struct(
-        aggregate(zip_with(col("v"), ct.getField("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d).as("dist"),
+        graft.functions.Vecs.squaredDist(col("v"), ct.getField("cv")).as("dist"),
         ct.getField("cid").as("cid"))))
     c.withColumn("list_id", best.getField("cid"))
   }

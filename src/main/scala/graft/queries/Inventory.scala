@@ -301,13 +301,12 @@ object Inventory {
       .limit(20)
   }
 
-  /** dot(a,b) / (||a||·||b||) over ArrayType(Double) columns, pure
-    * built-ins (zip_with + aggregate) ⇒ codegen-friendly, no UDF. */
-  def cosineSim(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  /** dot(a,b) / (||a||·||b||) over ArrayType(Double) columns. Native
+    * Catalyst expression with codegen ([[graft.functions.CosineSim]]):
+    * the HOF formulation (zip_with + aggregate) it replaces is
+    * CodegenFallback — interpreted, one intermediate array per row. */
+  def cosineSim(a: Column, b: Column): Column =
+    graft.functions.Vecs.cosineSim(a, b)
 
   /** Q21 — array basics on embeddings (len/label counts). */
   def q21ArrayOps(s: SparkSession, dir: String): DataFrame =
