@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,6 +59,46 @@ object SketchUtil {
     out
   }
 
+  /** Word n-gram shingles in one pass: lowercase, tokenize on ASCII
+    * whitespace runs (the `\s+` class), join each n-token window with a
+    * single space. Fewer than n tokens → one shingle of all tokens;
+    * no tokens → one empty shingle. Replaces an interpreted
+    * transform(sequence)/slice/concat_ws chain that dominated MinHash
+    * dedup (each shingle re-sliced the token array per element).
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) tokens.add(s.substring(start, i))
+    }
+    val t = tokens.size()
+    if (t < math.max(n, 1)) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < t) { if (j > 0) sb.append(' '); sb.append(tokens.get(j)); j += 1 }
+      return new GenericArrayData(Array[Any](UTF8String.fromString(sb.toString)))
+    }
+    val out = new Array[Any](t - n + 1)
+    var w = 0
+    while (w <= t - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(tokens.get(w + j)); j += 1 }
+      out(w) = UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** Winnowing-style document fingerprint: minimum FNV-1a hash over all
     * k-byte windows of the UTF-8 text (k-gram rolling fingerprint,
     * cf. the standard winnowing scheme). Deterministic; equal for equal
@@ -99,6 +139,17 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** word_shingles(string, n) → array<string> of word n-grams. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    SketchUtil.wordShingles(text.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchUtil.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** doc_fingerprint(string, k) → long rolling-hash fingerprint. */
 case class DocFingerprint(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -116,6 +167,8 @@ object Sketches {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def docFingerprint(text: Column, k: Int = 8): Column =
     ColumnBridge.column(DocFingerprint(ColumnBridge.expression(text), k))
+  def wordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
   /** Register as SQL functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

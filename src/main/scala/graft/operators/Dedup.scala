@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Sketches
@@ -29,14 +30,12 @@ object Dedup {
   // ---------- shingling ----------
 
   /** Word n-gram shingles of lowercased whitespace-tokenized text; a doc
-    * shorter than n shingles whole. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
-    when(size(tokens) < n, array(concat_ws(" ", tokens)))
-      .otherwise(transform(
-        sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-  }
+    * shorter than n shingles whole. Native codegen'd single pass
+    * ([[graft.functions.WordShingles]]) — the HOF formulation
+    * (transform(sequence)/slice/concat_ws, all interpreted) was the
+    * dominant cost of the whole MinHash pipeline. */
+  def wordShingles(text: Column, n: Int): Column =
+    Sketches.wordShingles(text, n)
 
   /** Character n-gram shingles. */
   def charShingles(text: Column, n: Int): Column = {
@@ -103,12 +102,16 @@ object Dedup {
     * near-cap buckets serialized the whole stage onto one core).
     */
   def candidatePairs(docBands: DataFrame, idCol: String, maxBucket: Int = 100): DataFrame = {
-    val exploded = docBands
+    // bucket-size guard as a window count: one shuffle on band_key that
+    // the self-join below then reuses (both children arrive hash-
+    // partitioned on band_key — no re-exchange), vs. the groupBy +
+    // left_semi formulation which shuffled the exploded set twice more.
+    val w = Window.partitionBy("band_key")
+    val pruned = docBands
       .select(col(idCol), explode(col("band_keys")).as("band_key"))
-    val smallBuckets = exploded
-      .groupBy("band_key").agg(count(lit(1)).as("bsz"))
+      .withColumn("bsz", count(lit(1)).over(w))
       .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val pruned = exploded.join(smallBuckets, Seq("band_key"), "left_semi")
+      .drop("bsz")
     val a = pruned.select(col("band_key"), col(idCol).as("id_a"))
     val b = pruned.select(col("band_key"), col(idCol).as("id_b"))
     a.join(b, Seq("band_key"))
@@ -150,29 +153,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Cluster assignment from verified pairs: iterative min-id label
-    * propagation (each round: label = min(label of self, labels of
-    * neighbors); near-dup clusters are tiny, so few rounds converge;
-    * each round is one shuffle on id).
+  /** Cluster assignment from verified pairs.
+    *
+    * The verified near-dup edge set is orders of magnitude smaller than
+    * the corpus (it survived LSH banding AND exact verification), so the
+    * default path counts it and — when it fits comfortably on the driver
+    * (`driverEdgeLimit`, default 10M edges ≈ 160 MB) — runs exact
+    * union-find there and broadcast-joins the label map back: one pass,
+    * no iteration. Above the limit it falls back to distributed min-id
+    * label propagation (each round one shuffle on id; near-dup clusters
+    * are shallow, so few rounds converge). This is the standard
+    * contracted-graph connected-components treatment: iterate only when
+    * the contracted graph itself is big.
     */
-  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 5): DataFrame = {
-    // materialize the (usually tiny) edge set once: the iterative joins
-    // below must not re-evaluate the whole candidate-generation lineage
-    // every round (plan growth is what kills iterative Spark jobs).
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-    var i = 0
-    while (i < maxIter) {
-      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2")).agg(min(col("cluster_id")).as("nbr_min"))
-      labels = labels.join(viaNeighbor, labels("id") === viaNeighbor("id2"), "left")
-        .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()   // cut lineage each round
-      i += 1
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 5,
+               driverEdgeLimit: Long = 10_000_000L): DataFrame = {
+    val edgeDf = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val base = ids.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    if (edgeDf.count() <= driverEdgeLimit) {
+      val edges = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      val labelMap = parent.keys.map(k => (k, find(k))).filter(kv => kv._1 != kv._2).toSeq
+      if (labelMap.isEmpty) return base
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val mapping = broadcast(labelMap.toDF("m_id", "m_cluster"))
+      base.join(mapping, base("id") === mapping("m_id"), "left")
+        .select(col("id"), coalesce(col("m_cluster"), col("cluster_id")).as("cluster_id"))
+    } else {
+      // distributed fallback: min-id label propagation over the edge set
+      val edges = edgeDf.unionByName(
+        edgeDf.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()   // cut candidate-generation lineage once
+      var labels = base
+      var i = 0
+      while (i < maxIter) {
+        val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src").as("id2")).agg(min(col("cluster_id")).as("nbr_min"))
+        labels = labels.join(viaNeighbor, labels("id") === viaNeighbor("id2"), "left")
+          .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          .localCheckpoint()   // cut lineage each round
+        i += 1
+      }
+      labels
     }
-    labels
   }
 
   // ---------- SimHash ----------
@@ -197,11 +232,12 @@ object Dedup {
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val docs = simhashDocs(df, idCol, textCol)
       .localCheckpoint()   // joins below must see attributes, not the hash expr
-    val exploded = docs.select(col(idCol), col("simhash"), explode(col("bands")).as("bk"))
+    val w = Window.partitionBy("band_key")
+    val pruned = docs.select(col(idCol), col("simhash"), explode(col("bands")).as("bk"))
       .select(col(idCol), col("simhash"), concat_ws(":", col("bk.band"), col("bk.key")).as("band_key"))
-    val small = exploded.groupBy("band_key").agg(count(lit(1)).as("bsz"))
+      .withColumn("bsz", count(lit(1)).over(w))   // see candidatePairs: one shuffle, reused by the join
       .filter(col("bsz") <= maxBucket && col("bsz") > 1)
-    val pruned = exploded.join(small, Seq("band_key"), "left_semi")
+      .drop("bsz")
     val a = pruned.select(col("band_key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = pruned.select(col("band_key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band_key"))
