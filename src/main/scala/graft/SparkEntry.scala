@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_exact"       -> EO.dedupExact,
     "dedup_jaccard"     -> EO.dedupJaccard,
     "text_tokens"       -> EO.textTokens,
+    "text_langid"       -> EO.textLangid,
     "text_quality"      -> EO.textQuality,
     "mm_bytes"          -> EO.mmBytes,
   )

@@ -96,6 +96,35 @@ object SketchUtil {
     new GenericArrayData(out)
   }
 
+  /** Count of (non-null) tokens present in the word set — the kernel of
+    * stopword-ratio scoring and seed-list language ID. Equivalent to
+    * size(filter(tokens, isin(words))) with the HOF interpretation cost
+    * removed (language ID ran five of those per row). Counts
+    * occurrences, not distinct hits. */
+  def countInSet(tokens: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
+    val n = tokens.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && words.contains(tokens.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Sum of (non-null) token character lengths — mean-token-length
+    * numerator. Equivalent to aggregate(tokens, 0L, acc + length(t)). */
+  def sumStrLen(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) s += tokens.getUTF8String(i).numChars()
+      i += 1
+    }
+    s
+  }
+
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
@@ -150,6 +179,36 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** count_in_set(array<string>) → int occurrences of tokens in a fixed
+  * word list (shipped inside the expression, referenced from codegen). */
+case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def nullSafeEval(tokens: Any): Any =
+    SketchUtil.countInSet(tokens.asInstanceOf[ArrayData], wordSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", wordSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchUtil.countInSet($c, $setRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
+/** sum_str_len(array<string>) → long total character count. */
+case class SumStrLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(tokens: Any): Any =
+    SketchUtil.sumStrLen(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchUtil.sumStrLen($c)")
+  override protected def withNewChildInternal(newChild: Expression): SumStrLen =
+    copy(child = newChild)
+}
+
 /** doc_fingerprint(string, k) → long rolling-hash fingerprint. */
 case class DocFingerprint(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -169,6 +228,10 @@ object Sketches {
     ColumnBridge.column(DocFingerprint(ColumnBridge.expression(text), k))
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+  def countInSet(tokens: Column, words: Seq[String]): Column =
+    ColumnBridge.column(CountInSet(ColumnBridge.expression(tokens), words))
+  def sumStrLen(tokens: Column): Column =
+    ColumnBridge.column(SumStrLen(ColumnBridge.expression(tokens)))
 
   /** Register as SQL functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

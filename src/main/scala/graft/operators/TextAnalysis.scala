@@ -28,8 +28,8 @@ object TextAnalysis {
     val tokens = split(lower(trim(text)), "\\s+")
     val n = size(tokens).cast("double")
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
-    val nStop = size(filter(tokens, t => t.isin(stop.map(lit(_).cast("string")): _*)))
-    val meanLen = aggregate(transform(tokens, t => length(t)), lit(0), (acc, l) => acc + l).cast("double") / n
+    val nStop = Sketches.countInSet(tokens, stop)
+    val meanLen = Sketches.sumStrLen(tokens).cast("double") / n
     val punct = (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
     val caps = (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double")
     struct(
@@ -55,7 +55,7 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val tokens = split(lower(trim(text)), "\\s+")
     val scored = langSeeds.map { case (code, words) =>
-      struct(size(filter(tokens, t => t.isin(words.map(lit(_).cast("string")): _*))).as("score"),
+      struct(Sketches.countInSet(tokens, words).as("score"),
         lit(code).as("code"))
     }
     val best = array_max(array(scored: _*))

@@ -108,8 +108,8 @@ object Extensions {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
     t(s, dir, "documents").select(col("doc_id"),
       size(tokens).cast("long").as("n_tokens"),
-      aggregate(tokens, lit(0L), (acc, tk) => acc + length(tk)).as("sum_token_len"),
-      size(filter(tokens, tk => tk.isin(stop.map(lit(_).cast("string")): _*)))
+      graft.functions.Sketches.sumStrLen(tokens).as("sum_token_len"),
+      graft.functions.Sketches.countInSet(tokens, stop)
         .cast("long").as("n_stop"),
       (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
         .cast("long").as("n_punct"),
@@ -181,6 +181,26 @@ object ExtensionOracles {
       |       (len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::BIGINT AS n_punct,
       |       len(text)::BIGINT AS n_chars_measured
       |FROM tok ORDER BY doc_id""".stripMargin
+
+  /** Language-ID argmax as a padded sort key: DuckDB's greatest() can't
+    * compare structs, so (score, code) rides in '%08d|code' strings —
+    * lexicographic max ≡ (score, code) max, the exact tie-break of the
+    * Spark array_max-over-structs formulation. */
+  val textLangid: String =
+    """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id,
+      |  len(list_filter(tk, t -> t IN ('the','and','of','to','a','in','is','you','that','it'))) AS en,
+      |  len(list_filter(tk, t -> t IN ('el','la','de','que','y','en','un','se','no','los'))) AS es,
+      |  len(list_filter(tk, t -> t IN ('le','de','un','et','les','en','que','pour','des','est'))) AS fr,
+      |  len(list_filter(tk, t -> t IN ('der','die','und','in','den','von','zu','das','mit','ist'))) AS de,
+      |  len(list_filter(tk, t -> t IN ('的','一','是','不','了','人','我','在','有','他'))) AS zh
+      |  FROM tok)
+      |SELECT doc_id,
+      |  CASE WHEN split_part(best, '|', 1) = '00000000' THEN 'und' ELSE split_part(best, '|', 2) END AS pred_lang
+      |FROM (SELECT doc_id, greatest(
+      |    printf('%08d|en', en), printf('%08d|es', es), printf('%08d|fr', fr),
+      |    printf('%08d|de', de), printf('%08d|zh', zh)) AS best FROM s)
+      |ORDER BY doc_id""".stripMargin
 
   val mmBytes: String =
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes
