@@ -41,6 +41,7 @@ object SparkEntry {
     "q19_grouping_sets" -> (I.q19GroupingSets(_, _)),
     "q20_cosine_topk"   -> (I.q20CosineTopk(_, _)),
     "q21_array_ops"     -> (I.q21ArrayOps(_, _)),
+    "q22_asof_join"     -> (I.q22AsofJoin(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "dedup_exact"       -> (E.dedupExact(_, _)),
     "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q19_grouping_sets" -> O.q19GroupingSets,
     "q20_cosine_topk"   -> O.q20CosineTopk,
     "q21_array_ops"     -> O.q21ArrayOps,
+    "q22_asof_join"     -> O.q22AsofJoin,
     // deterministic extension ops; sketch/LSH ops are rows-only
     "dedup_exact"       -> EO.dedupExact,
     "dedup_jaccard"     -> EO.dedupJaccard,

@@ -316,4 +316,24 @@ object Inventory {
         min(size(col("embedding"))).as("min_len"),
         max(size(col("embedding"))).as("max_len"))
       .orderBy("label")
+
+  /** Q22 — backward as-of join ([[graft.operators.AsOfJoin]]): each
+    * purchase matched to the user's most recent view at-or-before it;
+    * DuckDB's ASOF LEFT JOIN is the oracle. Union + running window, not
+    * a range join (see the operator doc for the scale argument).
+    */
+  def q22AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+    graft.operators.AsOfJoin
+      .asof(purchases, views, Seq("user_id"), "ts", Seq("view_id", "view_ts"))
+      .select(col("event_id"), col("user_id"),
+        col("asof.view_id").as("matched_view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.view_ts"))).as("lag_us"))
+      .orderBy("event_id")
+  }
 }

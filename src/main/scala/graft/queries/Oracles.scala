@@ -159,4 +159,13 @@ object Oracles {
   val q21ArrayOps: String =
     """SELECT label, count(*) AS cnt, min(len(embedding)) AS min_len, max(len(embedding)) AS max_len
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  val q22AsofJoin: String =
+    """WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |views AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, v.view_id AS matched_view_id,
+      |       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      |FROM purchases p ASOF LEFT JOIN views v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY event_id""".stripMargin
 }
