@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  /** A second session over the same SparkContext, created with the
+    * extensions installed (getOrCreate would hand back the suite
+    * session and silently skip injection). */
+  lazy val extSession: SparkSession = {
+    val orig = spark // force the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    SparkSession.setActiveSession(orig)
+    SparkSession.setDefaultSession(orig)
+    s
+  }
+
+  test("all kernel functions resolve and compute from plain SQL") {
+    val row = extSession.sql(
+      """SELECT
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |  squared_dist(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS sq,
+        |  sign_bucket(array(1.0d, -1.0d)) AS bkt,
+        |  size(minhash_sig(array(17L, 99L), 32)) AS sig_len,
+        |  simhash64(array('a', 'b')) AS sh,
+        |  doc_fingerprint('hello world, a doc long enough to window') AS fp,
+        |  word_shingles('a b c d', 3) AS sh3,
+        |  count_in_set(array('the', 'cat', 'the'), 'the', 'a') AS stops,
+        |  sum_str_len(array('ab', 'cde')) AS chars
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Double]("cos") == 1.0)
+    assert(row.getAs[Double]("dot") == 11.0)
+    assert(row.getAs[Double]("sq") == 25.0)
+    assert(row.getAs[Int]("sig_len") == 32)
+    assert(row.getSeq[String](row.fieldIndex("sh3")).toSeq == Seq("a b c", "b c d"))
+    assert(row.getAs[Int]("stops") == 2)
+    assert(row.getAs[Long]("chars") == 5L)
+  }
+
+  test("SQL and Column-API formulations agree") {
+    import graft.functions.{Sketches, Vecs}
+    import org.apache.spark.sql.functions._
+    val viaSql = extSession.sql(
+      "SELECT sign_bucket(array(0.3d, -0.7d, 0.2d)) AS b, simhash64(array('x','y')) AS s")
+      .collect()(0)
+    val viaCol = extSession.range(1).select(
+      Vecs.signBucket(array(lit(0.3), lit(-0.7), lit(0.2))).as("b"),
+      Sketches.simhash64(array(lit("x"), lit("y"))).as("s"))
+      .collect()(0)
+    assert(viaSql.getLong(0) == viaCol.getLong(0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+  }
+}
