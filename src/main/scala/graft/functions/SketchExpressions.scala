@@ -112,6 +112,38 @@ object SketchUtil {
     c
   }
 
+  /** Jaccard similarity of two string arrays under distinct-set
+    * semantics: |A∩B| / (|A|+|B|-|A∩B|) with A, B deduplicated — the
+    * exact value of the array_distinct/array_intersect Column
+    * formulation, in one hash-set pass instead of two distincts plus a
+    * twice-referenced intersect. Null elements participate as one
+    * distinct value, as array_distinct keeps them. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[UTF8String]()
+    var aNull = false
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i)) aNull = true else sa.add(a.getUTF8String(i))
+      i += 1
+    }
+    val sb = new java.util.HashSet[UTF8String]()
+    var bNull = false
+    i = 0
+    val nb = b.numElements()
+    while (i < nb) {
+      if (b.isNullAt(i)) bNull = true else sb.add(b.getUTF8String(i))
+      i += 1
+    }
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) if (sa.contains(it.next())) inter += 1
+    if (aNull && bNull) inter += 1
+    val da = sa.size + (if (aNull) 1 else 0)
+    val db = sb.size + (if (bNull) 1 else 0)
+    inter.toDouble / (da + db - inter).toDouble
+  }
+
   /** Sum of (non-null) token character lengths — mean-token-length
     * numerator. Equivalent to aggregate(tokens, 0L, acc + length(t)). */
   def sumStrLen(tokens: ArrayData): Long = {
@@ -198,6 +230,18 @@ case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** jaccard_sim(array<string>, array<string>) → double distinct-set Jaccard. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchUtil.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchUtil.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+}
+
 /** sum_str_len(array<string>) → long total character count. */
 case class SumStrLen(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -232,6 +276,8 @@ object Sketches {
     ColumnBridge.column(CountInSet(ColumnBridge.expression(tokens), words))
   def sumStrLen(tokens: Column): Column =
     ColumnBridge.column(SumStrLen(ColumnBridge.expression(tokens)))
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Register as SQL functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

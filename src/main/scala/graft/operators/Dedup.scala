@@ -46,13 +46,12 @@ object Dedup {
         i => substring(t, i, lit(n))))
   }
 
-  /** Jaccard similarity of two shingle arrays (distinct semantics). */
-  def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a)
-    val db = array_distinct(b)
-    val inter = size(array_intersect(da, db)).cast("double")
-    inter / (size(da) + size(db) - inter)
-  }
+  /** Jaccard similarity of two shingle arrays (distinct semantics).
+    * Native one-pass kernel ([[graft.functions.JaccardSim]]) — the
+    * Column formulation re-evaluated a twice-referenced array_intersect
+    * plus two array_distincts per pair. */
+  def jaccard(a: Column, b: Column): Column =
+    Sketches.jaccardSim(a, b)
 
   // ---------- MinHash + LSH ----------
 

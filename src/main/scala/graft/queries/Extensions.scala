@@ -28,13 +28,12 @@ object Extensions {
     */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(split(lower(trim(col("text"))), " ")).as("tok"))
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("tok"))
     val q = docs.filter(col("doc_id") === 0).select(col("tok").as("qtok"))
-    val inter = size(array_intersect(col("tok"), col("qtok"))).cast("double")
-    val jac = inter / (size(col("tok")) + size(col("qtok")) - inter).cast("double")
     docs.filter(col("doc_id") > 0)
       .crossJoin(broadcast(q))
-      .select(col("doc_id"), round(jac, 4).as("jaccard"))
+      .select(col("doc_id"),
+        round(Dedup.jaccard(col("tok"), col("qtok")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_id"))
       .limit(50)
   }
