@@ -42,6 +42,7 @@ object SparkEntry {
     "q20_cosine_topk"   -> (I.q20CosineTopk(_, _)),
     "q21_array_ops"     -> (I.q21ArrayOps(_, _)),
     "q22_asof_join"     -> (I.q22AsofJoin(_, _)),
+    "q23_sessionize"    -> (I.q23Sessionize(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "dedup_exact"       -> (E.dedupExact(_, _)),
     "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "q20_cosine_topk"   -> O.q20CosineTopk,
     "q21_array_ops"     -> O.q21ArrayOps,
     "q22_asof_join"     -> O.q22AsofJoin,
+    "q23_sessionize"    -> O.q23Sessionize,
     // deterministic extension ops; sketch/LSH ops are rows-only
     "dedup_exact"       -> EO.dedupExact,
     "dedup_jaccard"     -> EO.dedupJaccard,

@@ -336,4 +336,15 @@ object Inventory {
         (unix_micros(col("ts")) - unix_micros(col("asof.view_ts"))).as("lag_us"))
       .orderBy("event_id")
   }
+
+  /** Q23 — gap-based sessionization (30-min gap) over events: the
+    * lag-flag + running-sum window formulation; one shuffle+sort per
+    * user ordering, no join. Streaming twin:
+    * [[graft.streaming.SessionStream]] (flatMapGroupsWithState).
+    */
+  def q23Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize
+      .sessions(t(s, dir, "events"), "user_id", "ts", "event_id",
+        gapUs = 30L * 60 * 1000 * 1000)
+      .orderBy("user_id", "session_no")
 }

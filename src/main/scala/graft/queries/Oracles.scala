@@ -168,4 +168,23 @@ object Oracles {
       |FROM purchases p ASOF LEFT JOIN views v
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY event_id""".stripMargin
+
+  val q23Sessionize: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM x)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |       count(*) AS n_events,
+      |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      |FROM y GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
 }

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming twin of [[graft.operators.Sessionize]]: gap-based user
+  * sessions via flatMapGroupsWithState with event-time timeout.
+  *
+  * State per user = the one open session (start, last, count). Each
+  * micro-batch's events for a user are sorted in-memory (micro-batches
+  * deliver unordered) and folded into the state; a gap > gapUs closes a
+  * session and emits it downstream. The watermark closes idle sessions:
+  * the timeout fires once event time passes last + gap, flushing the
+  * final session without unbounded state. State size is O(users with an
+  * open session), not O(events) — the shape that survives an unbounded
+  * stream.
+  */
+object SessionStream {
+
+  // event_time rides along: the watermark is attached to that column and
+  // must still be present when the stateful operator is analyzed
+  case class Ev(user_id: Long, ts_us: Long, event_time: java.sql.Timestamp)
+  case class OpenSession(start_us: Long, last_us: Long, n: Long)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  def fold(userId: Long, batch: Iterator[Ev], state: GroupState[OpenSession],
+           gapUs: Long): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(Session(userId, s.start_us, s.last_us, s.n))
+    }
+    val evs = batch.toArray.sortBy(_.ts_us)
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var open = state.getOption
+    evs.foreach { e =>
+      open match {
+        case Some(s) if e.ts_us - s.last_us <= gapUs =>
+          open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1))
+        case Some(s) =>
+          closed += Session(userId, s.start_us, s.last_us, s.n)
+          open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+        case None =>
+          open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.last_us / 1000 + gapUs / 1000) // ms epoch
+    }
+    closed.iterator
+  }
+
+  /** Start the sessionizer over a parquet event stream (events schema of
+    * TESTDATA.md), writing closed sessions to an in-memory sink named
+    * `outputTable`. Watermark delay bounds how long a session stays open
+    * past its last event.
+    */
+  def run(spark: SparkSession, eventsDir: String, outputTable: String,
+          gapUs: Long = 30L * 60 * 1000 * 1000, watermarkDelay: String = "1 hour") = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val events: Dataset[Ev] = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("event_time")).as("ts_us"), col("event_time"))
+      .as[Ev]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (k: Long, it: Iterator[Ev], st: GroupState[OpenSession]) => fold(k, it, st, gapUs))
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName(outputTable)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
