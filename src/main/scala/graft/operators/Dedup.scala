@@ -254,7 +254,7 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, nbits: Int = 16): DataFrame = {
-    val vecs = df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", Similarity.signBucket(col("v"), nbits))
       .localCheckpoint()   // see minhashPairs: keep the bucket expr out of inferred filters
     val a = vecs.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))

@@ -37,8 +37,8 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      qidCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
-    val q = queries.select(col(qidCol).as("qid"), transform(col(vecCol), _.cast("double")).as("qv"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     c.crossJoin(broadcast(q))
       .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim"))
@@ -54,12 +54,12 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               qidCol: String, vecCol: String, k: Int, nbits: Int = 16): DataFrame = {
     val c = corpus
-      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", signBucket(col("v"), nbits))
       .localCheckpoint()   // bucket join must see attributes (inferred
                            // IS NOT NULL would inline the plane dot-products)
     val q = queries
-      .select(col(qidCol).as("qid"), transform(col(vecCol), _.cast("double")).as("qv"))
+      .select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("bucket", explode(probeSet(signBucket(col("qv"), nbits), nbits)))
       .localCheckpoint()
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
@@ -82,7 +82,7 @@ object Similarity {
     val cents = array(centroids.map { case (cid, v) =>
       struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
     }: _*)
-    val c = corpus.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     // argmin over the literal centroid array: compute (dist, cid) structs,
     // array_min picks lexicographic min = nearest centroid.
     val best = array_min(transform(cents, ct =>

@@ -67,7 +67,7 @@ object Extensions {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val buckets = emb
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", Similarity.signBucket(col("v")))
     val nearDups = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.9)
       .groupBy(col("id_a").as("vec_id")).agg(count(lit(1)).as("n_near"))

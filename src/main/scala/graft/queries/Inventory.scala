@@ -292,7 +292,7 @@ object Inventory {
     */
   def q20CosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-      .withColumn("vec", transform(col("embedding"), _.cast("double")))
+      .withColumn("vec", col("embedding").cast("array<double>"))
     val qv = emb.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
     emb.crossJoin(broadcast(qv))
       .select(col("vec_id"), col("label"),
