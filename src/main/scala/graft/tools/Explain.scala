@@ -13,7 +13,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_derived_key", "q2_anti_join", "q3_dim_join", "q5_groupby_agg",
-      "q11_topk", "q14_range_join", "q15_phone_regex", "q20_cosine_topk")
+      "q11_topk", "q14_range_join", "q15_phone_regex", "q20_cosine_topk",
+      "q22_asof_join", "q23_sessionize", "ann_lsh_topk")
     for (n <- names) {
       println(s"\n===================== $n =====================")
       graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Seeded-fuzz equivalence: the native text kernels vs plain-Scala
+  * reference implementations, over generated strings that mix unicode,
+  * control whitespace, empty/blank and repeated tokens. (Plain
+  * ScalaCheck lacks the scalatest bridge in the offline cache, so this
+  * uses a fixed-seed generator — same coverage, reproducible failures.)
+  */
+class KernelFuzzSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260812L)
+  // whole code points: charAt would split the emoji's surrogate pair and
+  // emit invalid UTF-16, which round-trips differently through UTF8String
+  private val alphabet: Vector[String] =
+    "abcXYZ019 \t\n\f\r$;.é漢🙂".codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp)))
+
+  private def randString(): String = {
+    val n = rng.nextInt(60)
+    val sb = new StringBuilder
+    (0 until n).foreach(_ => sb.append(alphabet(rng.nextInt(alphabet.size))))
+    sb.toString
+  }
+
+  // ---- plain-Scala references (independent formulations) ----
+
+  private def refTokens(s: String): Vector[String] =
+    s.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).toVector
+
+  private def refShingles(s: String, n: Int): Vector[String] = {
+    val t = refTokens(s)
+    if (t.length < n) Vector(t.mkString(" "))
+    else t.sliding(n).map(_.mkString(" ")).toVector
+  }
+
+  private def refJaccard(a: Seq[String], b: Seq[String]): Double = {
+    val (sa, sb) = (a.toSet, b.toSet)
+    val inter = sa.intersect(sb).size
+    inter.toDouble / (sa.size + sb.size - inter).toDouble
+  }
+
+  private def refCountInSet(tokens: Seq[String], words: Set[String]): Int =
+    tokens.count(words.contains)
+
+  private def refSumLen(tokens: Seq[String]): Long =
+    tokens.map(t => t.codePointCount(0, t.length).toLong).sum
+
+  private val cases = (0 until 300).map(i => (i.toLong, randString()))
+
+  test("wordShingles matches the reference tokenizer over fuzzed input") {
+    val got = cases.toDF("id", "text")
+      .select(col("id"), Sketches.wordShingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    cases.foreach { case (id, text) =>
+      assert(got(id).toVector == refShingles(text, 3), s"id=$id text=${text.take(40)}")
+    }
+  }
+
+  test("jaccard kernel matches set-based reference over fuzzed token pairs") {
+    val pairs = cases.grouped(2).collect { case Seq(a, b) => (a._1, a._2, b._2) }.toSeq
+    val got = pairs.toDF("id", "ta", "tb")
+      .select(col("id"), Sketches.jaccardSim(
+        split(col("ta"), " "), split(col("tb"), " ")).as("j"))
+      .as[(Long, Double)].collect().toMap
+    pairs.foreach { case (id, a, b) =>
+      val expect = refJaccard(a.split(" ", -1).toSeq, b.split(" ", -1).toSeq)
+      val j = got(id)
+      assert((j.isNaN && expect.isNaN) || j == expect, s"id=$id")
+    }
+  }
+
+  test("countInSet and sumStrLen match references over fuzzed tokens") {
+    val words = Set("the", "a", "0", "xyz", "é")
+    val got = cases.toDF("id", "text")
+      .select(col("id"),
+        Sketches.countInSet(split(lower(col("text")), "\\s+"), words.toSeq).as("c"),
+        Sketches.sumStrLen(split(lower(col("text")), "\\s+")).as("s"))
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    cases.foreach { case (id, text) =>
+      val tokens = text.toLowerCase.split("\\s+", -1).toSeq
+      assert(got(id)._1 == refCountInSet(tokens, words), s"count id=$id")
+      assert(got(id)._2 == refSumLen(tokens), s"len id=$id")
+    }
+  }
+}
