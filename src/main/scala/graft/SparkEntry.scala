@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_simhash"     -> (E.dedupSimhash(_, _)),
     "dedup_embedding"   -> (E.dedupEmbedding(_, _)),
     "ann_lsh_topk"      -> (E.annLsh(_, _)),
+    "ann_ivf_topk"      -> (E.annIvf(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),
     "text_langid"       -> (E.textLangid(_, _)),

@@ -91,4 +91,55 @@ object Similarity {
         ct.getField("cid").as("cid"))))
     c.withColumn("list_id", best.getField("cid"))
   }
+
+  /** Deterministic centroid pick for IVF: every ceil(n/nlist)-th vector
+    * by id order (collect of nlist small rows — the centroid table is a
+    * driver-side artifact by design, exactly like a trained k-means
+    * codebook would be). */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int): Array[(Long, Array[Double])] = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
+  }
+
+  /** IVF top-k search: corpus bucketed once by nearest centroid
+    * ([[ivfAssign]]); each query probes only its `nprobe` nearest lists
+    * and re-ranks candidates exactly. The probe join is an equi-join on
+    * list_id — at scale the corpus is partitioned/bucketed by list_id on
+    * storage, so probes prune partitions instead of scanning. Recall
+    * grows with nprobe (nprobe = nlist degenerates to exact brute force
+    * over an extra shuffle).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              qidCol: String, vecCol: String, k: Int,
+              centroids: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("v"), col("list_id"))
+      .localCheckpoint()   // bucket join must see attributes (see lshTopK)
+    val cents = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    // nprobe nearest lists per query: sort the (dist, cid) structs and
+    // slice — nlist is bounded, this is per-row constant work.
+    val ranked = array_sort(transform(cents, ct =>
+      struct(
+        graft.functions.Vecs.squaredDist(col("qv"), ct.getField("cv")).as("dist"),
+        ct.getField("cid").as("cid"))))
+    val q = queries
+      .select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("list_id",
+        explode(transform(slice(ranked, 1, nprobe), s => s.getField("cid"))))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    assigned.join(q, Seq("list_id"))
+      .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

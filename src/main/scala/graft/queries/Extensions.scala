@@ -87,6 +87,18 @@ object Extensions {
       .orderBy("qid", "rank")
   }
 
+  /** ANN via IVF coarse quantization: nlist=16 deterministic centroids,
+    * nprobe=4 lists probed per query, exact re-rank (recall vs brute
+    * force asserted in SimilaritySpec). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "vec_id",
+      "embedding", k = 10, cents, nprobe = 4)
+      .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Token counting (whitespace + BPE-ish regex), oracle-checked. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),

@@ -54,4 +54,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .select("vec_id", "list_id").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 100L, 2L -> 200L))
   }
+
+  test("ivf top-k: exact sims, self at rank 1, decent recall vs brute force") {
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 8)
+    assert(cents.length == 8 && cents.head._2.length == 64)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
+      k = 10, cents, nprobe = 3)
+      .select("qid", "id", "sim", "rank").as[(Long, Long, Double, Int)].collect()
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "vec_id", "embedding", 10)
+      .select("qid", "id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, i, s) => (q, i) -> s }.toMap
+    // the query's own list is always probed (distance 0 to its centroid
+    // is its assignment) -> self must appear at rank 1, sim 1.0
+    for (q <- ivf.map(_._1).distinct) {
+      val r1 = ivf.find(r => r._1 == q && r._4 == 1).get
+      assert(r1._2 == q && math.abs(r1._3 - 1.0) < 1e-9)
+    }
+    // candidate sims are exact (same kernel as brute force)
+    ivf.foreach { case (q, i, s, _) =>
+      bf.get((q, i)).foreach(exact => assert(math.abs(s - exact) < 1e-9))
+    }
+    // recall@10 with 3/8 lists probed: conservatively above 40%
+    val hit = ivf.count { case (q, i, _, _) => bf.contains((q, i)) }
+    assert(hit.toDouble / bf.size >= 0.4, s"recall ${hit.toDouble / bf.size}")
+  }
 }
