@@ -74,14 +74,12 @@ object Extract {
     */
   def phoneExtract(text: Column): Column = {
     val punct = "!\"#%&'()*+,-./:;<=>?@[\\]^_`{|}~"
-    val digitWords = Seq(
-      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
-      "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
-      "eight" -> "8", "nine" -> "9")
     var c = lower(text)
     c = translate(c, punct, "")
     c = translate(c, " ", "")
-    for ((w, d) <- digitWords) c = regexp_replace(c, w, d)
+    // ten chained regexp_replace calls fused into one codegen'd pass
+    // (identical sequential zero..nine literal-replace semantics)
+    c = Sketches.spelledDigits(c)
     val runs = regexp_extract_all(c, lit("[0-9]+"), lit(0))
     val kept = filter(runs, x => length(x).between(7, 11))
     array_join(array_sort(array_distinct(kept)), ";")

@@ -157,6 +157,28 @@ object SketchUtil {
     s
   }
 
+  private val digitWords = Array(
+    "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+    "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+    "eight" -> "8", "nine" -> "9")
+
+  /** The reference's spelled-digit substring replace (etl_process.py:
+    * 97-111) in one pass over the expression tree: sequential
+    * left-to-right replace of zero..nine in fixed order — identical
+    * results to ten chained regexp_replace calls (each pattern is a
+    * plain literal), without ten regex-engine invocations and
+    * UTF8String round-trips per row. The intended "phone"→"ph1"-style
+    * corruptions are preserved. */
+  def spelledDigits(s: UTF8String): UTF8String = {
+    var t = s.toString
+    var i = 0
+    while (i < digitWords.length) {
+      t = t.replace(digitWords(i)._1, digitWords(i)._2)
+      i += 1
+    }
+    UTF8String.fromString(t)
+  }
+
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
@@ -230,6 +252,17 @@ case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** spelled_digits(string) → string with zero..nine replaced by 0..9. */
+case class SpelledDigits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    SketchUtil.spelledDigits(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchUtil.spelledDigits($c)")
+  override protected def withNewChildInternal(newChild: Expression): SpelledDigits =
+    copy(child = newChild)
+}
+
 /** jaccard_sim(array<string>, array<string>) → double distinct-set Jaccard. */
 case class JaccardSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -278,6 +311,8 @@ object Sketches {
     ColumnBridge.column(SumStrLen(ColumnBridge.expression(tokens)))
   def jaccardSim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def spelledDigits(s: Column): Column =
+    ColumnBridge.column(SpelledDigits(ColumnBridge.expression(s)))
 
   /** Register as SQL functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
