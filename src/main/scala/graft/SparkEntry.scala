@@ -46,6 +46,7 @@ object SparkEntry {
     // LLM-data-pipeline operators (BASELINE.json north star)
     "dedup_exact"       -> (E.dedupExact(_, _)),
     "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
+    "dedup_jaccard_char" -> (E.dedupJaccardChar(_, _)),
     "dedup_minhash"     -> (E.dedupMinhash(_, _)),
     "dedup_simhash"     -> (E.dedupSimhash(_, _)),
     "dedup_embedding"   -> (E.dedupEmbedding(_, _)),
@@ -88,6 +89,7 @@ object SparkEntry {
     // deterministic extension ops; sketch/LSH ops are rows-only
     "dedup_exact"       -> EO.dedupExact,
     "dedup_jaccard"     -> EO.dedupJaccard,
+    "dedup_jaccard_char" -> EO.dedupJaccardChar,
     "text_tokens"       -> EO.textTokens,
     "text_langid"       -> EO.textLangid,
     "text_quality"      -> EO.textQuality,

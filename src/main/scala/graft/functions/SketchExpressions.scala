@@ -157,6 +157,25 @@ object SketchUtil {
     s
   }
 
+  /** Character n-gram shingles over the lowercased text, one pass;
+    * texts of ≤ n chars shingle whole. Codepoint-accurate (substring
+    * windows count characters, matching substr() in both engines). */
+  def charShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val len = s.codePointCount(0, s.length)
+    if (len <= n) return new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+    val out = new Array[Any](len - n + 1)
+    var w = 0
+    var start = 0 // char index of window start
+    while (w <= len - n) {
+      val end = s.offsetByCodePoints(start, n)
+      out(w) = UTF8String.fromString(s.substring(start, end))
+      start = s.offsetByCodePoints(start, 1)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val digitWords = Array(
     "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
     "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
@@ -252,6 +271,17 @@ case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** char_shingles(string, n) → array<string> of char n-grams. */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    SketchUtil.charShingles(text.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchUtil.charShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
 /** spelled_digits(string) → string with zero..nine replaced by 0..9. */
 case class SpelledDigits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -313,6 +343,8 @@ object Sketches {
     ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def spelledDigits(s: Column): Column =
     ColumnBridge.column(SpelledDigits(ColumnBridge.expression(s)))
+  def charShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(CharShingles(ColumnBridge.expression(text), n))
 
   /** Register as SQL functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -37,14 +37,10 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column =
     Sketches.wordShingles(text, n)
 
-  /** Character n-gram shingles. */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(text)
-    when(length(t) <= n, array(t))
-      .otherwise(transform(
-        sequence(lit(1), length(t) - (n - 1)),
-        i => substring(t, i, lit(n))))
-  }
+  /** Character n-gram shingles (native one-pass kernel, like
+    * [[wordShingles]]). */
+  def charShingles(text: Column, n: Int): Column =
+    Sketches.charShingles(text, n)
 
   /** Jaccard similarity of two shingle arrays (distinct semantics).
     * Native one-pass kernel ([[graft.functions.JaccardSim]]) — the

@@ -38,6 +38,21 @@ object Extensions {
       .limit(50)
   }
 
+  /** Char-5-gram Jaccard vs the fixed document — the character-level
+    * n-gram dedup kernel (robust to word-boundary edits), oracle-checked
+    * against a DuckDB list comprehension. */
+  def dedupJaccardChar(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("sg"))
+    val q = docs.filter(col("doc_id") === 0).select(col("sg").as("qsg"))
+    docs.filter(col("doc_id") > 0)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        round(Dedup.jaccard(col("sg"), col("qsg")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** MinHash+LSH near-dup cluster assignment (seeded sketch — rows-only;
     * pair quality asserted in DedupSpec). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
@@ -174,6 +189,20 @@ object ExtensionOracles {
       |       round(len(list_intersect(tk, qtk))::DOUBLE /
       |             (len(tk) + len(qtk) - len(list_intersect(tk, qtk)))::DOUBLE, 4) AS jaccard
       |FROM tok, q WHERE doc_id > 0
+      |ORDER BY jaccard DESC, doc_id LIMIT 50""".stripMargin
+
+  val dedupJaccardChar: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(lower(text)) <= 5 THEN [lower(text)]
+      |              ELSE [substr(lower(text), i, 5) for i in range(1, len(lower(text)) - 3)] END AS sg
+      |  FROM documents),
+      |d AS (SELECT doc_id, list_distinct(sg) AS sg FROM sh),
+      |q AS (SELECT sg AS qsg FROM d WHERE doc_id = 0)
+      |SELECT doc_id,
+      |       round(len(list_intersect(sg, qsg))::DOUBLE /
+      |             (len(sg) + len(qsg) - len(list_intersect(sg, qsg)))::DOUBLE, 4) AS jaccard
+      |FROM d, q WHERE doc_id > 0
       |ORDER BY jaccard DESC, doc_id LIMIT 50""".stripMargin
 
   val textTokens: String =
