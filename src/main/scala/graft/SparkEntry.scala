@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_embedding"   -> (E.dedupEmbedding(_, _)),
     "ann_lsh_topk"      -> (E.annLsh(_, _)),
     "ann_ivf_topk"      -> (E.annIvf(_, _)),
+    "emb_quantize"      -> (E.embQuantize(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),
     "text_langid"       -> (E.textLangid(_, _)),
@@ -90,6 +91,7 @@ object SparkEntry {
     "dedup_exact"       -> EO.dedupExact,
     "dedup_jaccard"     -> EO.dedupJaccard,
     "dedup_jaccard_char" -> EO.dedupJaccardChar,
+    "emb_quantize"      -> EO.embQuantize,
     "text_tokens"       -> EO.textTokens,
     "text_langid"       -> EO.textLangid,
     "text_quality"      -> EO.textQuality,

@@ -92,6 +92,40 @@ object VecUtil {
     bucket
   }
 
+  /** Symmetric int8 quantization stats in one pass: scale = max|x|,
+    * q_i = trunc(x_i·127/scale) (trunc, not round — round-half ties
+    * break differently across engines, trunc is bit-portable), and the
+    * reconstruction cosine between x and dequantized q·scale/127.
+    * Returns (q_sum, recon_cos): the checksum and quality measure of
+    * the quantized artifact. Zero vector → (0, NaN).
+    */
+  def quantStats(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    var qSum = 0L
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    if (maxAbs > 0) {
+      i = 0
+      while (i < n) {
+        val x = vec.getDouble(i)
+        val q = (x * 127.0 / maxAbs).toLong   // trunc toward zero
+        val dq = q * maxAbs / 127.0
+        qSum += q
+        dab += x * dq; daa += x * x; dbb += dq * dq
+        i += 1
+      }
+    }
+    val cos = dab / math.sqrt(daa) / math.sqrt(dbb)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](qSum, cos))
+  }
+
   /** MinHash signature: sig[j] = min over h of (h*a[j]+b[j]) mod p,
     * p = 2^31-1. Inputs are 31-bit hashes, coefficients bounded below p,
     * so the arithmetic stays under 2^62 — no overflow (matches the
@@ -169,6 +203,19 @@ case class SignBucket(child: Expression, nbits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** quant_stats(array<double>) → struct<q_sum: long, recon_cos: double>. */
+case class QuantStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("q_sum", LongType, nullable = false),
+    StructField("recon_cos", DoubleType, nullable = false)))
+  override def nullSafeEval(vec: Any): Any =
+    VecUtil.quantStats(vec.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.quantStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantStats =
+    copy(child = newChild)
+}
+
 /** minhash_sig(array<long>) → array<long> signature. Coefficients are
   * derived on the driver from (numHashes, seed) and shipped inside the
   * expression; codegen references them as a constant pool object.
@@ -217,6 +264,8 @@ object Vecs {
     ColumnBridge.column(SignBucket(ColumnBridge.expression(vec), nbits, seed))
   def minhashSig(hashes: Column, numHashes: Int = 128, seed: Long = 42L): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes, seed))
+  def quantStats(vec: Column): Column =
+    ColumnBridge.column(QuantStats(ColumnBridge.expression(vec)))
 
   /** Register as SQL functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -114,6 +114,18 @@ object Extensions {
       .orderBy("qid", "rank")
   }
 
+  /** Int8 quantization of the embedding column: per-vector quantized
+    * checksum + reconstruction cosine — the storage-compression op of
+    * an embedding pipeline, oracle-checked (trunc-based scheme is
+    * bit-portable across engines). */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vecs.quantStats(col("embedding").cast("array<double>")).as("st"))
+      .select(col("vec_id"), col("st.q_sum").as("q_sum"),
+        round(col("st.recon_cos"), 4).as("recon_cos"))
+      .orderBy("vec_id")
+
   /** Token counting (whitespace + BPE-ish regex), oracle-checked. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -190,6 +202,17 @@ object ExtensionOracles {
       |             (len(tk) + len(qtk) - len(list_intersect(tk, qtk)))::DOUBLE, 4) AS jaccard
       |FROM tok, q WHERE doc_id > 0
       |ORDER BY jaccard DESC, doc_id LIMIT 50""".stripMargin
+
+  val embQuantize: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      |m AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS maxabs FROM v),
+      |q AS (SELECT vec_id, x, maxabs,
+      |             list_transform(x, e -> trunc(e * 127.0 / maxabs)) AS qi FROM m)
+      |SELECT vec_id,
+      |       CAST(list_sum(qi) AS BIGINT) AS q_sum,
+      |       round(list_cosine_similarity(x,
+      |             list_transform(qi, e -> e * maxabs / 127.0)), 4) AS recon_cos
+      |FROM q ORDER BY vec_id""".stripMargin
 
   val dedupJaccardChar: String =
     """WITH sh AS (

@@ -101,6 +101,20 @@ class VecExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))         // null in → null out
   }
 
+  test("QuantStats: trunc-based int8 scheme, high recon cosine, zero-vector NaN") {
+    val df = Seq(
+      (1L, Array(1.0, -0.5, 0.25, 0.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0)))
+      .toDF("id", "v")
+      .select(col("id"), Vecs.quantStats(col("v")).as("st"))
+      .select(col("id"), col("st.q_sum"), col("st.recon_cos"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // scale = 1.0: q = [127, -63 (trunc -63.5), 31 (trunc 31.75), 0]
+    assert(df(1L)._1 == 127L - 63L + 31L)
+    assert(df(1L)._2 > 0.999)         // 4-element recon stays very close
+    assert(df(2L)._1 == 0L && df(2L)._2.isNaN)
+  }
+
   test("kernels run inside whole-stage codegen, not CodegenFallback") {
     // repartition forces a real exchange (a bare local Seq plans as
     // LocalTableScan with no codegen stage); AQE off so the codegen
