@@ -43,6 +43,7 @@ object SparkEntry {
     "q21_array_ops"     -> (I.q21ArrayOps(_, _)),
     "q22_asof_join"     -> (I.q22AsofJoin(_, _)),
     "q23_sessionize"    -> (I.q23Sessionize(_, _)),
+    "q24_percentiles"   -> (I.q24Percentiles(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "dedup_exact"       -> (E.dedupExact(_, _)),
     "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
@@ -53,6 +54,7 @@ object SparkEntry {
     "ann_lsh_topk"      -> (E.annLsh(_, _)),
     "ann_ivf_topk"      -> (E.annIvf(_, _)),
     "emb_quantize"      -> (E.embQuantize(_, _)),
+    "corpus_split"      -> (E.corpusSplit(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),
     "text_langid"       -> (E.textLangid(_, _)),
@@ -87,6 +89,7 @@ object SparkEntry {
     "q21_array_ops"     -> O.q21ArrayOps,
     "q22_asof_join"     -> O.q22AsofJoin,
     "q23_sessionize"    -> O.q23Sessionize,
+    "q24_percentiles"   -> O.q24Percentiles,
     // deterministic extension ops; sketch/LSH ops are rows-only
     "dedup_exact"       -> EO.dedupExact,
     "dedup_jaccard"     -> EO.dedupJaccard,

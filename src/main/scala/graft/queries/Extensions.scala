@@ -126,6 +126,16 @@ object Extensions {
         round(col("st.recon_cos"), 4).as("recon_cos"))
       .orderBy("vec_id")
 
+  /** Deterministic 90/5/5 corpus split by content hash (split counts;
+    * seeded xxhash64 is not DuckDB-replicable → rows-only, proportions
+    * and determinism asserted in CorpusSplitSpec). */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusSplit
+      .split(t(s, dir, "documents"), "text",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+
   /** Token counting (whitespace + BPE-ish regex), oracle-checked. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),

@@ -337,6 +337,20 @@ object Inventory {
       .orderBy("event_id")
   }
 
+  /** Q24 — exact interpolated percentiles (corpus length stats): Spark's
+    * `percentile` and DuckDB's `quantile_cont` share linear
+    * interpolation, so the values hash-match exactly (percentile_approx
+    * would not — it's a sketch, like Q8).
+    */
+  def q24Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(length(col("text")).as("len"))
+      .agg(
+        round(expr("percentile(len, 0.5)"), 2).as("p50"),
+        round(expr("percentile(len, 0.9)"), 2).as("p90"),
+        round(expr("percentile(len, 0.99)"), 2).as("p99"),
+        count(lit(1)).as("n"))
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

@@ -169,6 +169,13 @@ object Oracles {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY event_id""".stripMargin
 
+  val q24Percentiles: String =
+    """SELECT round(quantile_cont(len(text), 0.5), 2) AS p50,
+      |       round(quantile_cont(len(text), 0.9), 2) AS p90,
+      |       round(quantile_cont(len(text), 0.99), 2) AS p99,
+      |       count(*) AS n
+      |FROM documents""".stripMargin
+
   val q23Sessionize: String =
     """WITH x AS (
       |  SELECT user_id, ts, event_id,
