@@ -81,5 +81,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (es.length > 1) intArg(es(1), "numHashes") else 128,
         if (es.length > 2) longArg(es(2), "seed") else 42L)
     }
+    reg("jaccard_sim", "jaccard_sim(a, b) - distinct-set Jaccard of two string arrays") {
+      es => JaccardSim(es.head, es(1))
+    }
+    reg("char_shingles", "char_shingles(text, n) - character n-gram shingles") {
+      es => CharShingles(es.head, intArg(es(1), "n"))
+    }
+    reg("spelled_digits", "spelled_digits(s) - replace spelled zero..nine with digits") {
+      es => SpelledDigits(es.head)
+    }
+    reg("quant_stats", "quant_stats(vec) - int8 quantization checksum + recon cosine") {
+      es => QuantStats(es.head)
+    }
   }
 }

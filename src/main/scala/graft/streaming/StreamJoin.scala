@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream–stream join with watermark-bounded state: the canonical
+  * attribution join — each purchase matched to the same user's views
+  * in the preceding hour, both sides unbounded streams.
+  *
+  * The time-range predicate (`p.ts BETWEEN v.ts AND v.ts + 1h`)
+  * combined with watermarks on BOTH sides lets Spark bound the join
+  * state: a buffered view can be dropped once the purchase-side
+  * watermark passes view.ts + 1h, so state is O(events in the join
+  * window), not O(stream history) — the only shape that runs forever.
+  */
+object StreamJoin {
+
+  private val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  private def eventStream(spark: SparkSession, dir: String, kind: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === kind)
+  }
+
+  /** Start the attribution join over a parquet event stream directory,
+    * writing (purchase_id, view_id, user_id, lag_us) pairs to an
+    * in-memory sink named `outputTable`.
+    */
+  def attributionJoin(spark: SparkSession, eventsDir: String, outputTable: String,
+                      windowUs: Long = 3600L * 1000 * 1000) = {
+    val views = eventStream(spark, eventsDir, "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = eventStream(spark, eventsDir, "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL ${windowUs / 1000000} SECOND"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName(outputTable)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch twin for the equivalence spec. */
+  def attributionBatch(spark: SparkSession, dir: String,
+                       windowUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    val e = graft.core.Tables.t(spark, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL ${windowUs / 1000000} SECOND"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+  }
+}

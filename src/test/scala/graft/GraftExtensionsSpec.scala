@@ -33,7 +33,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  doc_fingerprint('hello world, a doc long enough to window') AS fp,
         |  word_shingles('a b c d', 3) AS sh3,
         |  count_in_set(array('the', 'cat', 'the'), 'the', 'a') AS stops,
-        |  sum_str_len(array('ab', 'cde')) AS chars
+        |  sum_str_len(array('ab', 'cde')) AS chars,
+        |  jaccard_sim(array('a', 'b'), array('b', 'c')) AS jac,
+        |  char_shingles('abcd', 3) AS cs,
+        |  spelled_digits('one cat two') AS sd,
+        |  quant_stats(array(1.0d, -0.5d)).q_sum AS qsum
         |""".stripMargin).collect()(0)
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[Double]("dot") == 11.0)
@@ -42,6 +46,10 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getSeq[String](row.fieldIndex("sh3")).toSeq == Seq("a b c", "b c d"))
     assert(row.getAs[Int]("stops") == 2)
     assert(row.getAs[Long]("chars") == 5L)
+    assert(row.getAs[Double]("jac") == 1.0 / 3.0)
+    assert(row.getSeq[String](row.fieldIndex("cs")).toSeq == Seq("abc", "bcd"))
+    assert(row.getAs[String]("sd") == "1 cat 2")
+    assert(row.getAs[Long]("qsum") == 127L - 63L)
   }
 
   test("SQL and Column-API formulations agree") {
