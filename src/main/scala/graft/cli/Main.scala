@@ -33,7 +33,10 @@ object Main {
       val spark = session()
       val raw = Pipeline.dedupIngest(Pipeline.parseRaw(spark.read.text(rawPath)), None)
       val res = Pipeline.enrich(Pipeline.cleanData(raw), Pipeline.siteDim(spark, dimPath))
-      res.warehouse.write.mode("overwrite").parquet(s"$outDir/warehouse")
+      // state-partitioned layout (SURVEY §2.1 warehouse-sink mapping):
+      // geography predicates prune whole directories at scale
+      res.warehouse.write.mode("overwrite").partitionBy("state")
+        .parquet(s"$outDir/warehouse")
       res.quarantine.write.mode("overwrite").parquet(s"$outDir/quarantine")
       println(s"etl: warehouse=${spark.read.parquet(s"$outDir/warehouse").count()} " +
         s"quarantine=${spark.read.parquet(s"$outDir/quarantine").count()}")

@@ -351,6 +351,24 @@ object Inventory {
         round(expr("percentile(len, 0.99)"), 2).as("p99"),
         count(lit(1)).as("n"))
 
+  /** Q25 — per-group top-k via the custom [[graft.functions.TopKAgg]]
+    * TypedImperativeAggregate (SURVEY §2.8's deferred UDAF): 3 latest
+    * orders per customer. Unlike the Q9 window idiom this never sorts
+    * full partitions — bounded k-element heaps merge map-side, the
+    * shuffle carries ≤ k rows per group. Oracle = the equivalent
+    * row_number formulation in DuckDB.
+    */
+  def q25TopkAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("o_orderdate"), col("o_orderkey")), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("o_custkey"), col("s.o_orderkey").as("o_orderkey"),
+        date_format(col("s.o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        (col("i") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

@@ -176,6 +176,15 @@ object Oracles {
       |       count(*) AS n
       |FROM documents""".stripMargin
 
+  val q25TopkAgg: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
   val q23Sessionize: String =
     """WITH x AS (
       |  SELECT user_id, ts, event_id,

@@ -59,7 +59,7 @@ object EtlStream {
           case Some(keys) => res.warehouse.join(keys, Seq("uniq_id"), "left_anti")
           case None       => res.warehouse
         }
-        fresh.write.mode("append").parquet(warehouseDir)
+        fresh.write.mode("append").partitionBy("state").parquet(warehouseDir)
         if (res.quarantine.limit(1).count() > 0)
           res.quarantine.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(quarantineDir)
