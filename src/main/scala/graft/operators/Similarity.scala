@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.Inventory.cosineSim
@@ -9,7 +8,7 @@ import graft.queries.Inventory.cosineSim
 /** Approximate-nearest-neighbor search over embedding columns.
   *
   * Scale design: brute force is the exactness baseline (one broadcast of
-  * the query set, full corpus scan, top-k via window rank — linear, no
+  * the query set, full corpus scan, top-k via the bounded-heap TopK aggregate — linear, no
   * all-pairs materialization). The scale path is sign-LSH bucketing:
   * corpus bucketed once (16-bit code → 65k buckets), queries probe their
   * own bucket plus multiprobe neighbors (Hamming-1 flips), candidates
@@ -31,6 +30,22 @@ object Similarity {
     array_union(array(bucket),
       array((0 until nbits).map(i => bucket.bitwiseXOR(lit(1L << i))): _*))
 
+
+  /** (qid, id, sim) → exact per-query top-k via the bounded-heap
+    * [[graft.functions.TopKAgg]] aggregate: map-side partial heaps, at
+    * most k rows per qid cross the shuffle, no partition sort — the
+    * window-rank idiom it replaces sorted every candidate per query.
+    * Tie-break matches the window form (sim desc, id asc) by keeping
+    * the largest (sim, -id) struct.
+    */
+  private def topkRank(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("sim"), (-col("id")).as("nid")), k).as("t"))
+      .select(col("qid"), posexplode(col("t")).as(Seq("i", "s")))
+      .select(col("qid"), (-col("s.nid")).as("id"),
+        (col("i") + 1).cast("int").as("rank"), col("s.sim").as("sim"))
+
   /** Exact top-k by cosine for each query vector (brute force).
     * queries: (qidCol, vecCol) — small, broadcast; corpus: (idCol,
     * vecCol). Returns (qid, id, rank, sim).
@@ -39,11 +54,10 @@ object Similarity {
                      qidCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-    c.crossJoin(broadcast(q))
-      .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topkRank(
+      c.crossJoin(broadcast(q))
+        .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim")),
+      k)
   }
 
   /** ANN top-k via sign-LSH: bucket corpus once, explode each query to
@@ -62,12 +76,11 @@ object Similarity {
       .select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("bucket", explode(probeSet(signBucket(col("qv"), nbits), nbits)))
       .localCheckpoint()
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-    c.join(q, Seq("bucket"))
-      .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim"))
-      .groupBy("qid", "id").agg(first(col("sim")).as("sim"))   // probe dedup
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topkRank(
+      c.join(q, Seq("bucket"))
+        .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim"))
+        .groupBy("qid", "id").agg(first(col("sim")).as("sim")),   // probe dedup
+      k)
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest
@@ -136,10 +149,9 @@ object Similarity {
       .withColumn("list_id",
         explode(transform(slice(ranked, 1, nprobe), s => s.getField("cid"))))
       .localCheckpoint()
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-    assigned.join(q, Seq("list_id"))
-      .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topkRank(
+      assigned.join(q, Seq("list_id"))
+        .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim")),
+      k)
   }
 }
