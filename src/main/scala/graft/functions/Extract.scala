@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * default, so all potentially-failing operations use the `get`/`try_*`
   * family rather than throwing forms.
   *
-  * Everything except HTML parsing is built-in expressions (whole-stage
-  * codegen); the HTML selectors are one UDF family over [[HtmlLite]]
-  * (SURVEY §2.8).
+  * Everything is expression-level (whole-stage codegen): string/date/
+  * regex logic via built-ins, the HTML selectors as native Catalyst
+  * expressions over [[HtmlLite]] (SURVEY §2.8) — zero UDFs.
   */
 object Extract {
 
@@ -90,37 +90,25 @@ object Extract {
   def phoneNumber(bodyText: Column): Column =
     phoneExtract(dropCrLf(asciiOnly(bodyText)))
 
-  // ----- HTML selector UDF family (the only UDFs in the engine) -----
+  // ----- HTML selector family (native expressions over HtmlLite;
+  //       formerly the engine's only UDFs — now zero UDFs anywhere) -----
 
-  import org.apache.spark.sql.functions.udf
-
-  /** text of first <tag attr~=valueRe>, "" if absent. */
-  private def tagText(tag: String, attr: String, valueRe: String) =
-    udf((html: String) =>
-      HtmlLite.findFirst(html, tag, attr, valueRe).map(HtmlLite.text).getOrElse(""))
-
-  val adInfoText        = tagText("div", "class", "adInfo")
-  val postingTitleText  = tagText("div", "id", "postingTitle")
-  val postingBodyText   = tagText("div", "class", "postingBody")
-  val metaInfoText      = tagText("p", "class", "metaInfoDisplay")
+  def adInfoText(html: Column): Column       = HtmlCols.tagText(html, "div", "class", "adInfo")
+  def postingTitleText(html: Column): Column = HtmlCols.tagText(html, "div", "id", "postingTitle")
+  def postingBodyText(html: Column): Column  = HtmlCols.tagText(html, "div", "class", "postingBody")
+  def metaInfoText(html: Column): Column     = HtmlCols.tagText(html, "p", "class", "metaInfoDisplay")
 
   /** div whose *text* contains "Location:" (etl_process.py:141-149). */
-  val locationDivText = udf((html: String) =>
-    HtmlLite.findByText(html, "div", "Location:").map(HtmlLite.text).getOrElse(""))
+  def locationDivText(html: Column): Column  = HtmlCols.byTextText(html, "div", "Location:")
 
   /** hrefs under div#OtherAdsByThisUser div.cat* (etl_process.py:68-76)
     * — returned as an array; `array_join(";")` at the compat boundary
     * (SURVEY §1.2: ArrayType internally, flattened only for bit-compat).
     */
-  val otherAdsHrefs = udf((html: String) =>
-    HtmlLite.findFirst(html, "div", "id", "OtherAdsByThisUser")
-      .map(container => HtmlLite.findAll(container, "div", "class", "cat.*")
-        .flatMap(HtmlLite.hrefs))
-      .getOrElse(Seq.empty[String]))
+  def otherAdsHrefs(html: Column): Column    = HtmlCols.otherAdsHrefs(html)
 
   /** listing-page ad URLs: hrefs of div.cat* anchors (scraper.py:66-67). */
-  val listingAdUrls = udf((html: String) =>
-    HtmlLite.findAll(html, "div", "class", "cat.*").flatMap(HtmlLite.hrefs))
+  def listingAdUrls(html: Column): Column    = HtmlCols.listingAdUrls(html)
 
   /** `get_locations` (etl_process.py:141-149). */
   def locations(html: Column): Column =
