@@ -93,5 +93,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("quant_stats", "quant_stats(vec) - int8 quantization checksum + recon cosine") {
       es => QuantStats(es.head)
     }
+    reg("top_k", "top_k(expr, k) - aggregate: the k largest values, descending") {
+      es => TopKAgg(es.head, intArg(es(1), "k")).toAggregateExpression()
+    }
   }
 }

@@ -52,6 +52,15 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("qsum") == 127L - 63L)
   }
 
+  test("top_k aggregate works from SQL GROUP BY") {
+    extSession.range(0, 100).createOrReplaceTempView("nums")
+    val rows = extSession.sql(
+      "SELECT id % 3 AS g, top_k(id, 2) AS t FROM nums GROUP BY 1 ORDER BY 1")
+      .collect()
+    assert(rows.map(r => r.getSeq[Long](1).toSeq).toSeq ==
+      Seq(Seq(99L, 96L), Seq(97L, 94L), Seq(98L, 95L)))
+  }
+
   test("SQL and Column-API formulations agree") {
     import graft.functions.{Sketches, Vecs}
     import org.apache.spark.sql.functions._
