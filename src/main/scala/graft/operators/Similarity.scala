@@ -121,6 +121,35 @@ object Similarity {
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
   }
 
+  /** Lloyd's k-means refinement of an IVF codebook: iterate
+    * assign-to-nearest ([[ivfAssign]]) → per-list mean. The mean is
+    * computed by exploding (list_id, dim_pos, value) and averaging per
+    * (list_id, pos) — a rows×dim shuffle, the standard distributed
+    * Lloyd step (dim is small and bounded); the new codebook is
+    * nlist×dim, collected to the driver like any trained artifact.
+    * Empty lists keep their previous centroid. Deterministic given
+    * deterministic seeding ([[sampleCentroids]]).
+    */
+  def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[(Long, Array[Double])],
+                   iters: Int = 3): Array[(Long, Array[Double])] = {
+    var cents = centroids
+    var it = 0
+    while (it < iters) {
+      val means = ivfAssign(corpus, idCol, vecCol, cents)
+        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF top-k search: corpus bucketed once by nearest centroid
     * ([[ivfAssign]]); each query probes only its `nprobe` nearest lists
     * and re-ranks candidates exactly. The probe join is an equi-join on

@@ -55,6 +55,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 100L, 2L -> 200L))
   }
 
+  test("kmeansRefine converges to planted cluster centers") {
+    // two tight blobs around (0,...,0)+1 and (0,...,0)+9; seed centroids off-center
+    val blobA = (0 until 20).map(i => (i.toLong, Array.fill(4)(1.0f + (i % 3) * 0.01f)))
+    val blobB = (0 until 20).map(i => (100L + i, Array.fill(4)(9.0f + (i % 3) * 0.01f)))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val seed = Array((0L, Array.fill(4)(3.0)), (1L, Array.fill(4)(7.0)))
+    val refined = Similarity.kmeansRefine(df, "vec_id", "embedding", seed, iters = 3)
+    val c0 = refined.find(_._1 == 0L).get._2
+    val c1 = refined.find(_._1 == 1L).get._2
+    assert(math.abs(c0(0) - 1.01) < 0.02, c0.toSeq)   // mean of blob A
+    assert(math.abs(c1(0) - 9.01) < 0.02, c1.toSeq)   // mean of blob B
+    // refined codebook assigns every point to its own blob's list
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", refined)
+      .select("vec_id", "list_id").as[(Long, Long)].collect()
+    assert(assigned.forall { case (id, list) => (id < 100L) == (list == 0L) })
+  }
+
   test("ivf top-k: exact sims, self at rank 1, decent recall vs brute force") {
     val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 8)
     assert(cents.length == 8 && cents.head._2.length == 64)
