@@ -55,6 +55,7 @@ object SparkEntry {
     "ann_lsh_topk"      -> (E.annLsh(_, _)),
     "ann_ivf_topk"      -> (E.annIvf(_, _)),
     "emb_quantize"      -> (E.embQuantize(_, _)),
+    "ann_q8_topk"       -> (E.annQ8(_, _)),
     "corpus_split"      -> (E.corpusSplit(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),

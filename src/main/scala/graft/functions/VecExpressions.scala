@@ -126,6 +126,46 @@ object VecUtil {
       Array[Any](qSum, cos))
   }
 
+  /** Int8 quantization codes: q_i = trunc(x_i·127/max|x|) as bytes —
+    * the stored form of a quantized embedding column (4–8× smaller than
+    * float32/float64 on disk and over the wire). Zero vector → all 0. */
+  def quantizeI8(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs > 0) {
+      i = 0
+      while (i < n) {
+        out(i) = (vec.getDouble(i) * 127.0 / maxAbs).toByte
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine over int8 codes. The per-vector scale cancels out of the
+    * cosine, so quantized search needs no dequantization at all — just
+    * integer dot products (the reason symmetric int8 is the standard
+    * storage form for cosine-metric ANN). */
+  def cosineI8(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
+    var dab = 0L; var daa = 0L; var dbb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong; val y = b.getByte(i).toLong
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    dab.toDouble / math.sqrt(daa.toDouble) / math.sqrt(dbb.toDouble)
+  }
+
   /** MinHash signature: sig[j] = min over h of (h*a[j]+b[j]) mod p,
     * p = 2^31-1. Inputs are 31-bit hashes, coefficients bounded below p,
     * so the arithmetic stays under 2^62 — no overflow (matches the
@@ -203,6 +243,28 @@ case class SignBucket(child: Expression, nbits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** quantize_i8(array<double>) → array<tinyint> codes. */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullSafeEval(vec: Any): Any =
+    VecUtil.quantizeI8(vec.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.quantizeI8($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}
+
+/** cosine_i8(array<tinyint>, array<tinyint>) → double. */
+case class CosineI8(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.cosineI8($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineI8 =
+    copy(left = l, right = r)
+}
+
 /** quant_stats(array<double>) → struct<q_sum: long, recon_cos: double>. */
 case class QuantStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -266,6 +328,10 @@ object Vecs {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes, seed))
   def quantStats(vec: Column): Column =
     ColumnBridge.column(QuantStats(ColumnBridge.expression(vec)))
+  def quantizeI8(vec: Column): Column =
+    ColumnBridge.column(QuantizeI8(ColumnBridge.expression(vec)))
+  def cosineI8(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Register as SQL functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -121,6 +121,26 @@ object Similarity {
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
   }
 
+  /** Brute-force top-k over int8-quantized codes: corpus and queries
+    * carry array<tinyint> codes (4–8× smaller than floats — what the
+    * 100 TB store would actually hold); the per-vector scale cancels
+    * out of cosine, so scoring is pure integer dot products with no
+    * dequantization. Approximate only through quantization error —
+    * recall vs exact float search asserted in the spec.
+    */
+  def bruteForceTopKQ8(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       qidCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.Vecs.{cosineI8, quantizeI8}
+    val c = corpus.select(col(idCol).as("id"),
+      quantizeI8(col(vecCol).cast("array<double>")).as("qc"))
+    val q = queries.select(col(qidCol).as("qid"),
+      quantizeI8(col(vecCol).cast("array<double>")).as("qq"))
+    topkRank(
+      c.crossJoin(broadcast(q))
+        .select(col("qid"), col("id"), cosineI8(col("qc"), col("qq")).as("sim")),
+      k)
+  }
+
   /** Lloyd's k-means refinement of an IVF codebook: iterate
     * assign-to-nearest ([[ivfAssign]]) → per-list mean. The mean is
     * computed by exploding (list_id, dim_pos, value) and averaging per

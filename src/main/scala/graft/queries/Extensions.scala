@@ -114,6 +114,17 @@ object Extensions {
       .orderBy("qid", "rank")
   }
 
+  /** ANN over int8-quantized codes: integer-dot-product cosine, no
+    * dequantization (rows-only; recall vs float brute force asserted in
+    * SimilaritySpec). */
+  def annQ8(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopKQ8(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Int8 quantization of the embedding column: per-vector quantized
     * checksum + reconstruction cosine — the storage-compression op of
     * an embedding pipeline, oracle-checked (trunc-based scheme is

@@ -55,6 +55,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 100L, 2L -> 200L))
   }
 
+  test("int8-quantized brute force: self at rank 1, high recall vs float") {
+    val q8 = Similarity.bruteForceTopKQ8(emb, queries, "vec_id", "vec_id", "embedding", 10)
+      .select("qid", "id", "rank", "sim").as[(Long, Long, Int, Double)].collect()
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    for (q <- q8.map(_._1).distinct) {
+      val r1 = q8.find(r => r._1 == q && r._3 == 1).get
+      assert(r1._2 == q && r1._4 > 0.9999, s"self-match for $q: $r1")
+    }
+    val overlap = q8.count(r => exact.contains((r._1, r._2)))
+    assert(overlap.toDouble / exact.size >= 0.8,
+      s"quantized recall ${overlap.toDouble / exact.size}")
+  }
+
   test("kmeansRefine converges to planted cluster centers") {
     // two tight blobs around (0,...,0)+1 and (0,...,0)+9; seed centroids off-center
     val blobA = (0 until 20).map(i => (i.toLong, Array.fill(4)(1.0f + (i % 3) * 0.01f)))

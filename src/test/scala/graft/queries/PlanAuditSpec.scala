@@ -23,7 +23,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q17_cross_join",       // 5-row region × filtered part, explicit frontier semantics
     "q20_cosine_topk",      // 1-row query vector
     "dedup_jaccard",        // 1-row query document
-    "dedup_jaccard_char")   // 1-row query document (char shingles)
+    "dedup_jaccard_char",   // 1-row query document (char shingles)
+    "ann_q8_topk")          // 5-row quantized query set
 
   graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, no stray nested-loop join") {
