@@ -96,5 +96,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("top_k", "top_k(expr, k) - aggregate: the k largest values, descending") {
       es => TopKAgg(es.head, intArg(es(1), "k")).toAggregateExpression()
     }
+    reg("quantize_i8", "quantize_i8(vec) - symmetric int8 codes of a double array") {
+      es => QuantizeI8(es.head)
+    }
+    reg("cosine_i8", "cosine_i8(a, b) - cosine over int8 codes (integer dot products)") {
+      es => CosineI8(es.head, es(1))
+    }
   }
 }

@@ -37,7 +37,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  jaccard_sim(array('a', 'b'), array('b', 'c')) AS jac,
         |  char_shingles('abcd', 3) AS cs,
         |  spelled_digits('one cat two') AS sd,
-        |  quant_stats(array(1.0d, -0.5d)).q_sum AS qsum
+        |  quant_stats(array(1.0d, -0.5d)).q_sum AS qsum,
+        |  cosine_i8(quantize_i8(array(1.0d, 0.0d)), quantize_i8(array(2.0d, 0.0d))) AS ci8
         |""".stripMargin).collect()(0)
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[Double]("dot") == 11.0)
@@ -50,6 +51,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getSeq[String](row.fieldIndex("cs")).toSeq == Seq("abc", "bcd"))
     assert(row.getAs[String]("sd") == "1 cat 2")
     assert(row.getAs[Long]("qsum") == 127L - 63L)
+    assert(row.getAs[Double]("ci8") == 1.0)   // same direction -> cosine 1 over codes
   }
 
   test("top_k aggregate works from SQL GROUP BY") {
