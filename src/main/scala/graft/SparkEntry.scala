@@ -45,6 +45,7 @@ object SparkEntry {
     "q23_sessionize"    -> (I.q23Sessionize(_, _)),
     "q24_percentiles"   -> (I.q24Percentiles(_, _)),
     "q25_topk_agg"      -> (I.q25TopkAgg(_, _)),
+    "q26_cube"          -> (I.q26Cube(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "dedup_exact"       -> (E.dedupExact(_, _)),
     "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "q23_sessionize"    -> O.q23Sessionize,
     "q24_percentiles"   -> O.q24Percentiles,
     "q25_topk_agg"      -> O.q25TopkAgg,
+    "q26_cube"          -> O.q26Cube,
     // deterministic extension ops; sketch/LSH ops are rows-only
     "dedup_exact"       -> EO.dedupExact,
     "dedup_jaccard"     -> EO.dedupJaccard,

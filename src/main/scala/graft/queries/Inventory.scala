@@ -369,6 +369,23 @@ object Inventory {
         (col("i") + 1).cast("long").as("rn"))
       .orderBy("o_custkey", "rn")
 
+  /** Q26 — CUBE over customer⋈nation (all four grouping combinations;
+    * completes the rollup/grouping-sets/cube family of Q7/Q19).
+    * Same coalesce treatment as Q7 so NULL ordering can't diverge.
+    */
+  def q26Cube(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .select(
+        coalesce(col("n_name"), lit("(all)")).as("n_name"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("c_mktsegment"),
+        col("cnt"), col("avg_bal"))
+      .orderBy("n_name", "c_mktsegment")
+  }
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

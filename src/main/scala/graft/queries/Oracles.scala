@@ -185,6 +185,14 @@ object Oracles {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  val q26Cube: String =
+    """SELECT coalesce(n_name, '(all)') AS n_name,
+      |       coalesce(c_mktsegment, '(all)') AS c_mktsegment,
+      |       count(*) AS cnt, round(avg(c_acctbal), 2) AS avg_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE (n_name, c_mktsegment)
+      |ORDER BY n_name, c_mktsegment""".stripMargin
+
   val q23Sessionize: String =
     """WITH x AS (
       |  SELECT user_id, ts, event_id,
