@@ -37,7 +37,11 @@ object SessionStream {
     evs.foreach { e =>
       open match {
         case Some(s) if e.ts_us - s.last_us <= gapUs =>
-          open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1))
+          // a pre-watermark straggler from an earlier micro-batch may arrive
+          // with ts_us < last_us — merging must never move the session end
+          // backward (or start forward), else the next gap test uses a stale
+          // bound and the timeout could land at/before the watermark
+          open = Some(OpenSession(math.min(s.start_us, e.ts_us), math.max(s.last_us, e.ts_us), s.n + 1))
         case Some(s) =>
           closed += Session(userId, s.start_us, s.last_us, s.n)
           open = Some(OpenSession(e.ts_us, e.ts_us, 1))
@@ -47,7 +51,9 @@ object SessionStream {
     }
     open.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.last_us / 1000 + gapUs / 1000) // ms epoch
+      // Spark rejects a timeout at or before the current watermark
+      val floor = state.getCurrentWatermarkMs() + 1
+      state.setTimeoutTimestamp(math.max(s.last_us / 1000 + gapUs / 1000, floor)) // ms epoch
     }
     closed.iterator
   }
