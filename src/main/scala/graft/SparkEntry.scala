@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
     "dedup_jaccard_char" -> (E.dedupJaccardChar(_, _)),
     "dedup_minhash"     -> (E.dedupMinhash(_, _)),
+    "dedup_minhash_verify" -> (E.dedupMinhashVerify(_, _)),
     "dedup_simhash"     -> (E.dedupSimhash(_, _)),
     "dedup_embedding"   -> (E.dedupEmbedding(_, _)),
     "ann_lsh_topk"      -> (E.annLsh(_, _)),
@@ -99,6 +100,9 @@ object SparkEntry {
     "dedup_exact"       -> EO.dedupExact,
     "dedup_jaccard"     -> EO.dedupJaccard,
     "dedup_jaccard_char" -> EO.dedupJaccardChar,
+    "dedup_minhash_verify" -> EO.dedupMinhashVerify,
+    "ann_q8_topk"       -> EO.annQ8,
+    "corpus_split"      -> EO.corpusSplit,
     "emb_quantize"      -> EO.embQuantize,
     "text_tokens"       -> EO.textTokens,
     "text_langid"       -> EO.textLangid,

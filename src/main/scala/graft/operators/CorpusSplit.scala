@@ -14,19 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object CorpusSplit {
 
-  private val Buckets = 10000L
-
   /** A `split` column from `key`: e.g. assign(col("text"),
     * Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)). Weights are
-    * normalized; hash is xxhash64 of the key. */
+    * normalized. The bucket is the first 8 hex chars of md5(key)
+    * compared lexicographically against cumulative-weight thresholds:
+    * md5 is uniform over hex strings, and — unlike a seeded xxhash —
+    * every engine with an md5 function reproduces the assignment
+    * bit-for-bit, so the split can be recomputed (and audited) outside
+    * Spark. 32 bits of bucket resolution ≈ 2.3e-10 weight granularity.
+    */
   def assign(key: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "positive split weights required")
     val total = splits.map(_._2).sum
-    val bucket = pmod(xxhash64(key), lit(Buckets))
+    val h = substring(md5(key.cast("string")), 1, 8)
     val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
-    val thresholds = cuts.map(c => math.min(Buckets, math.round(c * Buckets)))
+    val thresholds = cuts.map { c =>
+      f"${math.min(0xffffffffL, math.floor(c * 4294967296.0).toLong)}%08x"
+    }
     splits.zip(thresholds).reverse.foldLeft(lit(splits.last._1)) {
-      case (acc, ((name, _), cut)) => when(bucket < cut, lit(name)).otherwise(acc)
+      case (acc, ((name, _), cut)) => when(h < lit(cut), lit(name)).otherwise(acc)
     }
   }
 

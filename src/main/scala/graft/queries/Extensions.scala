@@ -65,6 +65,39 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** The exact-verification stage of MinHash dedup as an oracle-checked
+    * query: deterministic candidate blocking (exact text length —
+    * candidate generation by equi-join, the same shape as the LSH band
+    * join, with the same hot-bucket guard) followed by the exact
+    * char-5-gram Jaccard verify kernel. The seeded LSH banding itself
+    * is bound in DedupSpec (DuckDB can't replicate xxhash64); this row
+    * proves the verify kernel — the part that decides what actually
+    * gets deduped — matches an independent engine bit-for-bit.
+    * Blocking is exact length (not a coarse range): coarse buckets
+    * concentrate O(bucket²) pairs on few keys (measured 1.2M pairs at
+    * sf0.1 with 50-char buckets vs 25k exact), and the ≤100 guard
+    * bounds any degenerate bucket exactly like [[Dedup.candidatePairs]].
+    */
+  def dedupMinhashVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("lb"),
+        Dedup.charShingles(col("text"), 5).as("sg"))
+      .localCheckpoint()   // keep the shingle expr out of inferred join filters
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lb")
+    val pruned = docs
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= 100 && col("bsz") > 1)
+      .drop("bsz")
+    val a = pruned.select(col("lb"), col("doc_id").as("id_a"), col("sg").as("sg_a"))
+    val b = pruned.select(col("lb"), col("doc_id").as("id_b"), col("sg").as("sg_b"))
+    a.join(b, Seq("lb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(col("sg_a"), col("sg_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
   /** SimHash per doc (custom Catalyst expression) + near-dup pair count. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -115,8 +148,10 @@ object Extensions {
   }
 
   /** ANN over int8-quantized codes: integer-dot-product cosine, no
-    * dequantization (rows-only; recall vs float brute force asserted in
-    * SimilaritySpec). */
+    * dequantization. Oracle-checked: trunc-based quantization and
+    * integer dots are exact in both engines, so even the float ranking
+    * agrees bit-for-bit (recall vs float brute force additionally
+    * asserted in SimilaritySpec). */
   def annQ8(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopKQ8(emb, emb.filter(col("vec_id") < 5),
@@ -137,9 +172,10 @@ object Extensions {
         round(col("st.recon_cos"), 4).as("recon_cos"))
       .orderBy("vec_id")
 
-  /** Deterministic 90/5/5 corpus split by content hash (split counts;
-    * seeded xxhash64 is not DuckDB-replicable → rows-only, proportions
-    * and determinism asserted in CorpusSplitSpec). */
+  /** Deterministic 90/5/5 corpus split by content hash (split counts).
+    * Oracle-checked: the md5-hex bucket ([[graft.operators.CorpusSplit]])
+    * is reproducible in any engine; proportions and partition-
+    * independence additionally asserted in CorpusSplitSpec. */
   def corpusSplit(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusSplit
       .split(t(s, dir, "documents"), "text",
@@ -248,6 +284,55 @@ object ExtensionOracles {
       |             (len(sg) + len(qsg) - len(list_intersect(sg, qsg)))::DOUBLE, 4) AS jaccard
       |FROM d, q WHERE doc_id > 0
       |ORDER BY jaccard DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Integer-dot cosine over trunc-quantized int8 codes: every quantity
+    * before the final divisions is an exact integer (≤ dim·127² « 2^53),
+    * so both engines compute the identical double — ranking, ties, and
+    * rounding all agree. Division sequence (dot/sqrt/sqrt, left-assoc)
+    * mirrors [[graft.functions.VecUtil.cosineI8]]. */
+  val annQ8: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      |m AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS maxabs FROM v),
+      |q AS (SELECT vec_id,
+      |             CASE WHEN maxabs > 0
+      |                  THEN list_transform(x, e -> trunc(e * 127.0 / maxabs))
+      |                  ELSE list_transform(x, e -> 0.0) END AS qi FROM m),
+      |c AS (SELECT vec_id AS id, qi AS qc FROM q),
+      |qs AS (SELECT vec_id AS qid, qi AS qq FROM q WHERE vec_id < 5),
+      |sc AS (SELECT qid, id,
+      |              list_dot_product(qc, qq) / sqrt(list_dot_product(qc, qc))
+      |                                       / sqrt(list_dot_product(qq, qq)) AS sim
+      |       FROM c, qs),
+      |r AS (SELECT qid, id, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+      |      FROM sc)
+      |SELECT qid, id, CAST(rank AS INT) AS rank, round(sim, 4) AS sim
+      |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** Thresholds are floor(cum_weight·2^32) in hex for 0.9/0.05/0.05 —
+    * the same constants [[graft.operators.CorpusSplit.assign]] derives. */
+  val corpusSplit: String =
+    """SELECT CASE WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'train'
+      |            WHEN substr(md5(text), 1, 8) < 'f3333333' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
+  val dedupMinhashVerify: String =
+    """WITH sh AS (
+      |  SELECT doc_id, len(text) AS lb,
+      |         CASE WHEN len(lower(text)) <= 5 THEN [lower(text)]
+      |              ELSE [substr(lower(text), i, 5) for i in range(1, len(lower(text)) - 3)] END AS sg
+      |  FROM documents),
+      |d AS (SELECT doc_id, lb, list_distinct(sg) AS sg FROM sh),
+      |g AS (SELECT doc_id, lb, sg FROM
+      |        (SELECT *, count(*) OVER (PARTITION BY lb) AS bsz FROM d)
+      |      WHERE bsz <= 100 AND bsz > 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |             round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+      |                   (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))::DOUBLE, 4) AS jaccard
+      |      FROM g a JOIN g b ON a.lb = b.lb AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
 
   val textTokens: String =
     """SELECT doc_id,
