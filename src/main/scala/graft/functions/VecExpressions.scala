@@ -166,6 +166,54 @@ object VecUtil {
     dab.toDouble / math.sqrt(daa.toDouble) / math.sqrt(dbb.toDouble)
   }
 
+  /** The `nprobe` nearest centroid ids by (squaredDist, cid) — ordering
+    * bit-identical to the `array_sort(transform(cents, (dist, cid)))`
+    * struct formulation it replaces (java.lang.Double.compare semantics:
+    * NaN sorts last, ties broken by cid asc). Partial selection over the
+    * distance array: O(nlist·(dim + nprobe)) per row, zero allocation
+    * beyond the two output-sized scratch arrays — the HOF version
+    * allocated one struct per centroid per row in an interpreted
+    * projection (nlist=4096 → 4096 allocs/row).
+    */
+  def nearestLists(vec: ArrayData, cids: Array[Long],
+                   cvs: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val nlist = cvs.length
+    val dists = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val cv = cvs(c)
+      val n = math.min(vec.numElements(), cv.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = vec.getDouble(i) - cv(i); d += t * t; i += 1 }
+      dists(c) = d
+      c += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val taken = new Array[Boolean](nlist)
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var bd = 0.0; var bc = 0L
+      c = 0
+      while (c < nlist) {
+        if (!taken(c)) {
+          val cmp = if (best < 0) -1 else {
+            val dc = java.lang.Double.compare(dists(c), bd)
+            if (dc != 0) dc else java.lang.Long.compare(cids(c), bc)
+          }
+          if (cmp < 0) { best = c; bd = dists(c); bc = cids(c) }
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(j) = bc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: sig[j] = min over h of (h*a[j]+b[j]) mod p,
     * p = 2^31-1. Inputs are 31-bit hashes, coefficients bounded below p,
     * so the arithmetic stays under 2^62 — no overflow (matches the
@@ -278,6 +326,29 @@ case class QuantStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** nearest_lists(array<double>) → array<long> of the `nprobe` nearest
+  * IVF centroid ids. The codebook is a driver-side artifact shipped as
+  * constant-pool reference objects (like [[MinHashSig]]'s coefficients);
+  * the kernel stays inside WholeStageCodegen — the
+  * `array_min(transform(...))` formulation it replaces was
+  * CodegenFallback with one struct alloc per centroid per row.
+  */
+case class NearestLists(child: Expression, cids: Array[Long],
+                        cvs: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(vec: Any): Any =
+    VecUtil.nearestLists(vec.asInstanceOf[ArrayData], cids, cvs, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("ivfCids", cids, "long[]")
+    val cvsRef = ctx.addReferenceObj("ivfCvs", cvs, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecUtil.nearestLists($c, $cidsRef, $cvsRef, $nprobe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestLists =
+    copy(child = newChild)
+}
+
 /** minhash_sig(array<long>) → array<long> signature. Coefficients are
   * derived on the driver from (numHashes, seed) and shipped inside the
   * expression; codegen references them as a constant pool object.
@@ -324,6 +395,9 @@ object Vecs {
     ColumnBridge.column(SquaredDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def signBucket(vec: Column, nbits: Int = 16, seed: Long = 7L): Column =
     ColumnBridge.column(SignBucket(ColumnBridge.expression(vec), nbits, seed))
+  def nearestLists(vec: Column, centroids: Array[(Long, Array[Double])], nprobe: Int): Column =
+    ColumnBridge.column(NearestLists(ColumnBridge.expression(vec),
+      centroids.map(_._1), centroids.map(_._2), nprobe))
   def minhashSig(hashes: Column, numHashes: Int = 128, seed: Long = 42L): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes, seed))
   def quantStats(vec: Column): Column =

@@ -92,17 +92,14 @@ object Similarity {
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: Array[(Long, Array[Double])]): DataFrame = {
-    val cents = array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    // argmin over the literal centroid array: compute (dist, cid) structs,
-    // array_min picks lexicographic min = nearest centroid.
-    val best = array_min(transform(cents, ct =>
-      struct(
-        graft.functions.Vecs.squaredDist(col("v"), ct.getField("cv")).as("dist"),
-        ct.getField("cid").as("cid"))))
-    c.withColumn("list_id", best.getField("cid"))
+    // argmin over the codebook via the codegen'd NearestLists kernel
+    // (nprobe=1): same (dist, cid) lexicographic ordering the earlier
+    // array_min(transform(...)) struct formulation had, but one static
+    // call inside WholeStageCodegen instead of an interpreted HOF with
+    // one struct alloc per centroid per row.
+    c.withColumn("list_id",
+      element_at(graft.functions.Vecs.nearestLists(col("v"), centroids, 1), 1))
   }
 
   /** Deterministic centroid pick for IVF: every ceil(n/nlist)-th vector
@@ -184,19 +181,12 @@ object Similarity {
     val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
       .select(col(idCol).as("id"), col("v"), col("list_id"))
       .localCheckpoint()   // bucket join must see attributes (see lshTopK)
-    val cents = array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
-    // nprobe nearest lists per query: sort the (dist, cid) structs and
-    // slice — nlist is bounded, this is per-row constant work.
-    val ranked = array_sort(transform(cents, ct =>
-      struct(
-        graft.functions.Vecs.squaredDist(col("qv"), ct.getField("cv")).as("dist"),
-        ct.getField("cid").as("cid"))))
+    // nprobe nearest lists per query via the codegen'd NearestLists
+    // kernel — one static call per row, no interpreted struct sort.
     val q = queries
       .select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("list_id",
-        explode(transform(slice(ranked, 1, nprobe), s => s.getField("cid"))))
+        explode(graft.functions.Vecs.nearestLists(col("qv"), centroids, nprobe)))
       .localCheckpoint()
     topkRank(
       assigned.join(q, Seq("list_id"))

@@ -88,6 +88,48 @@ class VecExpressionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  private def hofNearest(cents: Array[(Long, Array[Double])], vec: Column,
+                         nprobe: Int): Column = {
+    val ca = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    val ranked = array_sort(transform(ca, ct =>
+      struct(Vecs.squaredDist(vec, ct.getField("cv")).as("dist"),
+        ct.getField("cid").as("cid"))))
+    transform(slice(ranked, 1, nprobe), s => s.getField("cid"))
+  }
+
+  test("NearestLists matches the array_sort/transform struct formulation") {
+    val cents = vecs.take(8).map { case (id, v) => (id, v) }.toArray
+    for (nprobe <- Seq(1, 3, 8)) {
+      val rows = vdf.select(
+        Vecs.nearestLists(col("v"), cents, nprobe).as("native"),
+        hofNearest(cents, col("v"), nprobe).as("hof")).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"nprobe=$nprobe"))
+    }
+  }
+
+  test("NearestLists ties break by cid asc (duplicate centroids)") {
+    // two identical centroids with different ids: the lower cid must win,
+    // matching the (dist, cid) struct ordering of the HOF formulation
+    val dup = Array((5L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)), (9L, Array(0.0, 1.0)))
+    val out = Seq((1L, Array(0.9, 0.1))).toDF("id", "v")
+      .select(Vecs.nearestLists(col("v"), dup, 3).as("n")).collect()
+    assert(out.head.getSeq[Long](0) == Seq(2L, 5L, 9L))
+  }
+
+  test("NearestLists runs inside whole-stage codegen") {
+    val cents = vecs.take(4).toArray
+    val gen =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        vdf.repartition(2).select(Vecs.nearestLists(col("v"), cents, 2).as("n"))
+          .queryExecution.explainString(ExplainMode.fromString("codegen"))
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(gen.contains("VecUtil.nearestLists"), "nearestLists not in generated code")
+  }
+
   test("null and empty inputs") {
     val df = Seq((1L, Some(Seq(1L, 2L)), Some(Array(1.0, 0.0))),
       (2L, Some(Seq.empty[Long]), Some(Array(0.0, 1.0))),
