@@ -187,16 +187,26 @@ object Inventory {
   }
 
   /** Q14 — range self-join on events: pairs of events by the same user
-    * within 1 hour. The equi key (user_id) makes this a single hash
-    * shuffle with the range condition as a post-join filter — not a
-    * nested-loop; per-user skew is bounded by the hour window.
+    * within 1 hour. Equi key is (user_id, hour_bucket), not bare
+    * user_id: a hot user's events spread over k distinct hours now land
+    * on k shuffle keys instead of one, so the shuffle fan-in of a hot
+    * key is bounded by events-per-hour, not events-per-user — bare
+    * user_id is O(n²) pairs on ONE key for a single hot user at 100 TB.
+    * The left side explodes to buckets {b, b+1}; the right side's
+    * bucket is unique and ts2 ∈ [ts1, ts1+1h] implies bucket(ts2) ∈
+    * {bucket(ts1), bucket(ts1)+1}, so every qualifying pair matches
+    * exactly once (no pair dedup needed).
     */
   def q14RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
+    def hb(c: Column): Column = floor(unix_timestamp(c) / 3600).cast("long")
     val e1 = e.select(col("user_id"), col("ts").as("ts1"), col("event_id").as("id1"))
-    val e2 = e.select(col("user_id").as("user_id2"), col("ts").as("ts2"), col("event_id").as("id2"))
+      .withColumn("hb", explode(array(hb(col("ts1")), hb(col("ts1")) + 1)))
+    val e2 = e.select(col("user_id").as("user_id2"), col("ts").as("ts2"),
+      col("event_id").as("id2"), hb(col("ts")).as("hb2"))
     e1.join(e2,
       col("user_id") === col("user_id2") &&
+        col("hb") === col("hb2") &&
         col("ts2") >= col("ts1") &&
         col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR") &&
         col("id1") < col("id2"))

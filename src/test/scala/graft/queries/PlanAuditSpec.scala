@@ -36,4 +36,48 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
           s"unintended BNLJ in $name:\n${plan.take(3000)}")
     }
   }
+
+  test("q14_range_join: shuffle key is (user_id, hour_bucket), never bare user_id") {
+    // at sf0.001 the tiny side broadcasts (fine); what must hold at any
+    // plan choice is the equi-key arity — (user_id, hour_bucket), so a
+    // shuffled variant at scale hashes on the composite key
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val sp = graft.SparkEntry.queries("q14_range_join")(spark, dir)
+      .queryExecution.sparkPlan
+    val keyCounts = sp.collect {
+      case j: SortMergeJoinExec    => j.leftKeys.length
+      case j: ShuffledHashJoinExec => j.leftKeys.length
+      case j: BroadcastHashJoinExec => j.leftKeys.length
+    }
+    assert(keyCounts.nonEmpty, s"no shuffled equi-join found in q14 plan:\n$sp")
+    assert(keyCounts.forall(_ >= 2),
+      s"q14 self-join shuffles on a single key — hot-user skew guard lost:\n$sp")
+  }
+
+  test("q14_range_join: hot-user fixture — operator exact, bucket bounds the key") {
+    // one hot user, 2000 events spread uniformly over 100 hours: with
+    // the bare user_id key every event lands on ONE shuffle key
+    // (fan-in n); with (user_id, hour_bucket) the max key holds ~n/100.
+    // The guard must not change semantics: the operator's pair count is
+    // checked against the closed-form answer (events every 180 s → each
+    // pairs with the next 20 within the inclusive 1-hour window).
+    import org.apache.spark.sql.functions.{floor, max, unix_timestamp}
+    import spark.implicits._
+    val n = 2000
+    val base = 1700000000L
+    val hot = (0 until n).map { i =>
+      (42L, new java.sql.Timestamp((base + i.toLong * 180) * 1000L), i.toLong)
+    }.toDF("user_id", "ts", "event_id")
+    val maxBucket = hot
+      .groupBy($"user_id", floor(unix_timestamp($"ts") / 3600).as("hb")).count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxBucket <= 2L * n / 100,
+      s"hour bucket did not spread the hot key: max=$maxBucket")
+    val tmp = java.nio.file.Files.createTempDirectory("q14skew").toString
+    hot.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.queries.Inventory.q14RangeJoin(spark, tmp).collect()
+    val expected = (0 until n).map(i => math.min(20, n - 1 - i)).sum.toLong
+    assert(out.length == 1 && out.head.getLong(0) == 42L)
+    assert(out.head.getLong(1) == expected)
+  }
 }
