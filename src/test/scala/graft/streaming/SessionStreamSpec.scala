@@ -13,6 +13,39 @@ class SessionStreamSpec extends AnyFunSuite with SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private val gapUs = 30L * 60 * 1000 * 1000
 
+  test("straggler merge: session end never moves backward, timeout stays above watermark") {
+    // Regression for the out-of-order straggler fix in SessionStream.fold:
+    // flatMapGroupsWithState does NOT drop late rows for us, so a
+    // pre-watermark event re-delivered in a later micro-batch can carry
+    // ts_us < state.last_us. Pre-fix, the merge overwrote last_us with
+    // the straggler's (earlier) timestamp — the session end moved
+    // BACKWARD and the recomputed timeout (straggler + gap) could land
+    // at/below the watermark, which Spark rejects with an
+    // IllegalArgumentException that kills the query.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val t0 = 10_000_000_000_000L                    // session start, us epoch
+    val t1 = t0 + 5L * 60 * 1000 * 1000            // session last event
+    val straggler = t0 - 60L * 1000 * 1000         // pre-start straggler, within gap
+    // watermark already past last+gap: the naive straggler+gap timeout is below it
+    val wmMs = t1 / 1000 + gapUs / 1000 + 60_000L
+    val state = TestGroupState.create[SessionStream.OpenSession](
+      org.apache.spark.api.java.Optional.of(SessionStream.OpenSession(t0, t1, 5L)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(wmMs)), false)
+    val out = SessionStream.fold(7L,
+      Iterator(SessionStream.Ev(7L, straggler, new java.sql.Timestamp(straggler / 1000))),
+      state, gapUs).toSeq
+    assert(out.isEmpty, "straggler within gap must not close the session")
+    val merged = state.get
+    assert(merged.last_us == t1, "session end moved backward on straggler merge")
+    assert(merged.start_us == straggler, "session start must absorb an earlier straggler")
+    assert(merged.n == 6L)
+    assert(state.getTimeoutTimestampMs.isPresent)
+    assert(state.getTimeoutTimestampMs.get > wmMs,
+      s"timeout ${state.getTimeoutTimestampMs.get} not above watermark $wmMs — " +
+        "Spark rejects it and the query dies")
+  }
+
   test("streamed closed sessions match the batch operator exactly") {
     // the streaming file source wants a directory, not a single file
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sessions")
