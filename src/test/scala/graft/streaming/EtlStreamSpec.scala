@@ -37,6 +37,26 @@ class EtlStreamSpec extends AnyFunSuite with SparkSpec {
     assert(ids.count(_ == "10000001") == 1)            // replay did not duplicate
   }
 
+  test("idempotency key scan pushes the scrape_date bound into the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val whDir = s"${tmp()}/warehouse"
+    spark.range(10).select(
+        concat(lit("u"), col("id")).as("uniq_id"),
+        timestamp_seconds(lit(1700000000L) + col("id") * 86400).as("scrape_date"),
+        lit("CA").as("state"))
+      .write.partitionBy("state").parquet(whDir)
+    val keys = EtlStream.landedKeys(spark, whDir,
+      Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + 5 * 86400))))
+    assert(keys.isDefined)
+    val plan = keys.get.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(scrape_date"),
+      s"scrape_date bound not pushed to the scan:\n${plan.take(2000)}")
+    assert(plan.contains("IsNull(scrape_date"),
+      "null-scrape_date rows must stay in the anti-join set")
+    assert(keys.get.count() == 5)
+    assert(EtlStream.landedKeys(spark, s"${tmp()}/nope", None).isEmpty)
+  }
+
   test("streaming tumbling-window agg matches the batch q18 totals") {
     import org.apache.spark.sql.functions._
     // the file streaming source requires a directory, and the sf dirs mix
