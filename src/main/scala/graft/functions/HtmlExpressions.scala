@@ -47,9 +47,16 @@ case class HtmlTagText(child: Expression, tag: String, attr: String, valueRe: St
   override def dataType: DataType = StringType
   override def nullSafeEval(html: Any): Any =
     HtmlUtil.tagText(html.asInstanceOf[UTF8String], tag, attr, valueRe)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship the selector strings as reference objects, never interpolated
+    // into the generated Java source: a tag/attr/pattern containing a
+    // quote or backslash would otherwise produce uncompilable codegen
+    val tagRef = ctx.addReferenceObj("htmlTag", tag, "java.lang.String")
+    val attrRef = ctx.addReferenceObj("htmlAttr", attr, "java.lang.String")
+    val reRef = ctx.addReferenceObj("htmlValueRe", valueRe, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
-      s"""graft.functions.HtmlUtil.tagText($c, "$tag", "$attr", "$valueRe")""")
+      s"graft.functions.HtmlUtil.tagText($c, $tagRef, $attrRef, $reRef)")
+  }
   override protected def withNewChildInternal(newChild: Expression): HtmlTagText =
     copy(child = newChild)
 }
@@ -60,9 +67,13 @@ case class HtmlByTextText(child: Expression, tag: String, textRe: String)
   override def dataType: DataType = StringType
   override def nullSafeEval(html: Any): Any =
     HtmlUtil.byTextText(html.asInstanceOf[UTF8String], tag, textRe)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference objects, not string interpolation — see HtmlTagText
+    val tagRef = ctx.addReferenceObj("htmlTag", tag, "java.lang.String")
+    val reRef = ctx.addReferenceObj("htmlTextRe", textRe, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
-      s"""graft.functions.HtmlUtil.byTextText($c, "$tag", "$textRe")""")
+      s"graft.functions.HtmlUtil.byTextText($c, $tagRef, $reRef)")
+  }
   override protected def withNewChildInternal(newChild: Expression): HtmlByTextText =
     copy(child = newChild)
 }

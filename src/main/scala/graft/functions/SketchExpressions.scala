@@ -346,11 +346,7 @@ object Sketches {
   def charShingles(text: Column, n: Int): Column =
     ColumnBridge.column(CharShingles(ColumnBridge.expression(text), n))
 
-  /** Register as SQL functions on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("doc_fingerprint",
-      es => DocFingerprint(es.head, 8), "scala_udf")
-  }
+  // SQL registration lives in graft.GraftExtensions only — a second
+  // registry path here once hardcoded doc_fingerprint's k and silently
+  // dropped the argument, diverging from the extension's signature.
 }

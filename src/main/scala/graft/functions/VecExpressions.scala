@@ -407,11 +407,6 @@ object Vecs {
   def cosineI8(a: Column, b: Column): Column =
     ColumnBridge.column(CosineI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Register as SQL functions on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("squared_dist", es => SquaredDist(es.head, es(1)), "scala_udf")
-  }
+  // SQL registration lives in graft.GraftExtensions only (see the note
+  // in graft.functions.Sketches).
 }

@@ -14,24 +14,41 @@ import org.apache.spark.sql.functions._
   */
 object CorpusSplit {
 
+  /** Cumulative-weight thresholds as 8-hex-char bounds:
+    * floor(cum_weight·2^32), weights normalized. Exposed so the DuckDB
+    * oracle ([[graft.queries.ExtensionOracles]]) derives its CASE bounds
+    * from this exact computation — changing weights or normalization
+    * here automatically re-derives the oracle, so the two cannot drift.
+    */
+  def hexThresholds(splits: Seq[(String, Double)]): Seq[String] = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive split weights required")
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    cuts.map { c =>
+      f"${math.min(0xffffffffL, math.floor(c * 4294967296.0).toLong)}%08x"
+    }
+  }
+
   /** A `split` column from `key`: e.g. assign(col("text"),
     * Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)). Weights are
     * normalized. The bucket is the first 8 hex chars of md5(key)
-    * compared lexicographically against cumulative-weight thresholds:
-    * md5 is uniform over hex strings, and — unlike a seeded xxhash —
-    * every engine with an md5 function reproduces the assignment
-    * bit-for-bit, so the split can be recomputed (and audited) outside
-    * Spark. 32 bits of bucket resolution ≈ 2.3e-10 weight granularity.
+    * compared lexicographically against cumulative-weight thresholds
+    * ([[hexThresholds]]): md5 is uniform over hex strings, and — unlike
+    * a seeded xxhash — every engine with an md5 function reproduces the
+    * assignment bit-for-bit, so the split can be recomputed (and
+    * audited) outside Spark. 32 bits of bucket resolution ≈ 2.3e-10
+    * weight granularity.
+    *
+    * Null keys: md5(null) is null, every `h < cut` test is null, and the
+    * fold's otherwise-chain assigns the LAST split label (e.g. 'test') —
+    * identical to a SQL CASE falling through to ELSE, so oracle parity
+    * holds. If null keys must not reach the eval/test split, coalesce
+    * the key (or filter) before calling; a training pipeline should
+    * treat a null split key as a data-quality error either way.
     */
   def assign(key: Column, splits: Seq[(String, Double)]): Column = {
-    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive split weights required")
-    val total = splits.map(_._2).sum
     val h = substring(md5(key.cast("string")), 1, 8)
-    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
-    val thresholds = cuts.map { c =>
-      f"${math.min(0xffffffffL, math.floor(c * 4294967296.0).toLong)}%08x"
-    }
-    splits.zip(thresholds).reverse.foldLeft(lit(splits.last._1)) {
+    splits.zip(hexThresholds(splits)).reverse.foldLeft(lit(splits.last._1)) {
       case (acc, ((name, _), cut)) => when(h < lit(cut), lit(name)).otherwise(acc)
     }
   }

@@ -12,9 +12,18 @@ import graft.functions.Sketches
   */
 object TextAnalysis {
 
+  /** The one whitespace class the tokenizing operators split on, kept
+    * in sync with the DuckDB oracles (regexp_split_to_array on the same
+    * class). An explicit class, not `\s`: Java's `\s` also matches
+    * vertical tab (\x0B), DuckDB's RE2 `\s` does not — a document with
+    * a vertical tab (or any consecutive-whitespace run, under the old
+    * single-space oracle split) would silently flip the oracle row red.
+    */
+  val WsClass = "[ \\t\\n\\f\\r]+"
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), WsClass)))
 
   /** BPE-ish subword unit count: letter runs, digit runs, single
     * non-alnum marks — the pre-tokenization shape most BPE vocabularies
@@ -25,7 +34,7 @@ object TextAnalysis {
   /** Quality signals: token count, mean token length, stopword ratio,
     * punctuation ratio, all-caps ratio. Returned as a struct. */
   def qualitySignals(text: Column): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
+    val tokens = split(lower(trim(text)), WsClass)
     val n = size(tokens).cast("double")
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
     val nStop = Sketches.countInSet(tokens, stop)
@@ -53,7 +62,7 @@ object TextAnalysis {
 
   /** Predicted language code, or "und" when no list scores > 0. */
   def langId(text: Column): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
+    val tokens = split(lower(trim(text)), WsClass)
     val scored = langSeeds.map { case (code, words) =>
       struct(Sketches.countInSet(tokens, words).as("score"),
         lit(code).as("code"))

@@ -14,6 +14,12 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object Extensions {
 
+  /** The one split spec both the corpus_split query and its DuckDB
+    * oracle derive from (thresholds via [[graft.operators.CorpusSplit
+    * .hexThresholds]]) — a weight change re-derives both sides. */
+  val corpusSplitSpec: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
   /** Exact dedup by content hash (hash-groupBy, one shuffle). */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -178,8 +184,7 @@ object Extensions {
     * independence additionally asserted in CorpusSplitSpec. */
   def corpusSplit(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusSplit
-      .split(t(s, dir, "documents"), "text",
-        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .split(t(s, dir, "documents"), "text", corpusSplitSpec)
       .groupBy("split").agg(count(lit(1)).as("n_docs"))
       .orderBy("split")
 
@@ -289,7 +294,14 @@ object ExtensionOracles {
     * before the final divisions is an exact integer (≤ dim·127² « 2^53),
     * so both engines compute the identical double — ranking, ties, and
     * rounding all agree. Division sequence (dot/sqrt/sqrt, left-assoc)
-    * mirrors [[graft.functions.VecUtil.cosineI8]]. */
+    * mirrors [[graft.functions.VecUtil.cosineI8]].
+    *
+    * Assumption: no zero embedding vectors. A zero vector is 0/0 —
+    * Spark's cosineI8 yields NaN, DuckDB's result depends on its
+    * ieee_floating_point_ops setting, so parity would be config-
+    * dependent. The generated embeddings table contains none (unit norm
+    * by construction); a production corpus should drop zero vectors
+    * before ANN, where they are meaningless anyway. */
   val annQ8: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
       |m AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS maxabs FROM v),
@@ -309,14 +321,22 @@ object ExtensionOracles {
       |SELECT qid, id, CAST(rank AS INT) AS rank, round(sim, 4) AS sim
       |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
-  /** Thresholds are floor(cum_weight·2^32) in hex for 0.9/0.05/0.05 —
-    * the same constants [[graft.operators.CorpusSplit.assign]] derives. */
-  val corpusSplit: String =
-    """SELECT CASE WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'train'
-      |            WHEN substr(md5(text), 1, 8) < 'f3333333' THEN 'val'
-      |            ELSE 'test' END AS split,
-      |       count(*) AS n_docs
-      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  /** CASE bounds are derived from [[graft.operators.CorpusSplit
+    * .hexThresholds]] over [[Extensions.corpusSplitSpec]] — the oracle
+    * cannot drift from the operator's threshold arithmetic. The ELSE
+    * fall-through also matches the operator's null-key behavior
+    * (md5(null) comparisons are null → last label). */
+  val corpusSplit: String = {
+    val spec = Extensions.corpusSplitSpec
+    val ths = graft.operators.CorpusSplit.hexThresholds(spec)
+    val whens = spec.init.zip(ths.init).map { case ((name, _), cut) =>
+      s"WHEN substr(md5(text), 1, 8) < '$cut' THEN '$name'"
+    }.mkString("\n            ")
+    s"""SELECT CASE $whens
+       |            ELSE '${spec.last._1}' END AS split,
+       |       count(*) AS n_docs
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  }
 
   val dedupMinhashVerify: String =
     """WITH sh AS (
@@ -334,15 +354,19 @@ object ExtensionOracles {
       |      FROM g a JOIN g b ON a.lb = b.lb AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
 
+  /** Whitespace split is the same explicit class as
+    * [[graft.operators.TextAnalysis.WsClass]] (regexp split, not a
+    * single-space string_split): consecutive whitespace in a document
+    * must tokenize identically in both engines. */
   val textTokens: String =
     """SELECT doc_id,
-      |       CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS n_ws,
+      |       CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) END AS n_ws,
       |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val textQuality: String =
     """WITH tok AS (
-      |  SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS tk FROM documents)
+      |  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+') AS tk FROM documents)
       |SELECT doc_id,
       |       len(tk)::BIGINT AS n_tokens,
       |       list_sum(list_transform(tk, t -> len(t)))::BIGINT AS sum_token_len,
@@ -356,7 +380,7 @@ object ExtensionOracles {
     * lexicographic max ≡ (score, code) max, the exact tie-break of the
     * Spark array_max-over-structs formulation. */
   val textLangid: String =
-    """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+') AS tk FROM documents),
       |s AS (SELECT doc_id,
       |  len(list_filter(tk, t -> t IN ('the','and','of','to','a','in','is','you','that','it'))) AS en,
       |  len(list_filter(tk, t -> t IN ('el','la','de','que','y','en','un','se','no','los'))) AS es,

@@ -63,6 +63,22 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       Seq(Seq(99L, 96L), Seq(97L, 94L), Seq(98L, 95L)))
   }
 
+  test("doc_fingerprint honors the k argument and matches the Column API") {
+    import graft.functions.Sketches
+    import org.apache.spark.sql.functions._
+    val text = "some document text long enough to have several windows"
+    val sql = extSession.sql(
+      s"SELECT doc_fingerprint('$text') AS d, doc_fingerprint('$text', 4) AS k4")
+      .collect()(0)
+    val col8 = extSession.range(1)
+      .select(Sketches.docFingerprint(lit(text)).as("d")).collect()(0).getLong(0)
+    val col4 = extSession.range(1)
+      .select(Sketches.docFingerprint(lit(text), 4).as("d")).collect()(0).getLong(0)
+    assert(sql.getLong(0) == col8)
+    assert(sql.getLong(1) == col4)
+    assert(col4 != col8, "k argument ignored — window size did not change the fingerprint")
+  }
+
   test("SQL and Column-API formulations agree") {
     import graft.functions.{Sketches, Vecs}
     import org.apache.spark.sql.functions._

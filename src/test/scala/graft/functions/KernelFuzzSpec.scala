@@ -75,6 +75,20 @@ class KernelFuzzSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("HTML selector codegen survives quote/backslash patterns") {
+    // the selector strings ship as codegen reference objects; a pattern
+    // with '"' or '\' must neither break compilation of the generated
+    // Java (the old string-interpolation path did) nor change matching
+    val html = """<div class="a&quot;b">quoted</div><div>He said "hi\there"</div>"""
+    val df = Seq((1L, html)).toDF("id", "x").repartition(1) // force a codegen stage
+    val out = df.select(
+      HtmlCols.tagText(col("x"), "div", "class", "a\"b|a&quot;b").as("t1"),
+      HtmlCols.byTextText(col("x"), "div", """.*"hi\\there".*""").as("t2"))
+      .collect()(0)
+    assert(out.getString(0) == "quoted")
+    assert(out.getString(1) == "He said \"hi\\there\"")
+  }
+
   test("countInSet and sumStrLen match references over fuzzed tokens") {
     val words = Set("the", "a", "0", "xyz", "é")
     val got = cases.toDF("id", "text")

@@ -19,6 +19,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     // don | ' | t | stop | 123
   }
 
+  test("consecutive/mixed whitespace tokenizes as one separator (oracle parity)") {
+    // the DuckDB oracles regexp-split on the same explicit class
+    // (TextAnalysis.WsClass); a run of mixed whitespace is ONE separator
+    // on both sides — the old single-space oracle split counted "a  b"
+    // as three tokens and only matched because no fixture had a run
+    assert(one[Int](TextAnalysis.tokenCountWs(col("x")), "a \t b\n\n c\r\n d") == 4)
+    assert(one[Int](TextAnalysis.tokenCountWs(col("x")), "  padded   out  ") == 2)
+    val q = Seq("the\t\tquick   brown\n\nfox").toDF("x")
+      .select(TextAnalysis.qualitySignals(col("x")).as("q")).select("q.*").collect()(0)
+    assert(q.getAs[Long]("n_tokens") == 4L)
+    assert(one[String](TextAnalysis.langId(col("x")),
+      "el \t perro  y \n el gato en   la casa que no se mueve") == "es")
+  }
+
   test("quality signals") {
     val r = Seq("The quick. Brown fox!").toDF("x")
       .select(TextAnalysis.qualitySignals(col("x")).as("q")).select("q.*").collect()(0)
@@ -35,24 +49,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(one[String](TextAnalysis.langId(col("x")), "xyzzy plugh") == "und")
   }
 
-  test("fingerprint: deterministic, equal for equal text, registered in SQL") {
+  test("fingerprint: deterministic, equal for equal text") {
+    // SQL-surface parity lives in GraftExtensionsSpec (the only
+    // registration path)
     val fp1 = one[Long](TextAnalysis.fingerprint(col("x")), "some document text")
     val fp2 = one[Long](TextAnalysis.fingerprint(col("x")), "some document text")
     val fp3 = one[Long](TextAnalysis.fingerprint(col("x")), "different text entirely")
     assert(fp1 == fp2)
     assert(fp1 != fp3)
-    Sketches.register(spark)
-    val viaSql = spark.sql("SELECT doc_fingerprint('some document text') AS f")
-      .collect()(0).getLong(0)
-    assert(viaSql == fp1)
-  }
-
-  test("simhash custom expression works via SQL registration too") {
-    Sketches.register(spark)
-    val viaSql = spark.sql("SELECT simhash64(array('a','b','c')) AS s").collect()(0).getLong(0)
-    val viaCol = Seq(Seq("a", "b", "c")).toDF("t")
-      .select(Sketches.simhash64(col("t"))).collect()(0).getLong(0)
-    assert(viaSql == viaCol)
   }
 
   test("analyze projection over the documents table") {
