@@ -4,15 +4,23 @@ import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
 import graft.etl.Pipeline
+import graft.sources.Ingest
 
 /** CLI mirroring the reference's `frontpage` console script
-  * (cli.py:5-16): `etl` runs the batch pipeline, `query` runs one
-  * declared inventory query, `conform` runs the maintenance job.
+  * (cli.py:5-16): `ingest` drives the scraper connector, `etl` runs the
+  * batch pipeline, `query` runs one declared inventory query, `conform`
+  * runs the maintenance job.
   *
   * Usage:
+  *   graft.cli.Main ingest <cities.txt> <categories.txt> <fixtureDir> <outDir> [scrapeDate]
   *   graft.cli.Main etl <raw.jsonl> <site_dim.csv> <outDir>
+  *   graft.cli.Main etl-stream <rawDir> <site_dim.csv> <outDir>
   *   graft.cli.Main query <name> <sfDir>
   *   graft.cli.Main conform <warehouseParquet> <raw.jsonl> <outDir>
+  *
+  * `ingest` uses [[Ingest.FileStubFetcher]] over `fixtureDir` — the
+  * pagination/sentinel/envelope logic is the real connector; a
+  * production [[Ingest.PageFetcher]] slots in without CLI changes.
   */
 object Main {
 
@@ -28,9 +36,34 @@ object Main {
     s
   }
 
-  def main(args: Array[String]): Unit = args.toList match {
+  private val usage =
+    """usage: ingest <cities.txt> <categories.txt> <fixtureDir> <outDir> [scrapeDate]
+      |       etl <raw.jsonl> <site_dim.csv> <outDir>
+      |       etl-stream <rawDir> <site_dim.csv> <outDir>
+      |       query <name> <sfDir>
+      |       conform <warehouseParquet> <raw.jsonl> <outDir>""".stripMargin
+
+  /** Dispatch one subcommand on a caller-owned session (testable: does
+    * not stop the session or exit the JVM — bad args throw). */
+  def run(args: List[String], spark: SparkSession): Unit = args match {
+    case "ingest" :: citiesPath :: categoriesPath :: fixtureDir :: outDir :: rest
+        if rest.length <= 1 =>
+      // frontpage scraper (cli.py:5-16, scraper.py:159-218): frontier ×
+      // paginated listing walk × per-ad fetch → raw JSON-line envelopes,
+      // the exact input `etl` / `etl-stream` consume.
+      val scrapeDate = rest.headOption.getOrElse(
+        java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+      val fetcher = Ingest.FileStubFetcher(fixtureDir)
+      val f = Ingest.frontier(
+        Ingest.params(spark, citiesPath, "city"),
+        Ingest.params(spark, categoriesPath, "category"))
+      val raw = Ingest.toRawJson(
+        Ingest.fetchAds(Ingest.scanListings(f, fetcher), fetcher, scrapeDate))
+      raw.write.mode("overwrite").text(s"$outDir/raw")
+      println(s"ingest: ads=${spark.read.text(s"$outDir/raw").count()}")
+
     case "etl" :: rawPath :: dimPath :: outDir :: Nil =>
-      val spark = session()
       val raw = Pipeline.dedupIngest(Pipeline.parseRaw(spark.read.text(rawPath)), None)
       val res = Pipeline.enrich(Pipeline.cleanData(raw), Pipeline.siteDim(spark, dimPath))
       // state-partitioned layout (SURVEY §2.1 warehouse-sink mapping):
@@ -40,41 +73,39 @@ object Main {
       res.quarantine.write.mode("overwrite").parquet(s"$outDir/quarantine")
       println(s"etl: warehouse=${spark.read.parquet(s"$outDir/warehouse").count()} " +
         s"quarantine=${spark.read.parquet(s"$outDir/quarantine").count()}")
-      spark.stop()
 
     case "query" :: name :: sfDir :: Nil =>
-      val spark = session()
       SparkEntry.queries.get(name) match {
         case Some(fn) => fn(spark, sfDir).show(20, false)
-        case None =>
-          System.err.println(s"unknown query '$name'; available: " +
+        case None => throw new IllegalArgumentException(
+          s"unknown query '$name'; available: " +
             SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
-          spark.stop(); sys.exit(2)
       }
-      spark.stop()
 
     case "etl-stream" :: rawDir :: dimPath :: outDir :: Nil =>
-      val spark = session()
       graft.streaming.EtlStream.run(spark, rawDir, dimPath,
         s"$outDir/warehouse", s"$outDir/quarantine", s"$outDir/checkpoint")
       println(s"etl-stream: warehouse=${spark.read.parquet(s"$outDir/warehouse").count()}")
-      spark.stop()
 
     case "conform" :: warehousePath :: rawPath :: outDir :: Nil =>
-      val spark = session()
       val wh = spark.read.parquet(warehousePath)
       val raw = Pipeline.parseRaw(spark.read.text(rawPath))
       val kept = Pipeline.conform(wh, raw)
       kept.write.mode("overwrite").parquet(s"$outDir/warehouse_conformed")
       println(s"conform: kept=${spark.read.parquet(s"$outDir/warehouse_conformed").count()}")
-      spark.stop()
 
-    case _ =>
-      System.err.println(
-        """usage: etl <raw.jsonl> <site_dim.csv> <outDir>
-          |       etl-stream <rawDir> <site_dim.csv> <outDir>
-          |       query <name> <sfDir>
-          |       conform <warehouseParquet> <raw.jsonl> <outDir>""".stripMargin)
-      sys.exit(2)
+    case _ => throw new IllegalArgumentException(usage)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    try run(args.toList, spark)
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage)
+        spark.stop()
+        sys.exit(2)
+    }
+    spark.stop()
   }
 }

@@ -1,0 +1,61 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.Ingest.{listingUrl, FileStubFetcher}
+
+/** End-to-end CLI: `ingest` (stub-fetched crawl → raw JSON lines) piped
+  * through `etl` (raw → warehouse/quarantine) purely via the
+  * filesystem, exactly as the reference's `frontpage scraper` then
+  * `frontpage etl` invocations chain (cli.py:5-16).
+  */
+class MainSpec extends AnyFunSuite with SparkSpec {
+
+  private def adHtml(id: String) =
+    s"""<html><body>
+       |<div id="postingTitle">Ad $id Report Ad</div>
+       |<div class="adInfo"> Posted: Thursday, May 4, 2017 11:53 PM </div>
+       |<div class="postingBody">call 5551234567</div>
+       |</body></html>""".stripMargin
+
+  private def listing(urls: Seq[String], sentinel: Boolean = false) = {
+    val items = urls.map(u => s"""<div class="cat3"><a href="$u">ad</a></div>""").mkString
+    val tail = if (sentinel) "<p>No matches found.</p>" else ""
+    s"<html><body>$items$tail</body></html>"
+  }
+
+  test("ingest then etl: crawl fixtures to a state-partitioned warehouse") {
+    val fixtures = Files.createTempDirectory("graft_cli_fix").toString
+    def put(url: String, body: String): Unit =
+      Files.writeString(Paths.get(fixtures, FileStubFetcher.sanitize(url) + ".html"), body)
+    val ads = (1 to 3).map(i => s"http://birmingham.backpage.com/womenseekmen/ad-$i/1000000$i")
+    put(listingUrl("birmingham", "womenseekmen", 1), listing(ads.take(2)))
+    put(listingUrl("birmingham", "womenseekmen", 2), listing(ads.drop(2)))
+    put(listingUrl("birmingham", "womenseekmen", 3), listing(Nil, sentinel = true))
+    ads.foreach(u => put(u, adHtml(u.split("/").last)))
+    Files.writeString(Paths.get(fixtures, "cities.txt"), "Birmingham\n")
+    Files.writeString(Paths.get(fixtures, "categories.txt"), "womenseekmen\n")
+
+    val out = Files.createTempDirectory("graft_cli_out").toString
+    Main.run(List("ingest", s"$fixtures/cities.txt", s"$fixtures/categories.txt",
+      fixtures, out, "2017-05-06 10:00:00"), spark)
+    val rawLines = spark.read.text(s"$out/raw")
+    assert(rawLines.count() == 3)
+
+    // the raw dir written by ingest is directly consumable by etl
+    Main.run(List("etl", s"$out/raw", fixture("site_dim.csv"), out), spark)
+    val wh = spark.read.parquet(s"$out/warehouse")
+    assert(wh.count() == 3)
+    assert(wh.select("state").distinct().collect().map(_.getString(0)).toSeq == Seq("Alabama"))
+    assert(wh.select("phone").collect().map(_.getString(0)).forall(_ == "5551234567"))
+  }
+
+  test("unknown subcommand and unknown query raise usage errors, not JVM exits") {
+    intercept[IllegalArgumentException](Main.run(List("bogus"), spark))
+    intercept[IllegalArgumentException](
+      Main.run(List("query", "no_such_query", "/tmp"), spark))
+  }
+}
