@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Extensions => E, ExtensionOracles => EO, Inventory => I, Oracles => O}
+import graft.queries.{Extensions => E, ExtensionOracles => EO, Inventory => I, Oracles => O, StreamingOracles => SO, StreamingQueries => SQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,9 @@ object SparkEntry {
     "mm_bytes"          -> (E.mmBytes(_, _)),
     "mm_decode"         -> (E.mmDecode(_, _)),
     "mm_frames"         -> (E.mmFrames(_, _)),
+    // §2.7 streaming operators, drained to deterministic batch shapes
+    "stream_session"    -> (SQ.streamSession(_, _)),
+    "stream_dedup"      -> (SQ.streamDedup(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,5 +111,7 @@ object SparkEntry {
     "text_langid"       -> EO.textLangid,
     "text_quality"      -> EO.textQuality,
     "mm_bytes"          -> EO.mmBytes,
+    "stream_session"    -> SO.streamSession,
+    "stream_dedup"      -> SO.streamDedup,
   )
 }

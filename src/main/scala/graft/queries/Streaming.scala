@@ -1,0 +1,98 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.t
+import graft.streaming.{SessionStream, StreamDedup}
+
+/** The §2.7 streaming operators surfaced as declared driver queries: an
+  * AvailableNow drain into a memory sink, canonicalized to a
+  * deterministic DataFrame a DuckDB oracle can check. The streaming
+  * plumbing (watermarks, state, micro-batching) is the real path — only
+  * the drain-then-read makes it batch-shaped for the correctness gate.
+  */
+object StreamingQueries {
+
+  /** The streaming file source wants a directory of one table's files;
+    * the sf dirs mix ten schemas — stage `copies` links of
+    * events.parquet alone. Multiple copies make duplicates arrive in
+    * DIFFERENT micro-batches (maxFilesPerTrigger=1 in StreamDedup), so
+    * cross-batch dedup state is genuinely exercised. */
+  private def stageEvents(dir: String, copies: Int): String = {
+    val staged = Files.createTempDirectory("graft_stream_q")
+    (1 to copies).foreach { i =>
+      Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve(s"events_$i.parquet"))
+    }
+    staged.toString
+  }
+
+  /** Gap-sessionization via flatMapGroupsWithState, drained and
+    * canonicalized to every session CLOSED BY A LATER EVENT — i.e. all
+    * but each user's final session. The final session's emission depends
+    * on whether its event-time timeout fired during the drain (timing of
+    * the watermark's last hop), so it is excluded on both sides: here by
+    * `end_us < max event ts of the user`, in the oracle by the same
+    * predicate. The timeout path itself is pinned by SessionStreamSpec.
+    */
+  def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_session_${System.nanoTime()}"
+    SessionStream.run(s, stageEvents(dir, copies = 1), name).awaitTermination()
+    val maxTs = t(s, dir, "events")
+      .groupBy("user_id").agg(unix_micros(max(col("ts"))).as("max_ts"))
+    s.table(name)
+      .join(maxTs, Seq("user_id"))
+      .filter(col("end_us") < col("max_ts"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** Watermark-bounded streaming dedup: events staged TWICE so every
+    * event_id is re-delivered in a later micro-batch; the surviving rows
+    * must be exactly one per event_id (the 40-day horizon covers the
+    * fixture's 30-day span). Canonicalized to per-type counts — equal to
+    * distinct-event_id counts iff the dedup state did its job (2x
+    * otherwise). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_dedup_${System.nanoTime()}"
+    StreamDedup.run(s, stageEvents(dir, copies = 2), name).awaitTermination()
+    s.table(name)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+}
+
+/** DuckDB oracles for the streaming twins. */
+object StreamingOracles {
+
+  /** Batch sessionization (q23's CTE) minus each user's final session —
+    * the deterministic closed-session set of the drain. */
+  val streamSession: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM x),
+      |s AS (
+      |  SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |         count(*) AS n_events
+      |  FROM y GROUP BY user_id, session_no),
+      |m AS (SELECT user_id, max(end_us) AS max_end FROM s GROUP BY user_id)
+      |SELECT s.user_id AS user_id, s.start_us, s.end_us, s.n_events
+      |FROM s JOIN m ON s.user_id = m.user_id AND s.end_us < m.max_end
+      |ORDER BY s.user_id, s.start_us""".stripMargin
+
+  /** One survivor per event_id → per-type counts equal distinct counts. */
+  val streamDedup: String =
+    """SELECT event_type, count(DISTINCT event_id) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+}
