@@ -111,6 +111,7 @@ object SparkEntry {
     "text_langid"       -> EO.textLangid,
     "text_quality"      -> EO.textQuality,
     "mm_bytes"          -> EO.mmBytes,
+    "mm_decode"         -> EO.mmDecode,
     "stream_session"    -> SO.streamSession,
     "stream_dedup"      -> SO.streamDedup,
   )

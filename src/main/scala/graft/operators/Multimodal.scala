@@ -54,6 +54,120 @@ object Multimodal {
     }
   }
 
+  /** REAL header codec: kind/width/height/sample-rate parsed from the
+    * container's magic bytes — PNG IHDR, JPEG SOF marker scan, GIF
+    * logical screen descriptor, WAV fmt chunk. Pure byte arithmetic
+    * with no native libraries, which is exactly what a metadata pass
+    * over 100 TB of media blobs should be: the expensive pixel/sample
+    * decode stays behind the same [[MediaDecoder]] seam ([[StubDecoder]]
+    * stands in for it in CI). Unrecognized containers → ("unknown", 0s)
+    * rather than an exception: one corrupt blob must not kill a task.
+    */
+  object HeaderDecoder extends MediaDecoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+    private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => u8(b, i + j) == s.charAt(j))
+
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      if (bytes.length >= 24 && u8(bytes, 0) == 0x89 && ascii(bytes, 1, "PNG") &&
+          u8(bytes, 4) == 0x0d && u8(bytes, 5) == 0x0a && u8(bytes, 6) == 0x1a &&
+          u8(bytes, 7) == 0x0a && ascii(bytes, 12, "IHDR"))
+        MediaMeta("png", be32(bytes, 16), be32(bytes, 20), 1, 0)
+      else if (bytes.length >= 4 && u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8)
+        jpegMeta(bytes)
+      else if (ascii(bytes, 0, "GIF87a") || ascii(bytes, 0, "GIF89a"))
+        MediaMeta("gif", le16(bytes, 6), le16(bytes, 8), 1, 0)
+      else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE"))
+        wavMeta(bytes)
+      else MediaMeta("unknown", 0, 0, 0, 0)
+    }
+
+    /** Walk JPEG segments from after SOI to the first SOF marker
+      * (0xC0–0xCF minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC): dimensions sit
+      * at fixed offsets inside SOF. Standalone markers have no length
+      * field; every other segment carries a big-endian length that
+      * includes itself. */
+    private def jpegMeta(b: Array[Byte]): MediaMeta = {
+      var i = 2
+      while (i + 3 < b.length && u8(b, i) == 0xff) {
+        val marker = u8(b, i + 1)
+        if (marker == 0xff) i += 1                       // fill byte
+        else if ((marker >= 0xc0 && marker <= 0xcf) &&
+                 marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 8 < b.length)
+            return MediaMeta("jpeg", be16(b, i + 7), be16(b, i + 5), 1, 0)
+          else return MediaMeta("unknown", 0, 0, 0, 0)
+        }
+        else if (marker == 0xd8 || marker == 0x01 ||
+                 (marker >= 0xd0 && marker <= 0xd9)) i += 2  // standalone
+        else i += 2 + be16(b, i + 2)                     // length-prefixed
+      }
+      MediaMeta("unknown", 0, 0, 0, 0)
+    }
+
+    /** Walk RIFF chunks to "fmt " for the sample rate. */
+    private def wavMeta(b: Array[Byte]): MediaMeta = {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (ascii(b, i, "fmt ") && i + 16 <= b.length)
+          return MediaMeta("wav", 0, 0, 0, le32(b, i + 12))
+        i += 8 + size + (size & 1)                       // chunks are word-aligned
+      }
+      MediaMeta("unknown", 0, 0, 0, 0)
+    }
+  }
+
+  /** Deterministic, BYTE-VALID media fixtures: real container headers
+    * (PNG signature + IHDR with a correct CRC32, JPEG SOI + APP0 + SOF0,
+    * GIF screen descriptor, RIFF/WAVE fmt chunk) so [[HeaderDecoder]] is
+    * exercised against the actual container rules, not an inverse of
+    * itself. */
+  object MediaFixtures {
+    private def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    private def be32(v: Int) =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    private def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    private def le32(v: Int) =
+      Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+    def png(w: Int, h: Int): Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val ihdr = "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 6, 0, 0, 0)                       // 8-bit RGBA
+      val crc = new java.util.zip.CRC32
+      crc.update(ihdr)
+      sig ++ be32(13) ++ ihdr ++ be32(crc.getValue.toInt) ++
+        be32(0) ++ "IEND".getBytes ++ be32(0xae426082)
+    }
+
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+        "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++
+        Array[Byte](0, 0)
+      val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++
+        Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](1, 0x11, 0)
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0 ++
+        Array[Byte](0xff.toByte, 0xd9.toByte)
+    }
+
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0) ++
+        Array[Byte](0x3b)
+
+    def wav(sampleRateHz: Int): Array[Byte] =
+      "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(sampleRateHz) ++ le32(sampleRateHz * 2) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(0)
+  }
+
   /** Wrap a string column as the opaque binary media column (test-data
     * adapter: documents.text stands in for real blobs). */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaRow] = {

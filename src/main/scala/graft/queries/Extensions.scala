@@ -235,10 +235,30 @@ object Extensions {
       .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
       .orderBy("doc_id")
 
-  /** Multimodal decode plumbing (STUB codec, real mapPartitions shape). */
-  def mmDecode(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decode(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
-      .toDF().orderBy("media_id")
+  /** Multimodal decode through the REAL header codec
+    * ([[Multimodal.HeaderDecoder]]): per-row deterministic PNG/JPEG
+    * blobs with genuine container headers (valid signatures, IHDR CRC,
+    * SOF marker layout) are synthesized from doc_id, decoded by
+    * magic-byte parsing, and the (kind, width, height) round-trip is
+    * oracle-checked — the oracle knows the synthesized geometry, the
+    * codec has to recover it from the actual bytes. */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (320 + id % 1601).toInt
+        val h = (240 + id % 1081).toInt
+        Multimodal.MediaRow(id,
+          if (id % 2 == 0) Multimodal.MediaFixtures.png(w, h)
+          else Multimodal.MediaFixtures.jpeg(w, h))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.decode(media, Multimodal.HeaderDecoder).toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"))
+      .orderBy("media_id")
+  }
 
   /** Frame sampling generator over decoded media. */
   def mmFrames(s: SparkSession, dir: String): DataFrame =
@@ -398,4 +418,13 @@ object ExtensionOracles {
   val mmBytes: String =
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The synthesized geometry of [[Extensions.mmDecode]]'s fixtures:
+    * the Spark side must recover these from genuine PNG/JPEG bytes. */
+  val mmDecode: String =
+    """SELECT doc_id AS media_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+      |       CAST(320 + doc_id % 1601 AS INT) AS width,
+      |       CAST(240 + doc_id % 1081 AS INT) AS height
+      |FROM documents ORDER BY media_id""".stripMargin
 }

@@ -39,6 +39,44 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("HeaderDecoder parses a real-world PNG (not just our own fixtures)") {
+    // the canonical 1x1 transparent PNG, byte-for-byte as browsers emit it
+    val onePx = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk" +
+        "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val m = Multimodal.HeaderDecoder.decode(onePx)
+    assert(m.kind == "png" && m.width == 1 && m.height == 1 && m.nFrames == 1)
+  }
+
+  test("HeaderDecoder round-trips the byte-valid fixtures of all four containers") {
+    import Multimodal.{HeaderDecoder, MediaFixtures}
+    val p = HeaderDecoder.decode(MediaFixtures.png(1920, 1080))
+    assert((p.kind, p.width, p.height) == (("png", 1920, 1080)))
+    val j = HeaderDecoder.decode(MediaFixtures.jpeg(640, 480))
+    assert((j.kind, j.width, j.height) == (("jpeg", 640, 480)))
+    val g = HeaderDecoder.decode(MediaFixtures.gif(320, 200))
+    assert((g.kind, g.width, g.height) == (("gif", 320, 200)))
+    val w = HeaderDecoder.decode(MediaFixtures.wav(44100))
+    assert((w.kind, w.sampleRateHz) == (("wav", 44100)))
+  }
+
+  test("JPEG marker scan skips unknown segments and survives garbage") {
+    import Multimodal.{HeaderDecoder, MediaFixtures}
+    // splice a COM segment (FFFE, length 6, 4 payload bytes) between
+    // APP0 and SOF0: the scan must skip it by its length field
+    val base = MediaFixtures.jpeg(100, 50)
+    val sofAt = base.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val withCom = base.take(sofAt) ++
+      Array[Byte](0xff.toByte, 0xfe.toByte, 0, 6, 'n', 'o', 't', 'e') ++
+      base.drop(sofAt)
+    val m = HeaderDecoder.decode(withCom)
+    assert((m.kind, m.width, m.height) == (("jpeg", 100, 50)))
+    // corrupt/foreign bytes: unknown, never an exception
+    assert(Multimodal.HeaderDecoder.decode("not media at all".getBytes).kind == "unknown")
+    assert(Multimodal.HeaderDecoder.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).kind == "unknown")
+    assert(Multimodal.HeaderDecoder.decode(Array.empty[Byte]).kind == "unknown")
+  }
+
   test("resize plan preserves aspect ratio and caps the long side") {
     val plan = Multimodal.resizePlan(Multimodal.decode(media), maxSide = 256)
       .collect()
