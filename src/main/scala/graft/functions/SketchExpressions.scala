@@ -118,6 +118,23 @@ object SketchUtil {
     * formulation, in one hash-set pass instead of two distincts plus a
     * twice-referenced intersect. Null elements participate as one
     * distinct value, as array_distinct keeps them. */
+  /** Jaccard of two sorted-distinct null-free string arrays by a merge
+    * walk: O(|a|+|b|) UTF8String binary comparisons, zero allocation.
+    * Inputs MUST be sort_array(array_distinct(...)) — sort_array's
+    * ordering is UTF8String.compareTo, the same comparator used here.
+    */
+  def jaccardSortedDistinct(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val sa = new java.util.HashSet[UTF8String]()
     var aNull = false
@@ -293,6 +310,25 @@ case class SpelledDigits(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** jaccard_sorted_sim(array<string>, array<string>) → double Jaccard of
+  * two SORTED-DISTINCT null-free string arrays (sort_array ∘
+  * array_distinct, computed once per document). The merge walk makes
+  * the per-pair cost a single allocation-free comparison pass — the
+  * hash-set kernel rebuilt both sets on every pair, so a document in b
+  * candidate pairs paid b set constructions. Same value as
+  * [[JaccardSim]] on the unsorted inputs.
+  */
+case class JaccardSortedSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchUtil.jaccardSortedDistinct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchUtil.jaccardSortedDistinct($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedSim =
+    copy(left = l, right = r)
+}
+
 /** jaccard_sim(array<string>, array<string>) → double distinct-set Jaccard. */
 case class JaccardSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -341,6 +377,13 @@ object Sketches {
     ColumnBridge.column(SumStrLen(ColumnBridge.expression(tokens)))
   def jaccardSim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def jaccardSortedSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSortedSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  /** sort_array(array_distinct(x)): the once-per-document normalization
+    * [[JaccardSortedSim]] expects. */
+  def sortedDistinct(a: Column): Column =
+    org.apache.spark.sql.functions.sort_array(
+      org.apache.spark.sql.functions.array_distinct(a))
   def spelledDigits(s: Column): Column =
     ColumnBridge.column(SpelledDigits(ColumnBridge.expression(s)))
   def charShingles(text: Column, n: Int): Column =

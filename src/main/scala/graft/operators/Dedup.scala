@@ -49,6 +49,12 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     Sketches.jaccardSim(a, b)
 
+  /** Jaccard over pre-normalized (sorted-distinct) arrays — same value,
+    * one merge pass per pair instead of two hash-set builds. Normalize
+    * once per document with [[Sketches.sortedDistinct]]. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    Sketches.jaccardSortedSim(a, b)
+
   // ---------- MinHash + LSH ----------
 
   /** 2^31-1: keeps a*h+b under 2^62 — ANSI mode makes Long overflow an
@@ -130,7 +136,12 @@ object Dedup {
     // Cutting lineage here turns every downstream join/filter into pure
     // attribute ops. These are also the natural persistence points of a
     // minhash pipeline at scale (signatures are reused artifacts).
-    val shingled = df.select(col(idCol), wordShingles(col(textCol), shingleN).as("shingles"))
+    // sorted-distinct normalization up front: MinHash is order- and
+    // duplicate-insensitive (min over the same distinct hash set), and
+    // the exact-verify stage can then use the merge-walk Jaccard kernel
+    // instead of rebuilding hash sets per candidate pair.
+    val shingled = df.select(col(idCol),
+        Sketches.sortedDistinct(wordShingles(col(textCol), shingleN)).as("shingles"))
       .localCheckpoint()
     // staged projections: hashes once per row, then signature over the
     // attribute, then band keys over the attribute (see shingleHashes doc)
@@ -144,7 +155,7 @@ object Dedup {
     val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

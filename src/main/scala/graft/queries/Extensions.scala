@@ -34,12 +34,14 @@ object Extensions {
     */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("tok"))
+      .select(col("doc_id"),
+        graft.functions.Sketches.sortedDistinct(
+          split(lower(trim(col("text"))), " ")).as("tok"))
     val q = docs.filter(col("doc_id") === 0).select(col("tok").as("qtok"))
     docs.filter(col("doc_id") > 0)
       .crossJoin(broadcast(q))
       .select(col("doc_id"),
-        round(Dedup.jaccard(col("tok"), col("qtok")), 4).as("jaccard"))
+        round(Dedup.jaccardSorted(col("tok"), col("qtok")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_id"))
       .limit(50)
   }
@@ -49,12 +51,14 @@ object Extensions {
     * against a DuckDB list comprehension. */
   def dedupJaccardChar(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("sg"))
+      .select(col("doc_id"),
+        graft.functions.Sketches.sortedDistinct(
+          Dedup.charShingles(col("text"), 5)).as("sg"))
     val q = docs.filter(col("doc_id") === 0).select(col("sg").as("qsg"))
     docs.filter(col("doc_id") > 0)
       .crossJoin(broadcast(q))
       .select(col("doc_id"),
-        round(Dedup.jaccard(col("sg"), col("qsg")), 4).as("jaccard"))
+        round(Dedup.jaccardSorted(col("sg"), col("qsg")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_id"))
       .limit(50)
   }
@@ -85,21 +89,27 @@ object Extensions {
     * bounds any degenerate bucket exactly like [[Dedup.candidatePairs]].
     */
   def dedupMinhashVerify(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), length(col("text")).cast("long").as("lb"),
-        Dedup.charShingles(col("text"), 5).as("sg"))
-      .localCheckpoint()   // keep the shingle expr out of inferred join filters
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("lb")
-    val pruned = docs
-      .withColumn("bsz", count(lit(1)).over(w))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("lb"), col("text"))
+    // bucket sizes via groupBy (map-side combine) + broadcast back: the
+    // earlier window-count formulation shuffled every full text by lb;
+    // this never shuffles texts at all. Shingles are then computed for
+    // SURVIVORS only — the old shape materialized (and checkpointed)
+    // char-5-gram arrays for the whole corpus before pruning.
+    val keep = base.groupBy("lb").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= 100 && col("bsz") > 1)
-      .drop("bsz")
+      .select("lb")
+    val pruned = base.join(broadcast(keep), Seq("lb"))
+      .select(col("lb"), col("doc_id"),
+        graft.functions.Sketches.sortedDistinct(
+          Dedup.charShingles(col("text"), 5)).as("sg"))
+      .localCheckpoint()   // keep the shingle expr out of inferred join filters
     val a = pruned.select(col("lb"), col("doc_id").as("id_a"), col("sg").as("sg_a"))
     val b = pruned.select(col("lb"), col("doc_id").as("id_b"), col("sg").as("sg_b"))
     a.join(b, Seq("lb"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Dedup.jaccard(col("sg_a"), col("sg_b")), 4).as("jaccard"))
+        round(Dedup.jaccardSorted(col("sg_a"), col("sg_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy("id_a", "id_b")
   }

@@ -75,6 +75,22 @@ class KernelFuzzSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("jaccardSortedSim over sortedDistinct equals the hash-set jaccard") {
+    val pairs = cases.zip(cases.drop(7) ++ cases.take(7))
+      .map { case ((id, a), (_, b)) => (id, a, b) }
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("id"),
+        Sketches.jaccardSim(
+          split(lower(col("a")), "\\s+"), split(lower(col("b")), "\\s+")).as("hash"),
+        Sketches.jaccardSortedSim(
+          Sketches.sortedDistinct(split(lower(col("a")), "\\s+")),
+          Sketches.sortedDistinct(split(lower(col("b")), "\\s+"))).as("merge"))
+      .as[(Long, Double, Double)].collect()
+    got.foreach { case (id, h, m) =>
+      assert((h.isNaN && m.isNaN) || h == m, s"id=$id: hash=$h merge=$m")
+    }
+  }
+
   test("HTML selector codegen survives quote/backslash patterns") {
     // the selector strings ship as codegen reference objects; a pattern
     // with '"' or '\' must neither break compilation of the generated
