@@ -112,6 +112,7 @@ object SparkEntry {
     "text_quality"      -> EO.textQuality,
     "mm_bytes"          -> EO.mmBytes,
     "mm_decode"         -> EO.mmDecode,
+    "mm_frames"         -> EO.mmFrames,
     "stream_session"    -> SO.streamSession,
     "stream_dedup"      -> SO.streamDedup,
   )

@@ -190,9 +190,10 @@ object Multimodal {
   }
 
   /** Frame sampling as a generator: one row per sampled frame index —
-    * posexplode over a sequence, never a driver loop. */
-  def sampleFrames(decoded: Dataset[DecodedRow], everyN: Int): DataFrame =
-    decoded.toDF()
+    * posexplode over a sequence, never a driver loop. Accepts any frame
+    * with (media_id, n_frames) columns. */
+  def sampleFrames(decoded: DataFrame, everyN: Int): DataFrame =
+    decoded
       .filter(col("n_frames") > 1)
       .select(col("media_id"),
         posexplode(sequence(lit(0), col("n_frames") - 1, lit(everyN)))

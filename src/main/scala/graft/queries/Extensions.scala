@@ -270,10 +270,17 @@ object Extensions {
       .orderBy("media_id")
   }
 
-  /** Frame sampling generator over decoded media. */
+  /** Frame-sampling generator over deterministic multi-frame metadata:
+    * n_frames = 1 + doc_id % 3000 (so single-frame rows are excluded by
+    * the generator's own filter), every 30th frame sampled, per-media
+    * counts oracle-checked against the closed form floor(m/30)+1. The
+    * decode stage has its own oracle row (mm_decode); this one proves
+    * the sequence/posexplode generator. */
   def mmFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
-      Multimodal.decode(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")),
+      t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(3000))).cast("int").as("n_frames")),
       everyN = 30)
       .groupBy("media_id").agg(count(lit(1)).as("n_samples"))
       .orderBy("media_id")
@@ -428,6 +435,14 @@ object ExtensionOracles {
   val mmBytes: String =
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Closed form of [[Extensions.mmFrames]]'s sampler: n_frames =
+    * 1 + doc_id % 3000 → frames {0, 30, ...} up to n_frames-1 =
+    * floor(m/30)+1 samples; m = 0 rows are single-frame and excluded. */
+  val mmFrames: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(floor((doc_id % 3000) / 30) + 1 AS BIGINT) AS n_samples
+      |FROM documents WHERE doc_id % 3000 > 0 ORDER BY media_id""".stripMargin
 
   /** The synthesized geometry of [[Extensions.mmDecode]]'s fixtures:
     * the Spark side must recover these from genuine PNG/JPEG bytes. */

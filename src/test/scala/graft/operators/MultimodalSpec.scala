@@ -30,7 +30,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
   test("frame sampling emits ceil(n_frames / everyN) rows per multi-frame doc") {
     val decoded = Multimodal.decode(media)
-    val sampled = Multimodal.sampleFrames(decoded, everyN = 30)
+    val sampled = Multimodal.sampleFrames(decoded.toDF(), everyN = 30)
       .groupBy("media_id").agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
     for (d <- decoded.collect() if d.n_frames > 1) {
       val expect = (d.n_frames + 29) / 30
