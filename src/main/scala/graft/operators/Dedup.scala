@@ -154,6 +154,10 @@ object Dedup {
     val cands = candidatePairs(banded, idCol)
     val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    // cands is the small skinny side — it broadcasts, and the
+    // shingle-carrying sides stream past it without ever being
+    // broadcast-serialized (contrast dedupMinhashVerify, whose
+    // self-join has arrays on BOTH sides and must shuffle-hash)
     cands.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

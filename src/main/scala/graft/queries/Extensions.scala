@@ -106,7 +106,12 @@ object Extensions {
       .localCheckpoint()   // keep the shingle expr out of inferred join filters
     val a = pruned.select(col("lb"), col("doc_id").as("id_a"), col("sg").as("sg_a"))
     val b = pruned.select(col("lb"), col("doc_id").as("id_b"), col("sg").as("sg_b"))
-    a.join(b, Seq("lb"))
+    // shuffle-hash, never broadcast: the build side carries the shingle
+    // arrays, and broadcast-serializing ~300 strings per row costs more
+    // than the whole shuffled join (measured 2.4s vs 0.7s at sf0.1) —
+    // and a broadcast side that scales with the corpus is wrong at
+    // 100 TB anyway
+    a.join(b.hint("shuffle_hash"), Seq("lb"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Dedup.jaccardSorted(col("sg_a"), col("sg_b")), 4).as("jaccard"))
