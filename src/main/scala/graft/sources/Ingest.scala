@@ -49,6 +49,62 @@ object Ingest {
     def sanitize(url: String): String = url.replaceAll("[^A-Za-z0-9]+", "_")
   }
 
+  /** Production HTTP fetcher with the reference's retry/backoff/re-dial
+    * contract (scraper.py:27-40,76-81): bounded retries with exponential
+    * backoff on 5xx/connection failure, an `onRetry` hook — the seam
+    * where the reference re-dials its Tor circuit — and an optional
+    * HTTP proxy (the reference routes via a local SOCKS proxy; HTTP
+    * CONNECT is the JDK-native equivalent seam). 2xx–4xx responses are
+    * returned as-is (the raw envelope records the code, as the
+    * reference's does); exhausted retries → None, dropping the ad like
+    * the reference's error path.
+    *
+    * One client per task: the case class is Serializable, the client is
+    * `@transient lazy` — each executor partition builds its own on
+    * first use, exactly the per-partition-client shape `scanListings` /
+    * `fetchAds` assume.
+    */
+  final case class HttpPageFetcher(
+      timeoutMs: Int = 10000,
+      maxRetries: Int = 3,
+      backoffMs: Long = 500,
+      proxy: Option[(String, Int)] = None,
+      onRetry: Int => Unit = _ => ()) extends PageFetcher {
+
+    @transient private lazy val client: java.net.http.HttpClient = {
+      val b = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      proxy.foreach { case (host, port) =>
+        b.proxy(java.net.ProxySelector.of(new java.net.InetSocketAddress(host, port)))
+      }
+      b.build()
+    }
+
+    def fetch(url: String): Option[FetchedPage] = {
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        val got =
+          try {
+            val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+              .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+              .GET().build()
+            val resp = client.send(req,
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            if (resp.statusCode() < 500) Some(FetchedPage(resp.statusCode(), resp.body()))
+            else None                               // 5xx → retry
+          } catch { case _: Exception => None }     // conn/timeout → retry
+        if (got.isDefined) return got
+        attempt += 1
+        if (attempt <= maxRetries) {
+          onRetry(attempt)
+          Thread.sleep(backoffMs * (1L << (attempt - 1)))  // exponential
+        }
+      }
+      None
+    }
+  }
+
   /** Param-file scan (scraper.py:159-160): lowercase, trim, dedup. */
   def params(spark: SparkSession, path: String, colName: String): DataFrame =
     spark.read.text(path)
