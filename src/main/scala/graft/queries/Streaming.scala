@@ -37,9 +37,21 @@ object StreamingQueries {
     * `end_us < max event ts of the user`, in the oracle by the same
     * predicate. The timeout path itself is pinned by SessionStreamSpec.
     */
+  /** Stateful streaming drains commit one state store per shuffle
+    * partition per micro-batch; at drain scale (one bounded file set,
+    * a handful of batches) 32 partitions is pure per-batch overhead.
+    * Production unbounded streams keep the session default. */
+  private def withDrainPartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def streamSession(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_session_${System.nanoTime()}"
-    SessionStream.run(s, stageEvents(dir, copies = 1), name).awaitTermination()
+    withDrainPartitions(s) {
+      SessionStream.run(s, stageEvents(dir, copies = 1), name).awaitTermination()
+    }
     val maxTs = t(s, dir, "events")
       .groupBy("user_id").agg(unix_micros(max(col("ts"))).as("max_ts"))
     s.table(name)
@@ -57,7 +69,9 @@ object StreamingQueries {
     * otherwise). */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_dedup_${System.nanoTime()}"
-    StreamDedup.run(s, stageEvents(dir, copies = 2), name).awaitTermination()
+    withDrainPartitions(s) {
+      StreamDedup.run(s, stageEvents(dir, copies = 2), name).awaitTermination()
+    }
     s.table(name)
       .groupBy("event_type").agg(count(lit(1)).as("n_events"))
       .orderBy("event_type")
