@@ -53,6 +53,25 @@ class MainSpec extends AnyFunSuite with SparkSpec {
     assert(wh.select("phone").collect().map(_.getString(0)).forall(_ == "5551234567"))
   }
 
+  test("etl-stream and conform subcommands run end-to-end") {
+    val out = Files.createTempDirectory("graft_cli_s").toString
+    val rawDir = s"$out/rawdir"
+    Files.createDirectories(Paths.get(rawDir))
+    Files.copy(Paths.get(fixture("raw_ads.jsonl")), Paths.get(s"$rawDir/batch1.jsonl"))
+    Main.run(List("etl-stream", rawDir, fixture("site_dim.csv"), out), spark)
+    assert(spark.read.parquet(s"$out/warehouse").count() == 5)
+    Main.run(List("conform", s"$out/warehouse", s"$rawDir/batch1.jsonl", out), spark)
+    // the fixture ads were all posted 2017-05-04, before the first
+    // scrape (2017-05-06): conform's temporal filter (post_date >= min
+    // scrape_date, the reference's "drop ads posted before collection
+    // began") must drop every row — the empty result IS the semantics
+    assert(spark.read.parquet(s"$out/warehouse_conformed").count() == 0)
+  }
+
+  test("query subcommand runs a declared query") {
+    Main.run(List("query", "q5_groupby_agg", "/root/testdata/sf0.001"), spark)
+  }
+
   test("unknown subcommand and unknown query raise usage errors, not JVM exits") {
     intercept[IllegalArgumentException](Main.run(List("bogus"), spark))
     intercept[IllegalArgumentException](
