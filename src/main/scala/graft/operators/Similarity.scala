@@ -138,6 +138,48 @@ object Similarity {
       k)
   }
 
+  /** Materialize the corpus IVF-partitioned: one storage partition per
+    * list_id. This is the 100 TB shape the in-memory [[ivfTopK]] plan
+    * stands in for — with the corpus laid out by coarse cluster, a
+    * probe touches only its nprobe directories and the scan never reads
+    * the rest of the corpus (see [[ivfTopKStored]]).
+    */
+  def writeIvfCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[(Long, Array[Double])], dir: String): Unit =
+    ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("v"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+
+  /** IVF top-k over a [[writeIvfCorpus]] store: the union of all
+    * queries' nprobe nearest lists (a driver-side set bounded by
+    * |queries|·nprobe ≤ nlist — the query batch is the broadcast side
+    * by design) becomes a STATIC `list_id IN (...)` partition filter,
+    * so the corpus scan lists and reads only the probed directories and
+    * the rest of the corpus is never touched — storage-level pruning,
+    * the property that makes IVF work when the corpus doesn't fit a
+    * cluster's memory. (Spark's dynamic partition pruning would need a
+    * selective predicate on the probe side to fire; the explicit IN is
+    * deterministic and visible in the scan's PartitionFilters.) Results
+    * are identical to [[ivfTopK]] with the same codebook — doubles
+    * round-trip parquet exactly.
+    */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, qidCol: String, vecCol: String, k: Int,
+                    centroids: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val assigned = spark.read.parquet(dir)
+    val q = queries
+      .select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("list_id",
+        explode(graft.functions.Vecs.nearestLists(col("qv"), centroids, nprobe)))
+      .localCheckpoint()
+    val probed = q.select("list_id").distinct().collect().map(_.getLong(0))
+    topkRank(
+      assigned.filter(col("list_id").isin(probed: _*))
+        .join(broadcast(q), Seq("list_id"))
+        .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim")),
+      k)
+  }
+
   /** Lloyd's k-means refinement of an IVF codebook: iterate
     * assign-to-nearest ([[ivfAssign]]) → per-list mean. The mean is
     * computed by exploding (list_id, dim_pos, value) and averaging per

@@ -109,4 +109,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val hit = ivf.count { case (q, i, _, _) => bf.contains((q, i)) }
     assert(hit.toDouble / bf.size >= 0.4, s"recall ${hit.toDouble / bf.size}")
   }
+
+  test("stored IVF corpus: partition-pruned probes, identical results") {
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
+    Similarity.writeIvfCorpus(emb, "vec_id", "embedding", cents, dir)
+    // one directory per list on disk — the physical partitioning probes prune
+    val listDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(_.getName).sorted
+    assert(listDirs.length == 8, s"got ${listDirs.toSeq}")
+
+    val stored = Similarity.ivfTopKStored(spark, dir, queries,
+      "vec_id", "embedding", k = 10, cents, nprobe = 3)
+    // the probe set must reach the scan as a partition filter: only
+    // probed list_id directories are listed/read
+    val scan = stored.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [list_id") &&
+      (scan.contains(" IN (") || scan.contains("list_id#") && scan.contains("isin")),
+      s"probe set not pushed as a partition filter:\n${scan.take(3000)}")
+
+    val mem = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
+      k = 10, cents, nprobe = 3)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted.toSeq
+    val sto = stored
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(sto == mem, "stored-corpus search diverged from in-memory IVF")
+  }
 }
