@@ -50,15 +50,19 @@ object EtlStream {
         val res = Pipeline.enrich(Pipeline.cleanData(parsed), dim)
         res.warehouse.persist()
         try {
-          // idempotency re-check: at-least-once file delivery + anti-join
-          // against already-landed keys = effective exactly-once append.
-          val minScrape = Option(
-            res.warehouse.agg(min(col("scrape_date"))).head.getTimestamp(0))
-          val fresh = landedKeys(batch.sparkSession, warehouseDir, minScrape) match {
-            case Some(keys) => res.warehouse.join(keys, Seq("uniq_id"), "left_anti")
-            case None       => res.warehouse
+          // an empty batch (e.g. a replayed trigger whose rows all fell
+          // to quarantine) must not pay the warehouse key scan at all
+          if (res.warehouse.limit(1).count() > 0) {
+            // idempotency re-check: at-least-once file delivery + anti-join
+            // against already-landed keys = effective exactly-once append.
+            val minScrape = Option(
+              res.warehouse.agg(min(col("scrape_date"))).head.getTimestamp(0))
+            val fresh = landedKeys(batch.sparkSession, warehouseDir, minScrape) match {
+              case Some(keys) => res.warehouse.join(keys, Seq("uniq_id"), "left_anti")
+              case None       => res.warehouse
+            }
+            fresh.write.mode("append").partitionBy("state").parquet(warehouseDir)
           }
-          fresh.write.mode("append").partitionBy("state").parquet(warehouseDir)
           if (res.quarantine.limit(1).count() > 0)
             res.quarantine.withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(quarantineDir)
