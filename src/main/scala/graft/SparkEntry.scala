@@ -69,6 +69,7 @@ object SparkEntry {
     // §2.7 streaming operators, drained to deterministic batch shapes
     "stream_session"    -> (SQ.streamSession(_, _)),
     "stream_dedup"      -> (SQ.streamDedup(_, _)),
+    "stream_join"       -> (SQ.streamJoin(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -115,5 +116,6 @@ object SparkEntry {
     "mm_frames"         -> EO.mmFrames,
     "stream_session"    -> SO.streamSession,
     "stream_dedup"      -> SO.streamDedup,
+    "stream_join"       -> SO.streamJoin,
   )
 }

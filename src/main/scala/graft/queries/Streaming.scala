@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.t
-import graft.streaming.{SessionStream, StreamDedup}
+import graft.streaming.{SessionStream, StreamDedup, StreamJoin}
 
 /** The §2.7 streaming operators surfaced as declared driver queries: an
   * AvailableNow drain into a memory sink, canonicalized to a
@@ -61,6 +61,22 @@ object StreamingQueries {
       .orderBy("user_id", "start_us")
   }
 
+  /** Watermark-bounded stream–stream attribution join, drained: with
+    * the whole fixture arriving in one micro-batch the INNER join emits
+    * every qualifying (purchase, view-in-preceding-hour) pair exactly
+    * once — deterministic, so the full pair set is oracle-checked
+    * against a plain SQL join. (The watermark's state-eviction behavior
+    * across batches is pinned separately in StreamJoinSpec.) */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_join_${System.nanoTime()}"
+    withDrainPartitions(s) {
+      StreamJoin.attributionJoin(s, stageEvents(dir, copies = 1), name).awaitTermination()
+    }
+    s.table(name)
+      .select(col("purchase_id"), col("view_id"), col("user_id"), col("lag_us"))
+      .orderBy("purchase_id", "view_id")
+  }
+
   /** Watermark-bounded streaming dedup: events staged TWICE so every
     * event_id is re-delivered in a later micro-batch; the surviving rows
     * must be exactly one per event_id (the 40-day horizon covers the
@@ -104,6 +120,20 @@ object StreamingOracles {
       |SELECT s.user_id AS user_id, s.start_us, s.end_us, s.n_events
       |FROM s JOIN m ON s.user_id = m.user_id AND s.end_us < m.max_end
       |ORDER BY s.user_id, s.start_us""".stripMargin
+
+  /** Every (purchase, view) pair of the same user with the view in the
+    * purchase's preceding hour — the drained inner join's exact output. */
+  val streamJoin: String =
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, v.view_id, p.user_id AS user_id,
+      |       epoch_us(p.p_ts) - epoch_us(v.v_ts) AS lag_us
+      |FROM p JOIN v ON p.user_id = v.user_id
+      |  AND v.v_ts <= p.p_ts
+      |  AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+      |ORDER BY purchase_id, view_id""".stripMargin
 
   /** One survivor per event_id → per-type counts equal distinct counts. */
   val streamDedup: String =
