@@ -70,6 +70,7 @@ object SparkEntry {
     "stream_session"    -> (SQ.streamSession(_, _)),
     "stream_dedup"      -> (SQ.streamDedup(_, _)),
     "stream_join"       -> (SQ.streamJoin(_, _)),
+    "stream_window"     -> (SQ.streamWindow(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -117,5 +118,6 @@ object SparkEntry {
     "stream_session"    -> SO.streamSession,
     "stream_dedup"      -> SO.streamDedup,
     "stream_join"       -> SO.streamJoin,
+    "stream_window"     -> SO.streamWindow,
   )
 }

@@ -77,6 +77,22 @@ object StreamingQueries {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** Watermarked tumbling-window aggregation (q18's streaming twin),
+    * drained in complete mode: final per-day/per-type counts and sums
+    * are the batch answer, oracle-checked with q18's own rounding
+    * convention. */
+  def streamWindow(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_window_${System.nanoTime()}"
+    withDrainPartitions(s) {
+      graft.streaming.EtlStream.eventWindowCounts(s, stageEvents(dir, copies = 1), name)
+        .awaitTermination()
+    }
+    s.table(name)
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** Watermark-bounded streaming dedup: events staged TWICE so every
     * event_id is re-delivered in a later micro-batch; the surviving rows
     * must be exactly one per event_id (the 40-day horizon covers the
@@ -120,6 +136,13 @@ object StreamingOracles {
       |SELECT s.user_id AS user_id, s.start_us, s.end_us, s.n_events
       |FROM s JOIN m ON s.user_id = m.user_id AND s.end_us < m.max_end
       |ORDER BY s.user_id, s.start_us""".stripMargin
+
+  /** q18's oracle, verbatim semantics: the drained complete-mode window
+    * aggregation must equal the batch per-day/per-type aggregate. */
+  val streamWindow: String =
+    """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
 
   /** Every (purchase, view) pair of the same user with the view in the
     * purchase's preceding hour — the drained inner join's exact output. */
