@@ -118,14 +118,22 @@ object SketchUtil {
     * formulation, in one hash-set pass instead of two distincts plus a
     * twice-referenced intersect. Null elements participate as one
     * distinct value, as array_distinct keeps them. */
-  /** Jaccard of two sorted-distinct null-free string arrays by a merge
-    * walk: O(|a|+|b|) UTF8String binary comparisons, zero allocation.
-    * Inputs MUST be sort_array(array_distinct(...)) — sort_array's
-    * ordering is UTF8String.compareTo, the same comparator used here.
+  /** Jaccard of two sorted-distinct string arrays by a merge walk:
+    * O(|a|+|b|) UTF8String binary comparisons, zero allocation. Inputs
+    * MUST be sort_array(array_distinct(...)) — sort_array's ordering is
+    * UTF8String.compareTo, the same comparator used here, with (at most
+    * one) null element first; the null slot counts as one distinct
+    * value on each side, matching [[jaccard]]'s hash-set semantics.
     */
   def jaccardSortedDistinct(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
+    // array_distinct keeps at most one null; sort_array(asc) puts it first
+    val aNull = na > 0 && a.isNullAt(0)
+    val bNull = nb > 0 && b.isNullAt(0)
+    if (aNull) i = 1
+    if (bNull) j = 1
+    if (aNull && bNull) inter = 1
     while (i < na && j < nb) {
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { inter += 1; i += 1; j += 1 }

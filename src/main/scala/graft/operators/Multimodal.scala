@@ -81,7 +81,8 @@ object Multimodal {
         MediaMeta("png", be32(bytes, 16), be32(bytes, 20), 1, 0)
       else if (bytes.length >= 4 && u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8)
         jpegMeta(bytes)
-      else if (ascii(bytes, 0, "GIF87a") || ascii(bytes, 0, "GIF89a"))
+      else if (bytes.length >= 10 &&
+               (ascii(bytes, 0, "GIF87a") || ascii(bytes, 0, "GIF89a")))
         MediaMeta("gif", le16(bytes, 6), le16(bytes, 8), 1, 0)
       else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE"))
         wavMeta(bytes)
@@ -111,11 +112,14 @@ object Multimodal {
       MediaMeta("unknown", 0, 0, 0, 0)
     }
 
-    /** Walk RIFF chunks to "fmt " for the sample rate. */
+    /** Walk RIFF chunks to "fmt " for the sample rate. A negative
+      * (corrupt) chunk size would step zero or backwards — bail to
+      * "unknown" instead of spinning or indexing out of bounds. */
     private def wavMeta(b: Array[Byte]): MediaMeta = {
       var i = 12
       while (i + 8 <= b.length) {
         val size = le32(b, i + 4)
+        if (size < 0) return MediaMeta("unknown", 0, 0, 0, 0)
         if (ascii(b, i, "fmt ") && i + 16 <= b.length)
           return MediaMeta("wav", 0, 0, 0, le32(b, i + 12))
         i += 8 + size + (size & 1)                       // chunks are word-aligned

@@ -396,24 +396,27 @@ object ExtensionOracles {
       |      FROM g a JOIN g b ON a.lb = b.lb AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
 
-  /** Whitespace split is the same explicit class as
-    * [[graft.operators.TextAnalysis.WsClass]] (regexp split, not a
-    * single-space string_split): consecutive whitespace in a document
-    * must tokenize identically in both engines. */
+  /** The one whitespace class, interpolated from
+    * [[graft.operators.TextAnalysis.WsClass]] (the Scala regex source is
+    * the same character sequence RE2 wants) — a class change on the
+    * Spark side re-derives all three tokenizing oracles; a hand-copied
+    * literal would silently drift. */
+  private val ws = graft.operators.TextAnalysis.WsClass
+
   val textTokens: String =
-    """SELECT doc_id,
-      |       CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) END AS n_ws,
-      |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |       CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '$ws')) END AS n_ws,
+       |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   val textQuality: String =
-    """WITH tok AS (
-      |  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+') AS tk FROM documents)
+    s"""WITH tok AS (
+       |  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '$ws') AS tk FROM documents)
       |SELECT doc_id,
       |       len(tk)::BIGINT AS n_tokens,
       |       list_sum(list_transform(tk, t -> len(t)))::BIGINT AS sum_token_len,
       |       len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::BIGINT AS n_stop,
-      |       (len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::BIGINT AS n_punct,
+      |       (len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::BIGINT AS n_punct,
       |       len(text)::BIGINT AS n_chars_measured
       |FROM tok ORDER BY doc_id""".stripMargin
 
@@ -422,7 +425,7 @@ object ExtensionOracles {
     * lexicographic max ≡ (score, code) max, the exact tie-break of the
     * Spark array_max-over-structs formulation. */
   val textLangid: String =
-    """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+') AS tk FROM documents),
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '$ws') AS tk FROM documents),
       |s AS (SELECT doc_id,
       |  len(list_filter(tk, t -> t IN ('the','and','of','to','a','in','is','you','that','it'))) AS en,
       |  len(list_filter(tk, t -> t IN ('el','la','de','que','y','en','un','se','no','los'))) AS es,

@@ -23,20 +23,26 @@ object StreamingQueries {
     * cross-batch dedup state is genuinely exercised. */
   private def stageEvents(dir: String, copies: Int): String = {
     val staged = Files.createTempDirectory("graft_stream_q")
+    staged.toFile.deleteOnExit()
     (1 to copies).foreach { i =>
-      Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve(s"events_$i.parquet"))
+      val f = staged.resolve(s"events_$i.parquet")
+      Files.copy(Paths.get(s"$dir/events.parquet"), f)
+      f.toFile.deleteOnExit()
     }
     staged.toString
   }
 
-  /** Gap-sessionization via flatMapGroupsWithState, drained and
-    * canonicalized to every session CLOSED BY A LATER EVENT — i.e. all
-    * but each user's final session. The final session's emission depends
-    * on whether its event-time timeout fired during the drain (timing of
-    * the watermark's last hop), so it is excluded on both sides: here by
-    * `end_us < max event ts of the user`, in the oracle by the same
-    * predicate. The timeout path itself is pinned by SessionStreamSpec.
-    */
+  /** Read the drained memory-sink table and immediately drop its catalog
+    * entry: the returned frame's resolved plan keeps the sink data alive
+    * for its own lifetime, but repeated invocations (bench loops, the
+    * verify sweep) must not accumulate one never-dropped temp view —
+    * and its buffered rows — per call. */
+  private def drained(s: SparkSession, name: String): DataFrame = {
+    val df = s.table(name)
+    s.catalog.dropTempView(name)
+    df
+  }
+
   /** Stateful streaming drains commit one state store per shuffle
     * partition per micro-batch; at drain scale (one bounded file set,
     * a handful of batches) 32 partitions is pure per-batch overhead.
@@ -47,6 +53,14 @@ object StreamingQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Gap-sessionization via flatMapGroupsWithState, drained and
+    * canonicalized to every session CLOSED BY A LATER EVENT — i.e. all
+    * but each user's final session. The final session's emission depends
+    * on whether its event-time timeout fired during the drain (timing of
+    * the watermark's last hop), so it is excluded on both sides: here by
+    * `end_us < max event ts of the user`, in the oracle by the same
+    * predicate. The timeout path itself is pinned by SessionStreamSpec.
+    */
   def streamSession(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_session_${System.nanoTime()}"
     withDrainPartitions(s) {
@@ -54,7 +68,7 @@ object StreamingQueries {
     }
     val maxTs = t(s, dir, "events")
       .groupBy("user_id").agg(unix_micros(max(col("ts"))).as("max_ts"))
-    s.table(name)
+    drained(s, name)
       .join(maxTs, Seq("user_id"))
       .filter(col("end_us") < col("max_ts"))
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
@@ -72,7 +86,7 @@ object StreamingQueries {
     withDrainPartitions(s) {
       StreamJoin.attributionJoin(s, stageEvents(dir, copies = 1), name).awaitTermination()
     }
-    s.table(name)
+    drained(s, name)
       .select(col("purchase_id"), col("view_id"), col("user_id"), col("lag_us"))
       .orderBy("purchase_id", "view_id")
   }
@@ -87,7 +101,7 @@ object StreamingQueries {
       graft.streaming.EtlStream.eventWindowCounts(s, stageEvents(dir, copies = 1), name)
         .awaitTermination()
     }
-    s.table(name)
+    drained(s, name)
       .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("cnt"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy("event_type", "day")
@@ -104,7 +118,7 @@ object StreamingQueries {
     withDrainPartitions(s) {
       StreamDedup.run(s, stageEvents(dir, copies = 2), name).awaitTermination()
     }
-    s.table(name)
+    drained(s, name)
       .groupBy("event_type").agg(count(lit(1)).as("n_events"))
       .orderBy("event_type")
   }

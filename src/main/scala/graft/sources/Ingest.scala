@@ -82,23 +82,35 @@ object Ingest {
     }
 
     def fetch(url: String): Option[FetchedPage] = {
+      // non-retryable up front: a malformed URL never improves with backoff
+      val req =
+        try java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+          .GET().build()
+        catch { case _: IllegalArgumentException => return None }
       var attempt = 0
       while (attempt <= maxRetries) {
         val got =
           try {
-            val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-              .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
-              .GET().build()
             val resp = client.send(req,
               java.net.http.HttpResponse.BodyHandlers.ofString())
             if (resp.statusCode() < 500) Some(FetchedPage(resp.statusCode(), resp.body()))
             else None                               // 5xx → retry
-          } catch { case _: Exception => None }     // conn/timeout → retry
+          } catch {
+            // task cancellation must win immediately: restore the
+            // interrupt flag and stop — burning retries + sleeps here
+            // would pin the executor slot after Spark kills the task
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt(); return None
+            case _: Exception => None               // conn/timeout → retry
+          }
         if (got.isDefined) return got
         attempt += 1
         if (attempt <= maxRetries) {
           onRetry(attempt)
-          Thread.sleep(backoffMs * (1L << (attempt - 1)))  // exponential
+          try Thread.sleep(backoffMs * (1L << (attempt - 1)))  // exponential
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); return None }
         }
       }
       None

@@ -55,9 +55,9 @@ object EtlStream {
           if (res.warehouse.limit(1).count() > 0) {
             // idempotency re-check: at-least-once file delivery + anti-join
             // against already-landed keys = effective exactly-once append.
-            val minScrape = Option(
-              res.warehouse.agg(min(col("scrape_date"))).head.getTimestamp(0))
-            val fresh = landedKeys(batch.sparkSession, warehouseDir, minScrape) match {
+            val minPost = Option(
+              res.warehouse.agg(min(col("post_date"))).head.getTimestamp(0))
+            val fresh = landedKeys(batch.sparkSession, warehouseDir, minPost) match {
               case Some(keys) => res.warehouse.join(keys, Seq("uniq_id"), "left_anti")
               case None       => res.warehouse
             }
@@ -74,24 +74,28 @@ object EtlStream {
     if (drainAndStop) query.awaitTermination()
   }
 
-  /** Already-landed uniq_ids a replayed row could collide with. A
-    * replayed row carries the same scrape_date as its landed copy, so
-    * the idempotency anti-join only needs warehouse rows with
-    * scrape_date >= the incoming batch's minimum (plus null-scrape_date
-    * rows, whose replays the range test can't place). The predicate
-    * pushes into the parquet scan, so old files are skipped on footer
-    * stats — per-batch cost is proportional to the replay window, not
-    * to warehouse size; the previous form re-read the whole warehouse
-    * key column every micro-batch.
+  /** Already-landed uniq_ids an incoming row could collide with. The
+    * pruning column must be STABLE per uniq_id across scrape runs —
+    * uniq_id embeds post_date (post_date-ad_id-site_id-category,
+    * sources/Ingest.uniqId), so a colliding landed row always has the
+    * SAME post_date as the incoming one, and the anti-join only needs
+    * warehouse rows with post_date >= the batch's minimum. (scrape_date
+    * would be wrong here: a re-scraped ad carries a NEW scrape_date, so
+    * its landed copy would fall below the bound and slip through as a
+    * duplicate.) The predicate pushes into the parquet scan, so files
+    * whose post_date range is entirely older are skipped on footer
+    * stats — per-batch cost tracks the live-ad window, not warehouse
+    * size; the original form re-read the whole warehouse key column
+    * every micro-batch.
     */
   def landedKeys(spark: SparkSession, warehouseDir: String,
-                 minScrape: Option[java.sql.Timestamp]): Option[DataFrame] =
+                 minPost: Option[java.sql.Timestamp]): Option[DataFrame] =
     if (!Files.exists(java.nio.file.Paths.get(warehouseDir))) None
     else {
       val wh = spark.read.parquet(warehouseDir)
-      val pruned = minScrape match {
+      val pruned = minPost match {
         case Some(ts) =>
-          wh.filter(col("scrape_date").isNull || col("scrape_date") >= lit(ts))
+          wh.filter(col("post_date").isNull || col("post_date") >= lit(ts))
         case None => wh
       }
       Some(pruned.select("uniq_id"))

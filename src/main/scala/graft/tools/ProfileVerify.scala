@@ -62,8 +62,6 @@ object ProfileVerify {
 
     // kernel-only bound: evaluate the merge jaccard over the same pairs
     // driver-side to see what the arithmetic itself costs
-    val local = pruned.collect().map(r =>
-      (r.getLong(1), r.getSeq[String](2).toArray))
     val byLb = pruned.collect().groupBy(_.getLong(0))
     tme("driver-side merge jaccard") {
       var n = 0

@@ -89,6 +89,20 @@ class KernelFuzzSpec extends AnyFunSuite with SparkSpec {
     got.foreach { case (id, h, m) =>
       assert((h.isNaN && m.isNaN) || h == m, s"id=$id: hash=$h merge=$m")
     }
+    // null elements: array_distinct keeps one null, sort_array puts it
+    // first; the null slot must count as one shared distinct value, as
+    // the hash-set kernel treats it — never NPE
+    val withNull = spark.range(1).select(
+      Sketches.jaccardSortedSim(
+        Sketches.sortedDistinct(array(lit("a"), lit(null).cast("string"), lit("b"))),
+        Sketches.sortedDistinct(array(lit(null).cast("string"), lit("b"), lit("c"))))
+        .as("j"),
+      Sketches.jaccardSim(
+        array(lit("a"), lit(null).cast("string"), lit("b")),
+        array(lit(null).cast("string"), lit("b"), lit("c"))).as("h"))
+      .collect()(0)
+    assert(withNull.getDouble(0) == withNull.getDouble(1))
+    assert(withNull.getDouble(0) == 2.0 / 4.0)   // {null,b} of {null,a,b,c}
   }
 
   test("HTML selector codegen survives quote/backslash patterns") {

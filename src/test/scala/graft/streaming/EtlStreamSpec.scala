@@ -35,24 +35,35 @@ class EtlStreamSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(wh).count() == 6)
     assert(ids.contains("10000099"))
     assert(ids.count(_ == "10000001") == 1)            // replay did not duplicate
+
+    // a RE-SCRAPE two days later: same ad (same uniq_id — it derives
+    // from post_date, not scrape time) with a NEW scrape_date. The
+    // landed copy has the same post_date, so the post_date-pruned
+    // anti-join must still see it — no duplicate lands.
+    Files.writeString(Paths.get(s"$rawDir/batch3.jsonl"),
+      lines.head.replace("2017-05-06 10:00:00", "2017-05-08 09:00:00"))
+    EtlStream.run(spark, rawDir, fixture("site_dim.csv"), wh, qr, cp)
+    assert(spark.read.parquet(wh).count() == 6)
+    assert(spark.read.parquet(wh).select("ad_id").collect()
+      .map(_.getString(0)).count(_ == "10000001") == 1)
   }
 
-  test("idempotency key scan pushes the scrape_date bound into the parquet scan") {
+  test("idempotency key scan pushes the post_date bound into the parquet scan") {
     import org.apache.spark.sql.functions._
     val whDir = s"${tmp()}/warehouse"
     spark.range(10).select(
         concat(lit("u"), col("id")).as("uniq_id"),
-        timestamp_seconds(lit(1700000000L) + col("id") * 86400).as("scrape_date"),
+        timestamp_seconds(lit(1700000000L) + col("id") * 86400).as("post_date"),
         lit("CA").as("state"))
       .write.partitionBy("state").parquet(whDir)
     val keys = EtlStream.landedKeys(spark, whDir,
       Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + 5 * 86400))))
     assert(keys.isDefined)
     val plan = keys.get.queryExecution.executedPlan.toString
-    assert(plan.contains("GreaterThanOrEqual(scrape_date"),
-      s"scrape_date bound not pushed to the scan:\n${plan.take(2000)}")
-    assert(plan.contains("IsNull(scrape_date"),
-      "null-scrape_date rows must stay in the anti-join set")
+    assert(plan.contains("GreaterThanOrEqual(post_date"),
+      s"post_date bound not pushed to the scan:\n${plan.take(2000)}")
+    assert(plan.contains("IsNull(post_date"),
+      "null-post_date rows must stay in the anti-join set")
     assert(keys.get.count() == 5)
     assert(EtlStream.landedKeys(spark, s"${tmp()}/nope", None).isEmpty)
   }
