@@ -20,12 +20,18 @@ object Extensions {
   val corpusSplitSpec: Seq[(String, Double)] =
     Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
-  /** Exact dedup by content hash (hash-groupBy, one shuffle). */
+  /** Exact dedup by content hash (hash-groupBy, one shuffle). The
+    * group key is md5(text), NOT text: the shuffle then carries 16-byte
+    * hashes instead of every byte of the corpus — at 100 TB grouping by
+    * the raw text would ship the whole dataset through the exchange.
+    * (The output was already keyed by md5, so hash-grouping changes
+    * nothing short of an md5 collision, which the hash-keyed output
+    * could not represent anyway.) */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .groupBy(col("text"))
+      .select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-      .select(md5(col("text")).as("text_hash"), col("keep_id"), col("n_dups"))
       .orderBy("text_hash")
 
   /** Word-set Jaccard similarity vs a fixed document (doc_id=0), top 50
@@ -294,9 +300,10 @@ object Extensions {
 /** DuckDB oracles for the deterministic extension queries. */
 object ExtensionOracles {
 
+  /** GROUP BY the hash, mirroring the operator's shuffle key. */
   val dedupExact: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
-      |FROM documents GROUP BY text ORDER BY text_hash""".stripMargin
+      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
 
   val dedupJaccard: String =
     """WITH tok AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS tk FROM documents),
