@@ -37,6 +37,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Column pruning must reach the parquet scan: a scan that reads
+    * columns a query never touches wastes IO proportional to corpus
+    * size at 100 TB. Representative queries per table; the assert is on
+    * the scan's ReadSchema line, the ground truth of what gets read. */
+  private val prunedScans = Seq(
+    // (query, column that must NOT be read, column that must be)
+    ("q18_tumbling_day", "props", "event_type"),     // events: never reads props
+    ("q5_groupby_agg", "l_partkey", "l_quantity"),   // lineitem: no partkey
+                                                     // (l_shipdate IS read — pushed filter)
+    ("text_tokens", "source", "text"),               // documents: id+text only
+    ("dedup_exact", "lang", "text"),
+    ("q23_sessionize", "props", "user_id"),
+    ("q14_range_join", "value", "user_id"))
+
+  prunedScans.foreach { case (name, absent, present) =>
+    test(s"$name: parquet scan prunes '$absent', reads '$present'") {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+      assert(readSchemas.nonEmpty, s"no parquet scan found in $name")
+      assert(!readSchemas.exists(_.contains(absent)),
+        s"$name reads unused column '$absent':\n${readSchemas.mkString("\n")}")
+      assert(readSchemas.exists(_.contains(present)),
+        s"$name scan missing required column '$present':\n${readSchemas.mkString("\n")}")
+    }
+  }
+
   test("q14_range_join: shuffle key is (user_id, hour_bucket), never bare user_id") {
     // at sf0.001 the tiny side broadcasts (fine); what must hold at any
     // plan choice is the equi-key arity — (user_id, hour_bucket), so a
