@@ -112,12 +112,6 @@ object SketchUtil {
     c
   }
 
-  /** Jaccard similarity of two string arrays under distinct-set
-    * semantics: |A∩B| / (|A|+|B|-|A∩B|) with A, B deduplicated — the
-    * exact value of the array_distinct/array_intersect Column
-    * formulation, in one hash-set pass instead of two distincts plus a
-    * twice-referenced intersect. Null elements participate as one
-    * distinct value, as array_distinct keeps them. */
   /** Jaccard of two sorted-distinct string arrays by a merge walk:
     * O(|a|+|b|) UTF8String binary comparisons, zero allocation. Inputs
     * MUST be sort_array(array_distinct(...)) — sort_array's ordering is
@@ -143,6 +137,12 @@ object SketchUtil {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Jaccard similarity of two string arrays under distinct-set
+    * semantics: |A∩B| / (|A|+|B|-|A∩B|) with A, B deduplicated — the
+    * exact value of the array_distinct/array_intersect Column
+    * formulation, in one hash-set pass instead of two distincts plus a
+    * twice-referenced intersect. Null elements participate as one
+    * distinct value, as array_distinct keeps them. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val sa = new java.util.HashSet[UTF8String]()
     var aNull = false

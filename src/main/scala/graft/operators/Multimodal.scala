@@ -119,7 +119,9 @@ object Multimodal {
       var i = 12
       while (i + 8 <= b.length) {
         val size = le32(b, i + 4)
-        if (size < 0) return MediaMeta("unknown", 0, 0, 0, 0)
+        // corrupt sizes: negative, or larger than the remaining bytes —
+        // either would step zero/backwards or overflow i negative
+        if (size < 0 || size > b.length - i - 8) return MediaMeta("unknown", 0, 0, 0, 0)
         if (ascii(b, i, "fmt ") && i + 16 <= b.length)
           return MediaMeta("wav", 0, 0, 0, le32(b, i + 12))
         i += 8 + size + (size & 1)                       // chunks are word-aligned

@@ -23,13 +23,26 @@ object StreamingQueries {
     * cross-batch dedup state is genuinely exercised. */
   private def stageEvents(dir: String, copies: Int): String = {
     val staged = Files.createTempDirectory("graft_stream_q")
-    staged.toFile.deleteOnExit()
     (1 to copies).foreach { i =>
-      val f = staged.resolve(s"events_$i.parquet")
-      Files.copy(Paths.get(s"$dir/events.parquet"), f)
-      f.toFile.deleteOnExit()
+      Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve(s"events_$i.parquet"))
     }
     staged.toString
+  }
+
+  /** Stage, drain, and DELETE the staged copies before returning: the
+    * drain is complete once awaitTermination returns, so repeated
+    * invocations (bench loops, the verify sweep) leave nothing behind
+    * instead of accumulating one temp dir of parquet copies per call.
+    */
+  private def drainStaged(s: SparkSession, dir: String, copies: Int)(
+      start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val staged = stageEvents(dir, copies)
+    try withDrainPartitions(s) { start(staged).awaitTermination() }
+    finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(staged)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+    }
   }
 
   /** Read the drained memory-sink table and immediately drop its catalog
@@ -63,9 +76,7 @@ object StreamingQueries {
     */
   def streamSession(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_session_${System.nanoTime()}"
-    withDrainPartitions(s) {
-      SessionStream.run(s, stageEvents(dir, copies = 1), name).awaitTermination()
-    }
+    drainStaged(s, dir, copies = 1)(SessionStream.run(s, _, name))
     val maxTs = t(s, dir, "events")
       .groupBy("user_id").agg(unix_micros(max(col("ts"))).as("max_ts"))
     drained(s, name)
@@ -83,9 +94,7 @@ object StreamingQueries {
     * across batches is pinned separately in StreamJoinSpec.) */
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_join_${System.nanoTime()}"
-    withDrainPartitions(s) {
-      StreamJoin.attributionJoin(s, stageEvents(dir, copies = 1), name).awaitTermination()
-    }
+    drainStaged(s, dir, copies = 1)(StreamJoin.attributionJoin(s, _, name))
     drained(s, name)
       .select(col("purchase_id"), col("view_id"), col("user_id"), col("lag_us"))
       .orderBy("purchase_id", "view_id")
@@ -97,10 +106,8 @@ object StreamingQueries {
     * convention. */
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_window_${System.nanoTime()}"
-    withDrainPartitions(s) {
-      graft.streaming.EtlStream.eventWindowCounts(s, stageEvents(dir, copies = 1), name)
-        .awaitTermination()
-    }
+    drainStaged(s, dir, copies = 1)(
+      graft.streaming.EtlStream.eventWindowCounts(s, _, name))
     drained(s, name)
       .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("cnt"), round(col("sum_value"), 2).as("sum_value"))
@@ -115,9 +122,7 @@ object StreamingQueries {
     * otherwise). */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_dedup_${System.nanoTime()}"
-    withDrainPartitions(s) {
-      StreamDedup.run(s, stageEvents(dir, copies = 2), name).awaitTermination()
-    }
+    drainStaged(s, dir, copies = 2)(StreamDedup.run(s, _, name))
     drained(s, name)
       .groupBy("event_type").agg(count(lit(1)).as("n_events"))
       .orderBy("event_type")

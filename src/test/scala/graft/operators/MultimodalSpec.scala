@@ -75,6 +75,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.HeaderDecoder.decode("not media at all".getBytes).kind == "unknown")
     assert(Multimodal.HeaderDecoder.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).kind == "unknown")
     assert(Multimodal.HeaderDecoder.decode(Array.empty[Byte]).kind == "unknown")
+    // corrupt RIFF chunk sizes: negative (would step 0/backwards) and
+    // huge positive (would overflow the index negative) — both bail
+    def wavWithSize(sz: Long): Array[Byte] =
+      "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++ "WAVE".getBytes ++
+        "junk".getBytes ++ Array[Byte](
+          (sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+          ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte) ++
+        new Array[Byte](4)
+    assert(Multimodal.HeaderDecoder.decode(wavWithSize(0xFFFFFFF8L)).kind == "unknown")
+    assert(Multimodal.HeaderDecoder.decode(wavWithSize(0x7FFFFFF0L)).kind == "unknown")
+    assert(Multimodal.HeaderDecoder.decode("GIF89a".getBytes).kind == "unknown")
   }
 
   test("resize plan preserves aspect ratio and caps the long side") {
