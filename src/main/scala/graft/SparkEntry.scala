@@ -59,6 +59,7 @@ object SparkEntry {
     "emb_quantize"      -> (E.embQuantize(_, _)),
     "ann_q8_topk"       -> (E.annQ8(_, _)),
     "corpus_split"      -> (E.corpusSplit(_, _)),
+    "corpus_sample"     -> (E.corpusSample(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),
     "text_langid"       -> (E.textLangid(_, _)),
@@ -108,6 +109,7 @@ object SparkEntry {
     "dedup_minhash_verify" -> EO.dedupMinhashVerify,
     "ann_q8_topk"       -> EO.annQ8,
     "corpus_split"      -> EO.corpusSplit,
+    "corpus_sample"     -> EO.corpusSample,
     "emb_quantize"      -> EO.embQuantize,
     "text_tokens"       -> EO.textTokens,
     "text_langid"       -> EO.textLangid,

@@ -56,4 +56,35 @@ object CorpusSplit {
   /** df + `split` column. */
   def split(df: DataFrame, keyCol: String, splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", assign(col(keyCol), splits))
+
+  /** 8-hex-char keep-threshold for a single fraction: rows whose md5
+    * bucket is lexicographically below it are kept (≈frac of them).
+    * frac ≥ 1 returns "g" — greater than every hex string, so the
+    * comparison keeps ALL rows exactly (no 1/2^32 clip), and the same
+    * trick is expressible verbatim in the DuckDB oracle. */
+  def hexCut(frac: Double): String =
+    if (frac >= 1.0) "g"
+    else f"${math.max(0L, math.floor(frac * 4294967296.0).toLong)}%08x"
+
+  /** Deterministic stratified downsampling — the corpus-rebalancing
+    * primitive of a training-data pipeline (e.g. cap the dominant
+    * language while keeping the tail whole). A row is kept iff its
+    * md5(key) bucket falls below its stratum's [[hexCut]]: a pure
+    * projection+filter over the scan (no shuffle, no RNG state), stable
+    * across runs/partitionings, and — like [[assign]] — reproducible in
+    * any engine with md5, so the sample can be recomputed and audited
+    * outside Spark. Correlated with [[assign]]'s buckets by design:
+    * sampling then splitting keeps strata proportions inside each
+    * split. */
+  def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFrac: Double = 1.0): DataFrame = {
+    require(fractions.values.forall(_ >= 0), "non-negative fractions required")
+    val h = substring(md5(col(keyCol).cast("string")), 1, 8)
+    val cut = fractions.foldLeft(lit(hexCut(defaultFrac))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === lit(stratum), lit(hexCut(f))).otherwise(acc)
+    }
+    df.filter(h < cut)
+  }
 }

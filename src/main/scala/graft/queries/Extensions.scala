@@ -209,6 +209,21 @@ object Extensions {
       .groupBy("split").agg(count(lit(1)).as("n_docs"))
       .orderBy("split")
 
+  /** The one stratified-sampling spec shared by corpus_sample and its
+    * oracle: cap the dominant language at 25%, halve zh, keep the rest
+    * whole — the classic corpus-rebalancing move. */
+  val corpusSampleSpec: Map[String, Double] = Map("en" -> 0.25, "zh" -> 0.5)
+
+  /** Deterministic stratified downsampling by content hash
+    * ([[graft.operators.CorpusSplit.sampleStratified]]): per-language
+    * kept counts, oracle-checked — the DuckDB CASE derives its
+    * thresholds from the same hexCut computation. */
+  def corpusSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusSplit
+      .sampleStratified(t(s, dir, "documents"), "text", "lang", corpusSampleSpec)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+
   /** Token counting (whitespace + BPE-ish regex), oracle-checked. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -385,6 +400,20 @@ object ExtensionOracles {
        |            ELSE '${spec.last._1}' END AS split,
        |       count(*) AS n_docs
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
+  /** CASE thresholds derived from CorpusSplit.hexCut over
+    * [[Extensions.corpusSampleSpec]] — same no-drift property as the
+    * corpus_split oracle ('g' sorts above every hex digit = keep all). */
+  val corpusSample: String = {
+    val cuts = Extensions.corpusSampleSpec.toSeq.sortBy(_._1).map {
+      case (stratum, f) =>
+        s"WHEN '$stratum' THEN '${graft.operators.CorpusSplit.hexCut(f)}'"
+    }.mkString("\n            ")
+    s"""SELECT lang, count(*) AS n_kept FROM documents
+       |WHERE substr(md5(text), 1, 8) < CASE lang $cuts
+       |            ELSE '${graft.operators.CorpusSplit.hexCut(1.0)}' END
+       |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   val dedupMinhashVerify: String =

@@ -38,4 +38,38 @@ class CorpusSplitSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
+
+  test("stratified sample: per-stratum fractions hold, others untouched, no shuffle") {
+    val docs = t(spark, dir, "documents")
+    val fractions = Map("en" -> 0.25, "zh" -> 0.5)
+    val kept = CorpusSplit.sampleStratified(docs, "text", "lang", fractions)
+    val keptBy = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val allBy = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // capped strata: kept fraction within a loose binomial band
+    assert(keptBy("en").toDouble / allBy("en") > 0.15 &&
+      keptBy("en").toDouble / allBy("en") < 0.35, s"en: $keptBy vs $allBy")
+    assert(keptBy("zh").toDouble / allBy("zh") > 0.35 &&
+      keptBy("zh").toDouble / allBy("zh") < 0.65, s"zh: $keptBy vs $allBy")
+    // default fraction 1.0: untouched strata keep EVERY row (the 'g'
+    // sentinel compares above any hex bucket — no 1/2^32 clip)
+    for (l <- Seq("de", "es", "fr")) assert(keptBy(l) == allBy(l), l)
+    // deterministic + partition-independent, like split
+    val a = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = CorpusSplit.sampleStratified(docs.repartition(13), "text", "lang", fractions)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // filter over the scan, no shuffle
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("sampling then splitting: strata stay proportional inside each split") {
+    val docs = t(spark, dir, "documents")
+    val sampled = CorpusSplit.sampleStratified(docs, "text", "lang", Map("en" -> 0.25))
+    val split = CorpusSplit.split(sampled, "text", weights)
+    // the train split of the sampled corpus still holds ~90% of it
+    val n = sampled.count().toDouble
+    val train = split.filter($"split" === "train").count().toDouble
+    assert(train / n > 0.8 && train / n <= 1.0)
+  }
 }
