@@ -60,6 +60,7 @@ object SparkEntry {
     "ann_q8_topk"       -> (E.annQ8(_, _)),
     "corpus_split"      -> (E.corpusSplit(_, _)),
     "corpus_sample"     -> (E.corpusSample(_, _)),
+    "corpus_pack"       -> (E.corpusPack(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),
     "text_langid"       -> (E.textLangid(_, _)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "ann_q8_topk"       -> EO.annQ8,
     "corpus_split"      -> EO.corpusSplit,
     "corpus_sample"     -> EO.corpusSample,
+    "corpus_pack"       -> EO.corpusPack,
     "emb_quantize"      -> EO.embQuantize,
     "text_tokens"       -> EO.textTokens,
     "text_langid"       -> EO.textLangid,

@@ -224,6 +224,16 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Sequence packing into 4096-char chunks across 8 parallel buckets
+    * ([[graft.operators.Packing]]), rolled up per chunk and
+    * oracle-checked — the window arithmetic is engine-portable. */
+  def corpusPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunkStats(
+      graft.operators.Packing.packSequences(
+        t(s, dir, "documents"), "doc_id", "n_chars", budget = 4096L, buckets = 8),
+      "n_chars")
+      .orderBy("bucket", "seq_no")
+
   /** Token counting (whitespace + BPE-ish regex), oracle-checked. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -415,6 +425,18 @@ object ExtensionOracles {
        |            ELSE '${graft.operators.CorpusSplit.hexCut(1.0)}' END
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  /** The packing window arithmetic, verbatim: cumulative weight BEFORE
+    * each doc within its (doc_id % 8) bucket, chunk = floor(/4096). */
+  val corpusPack: String =
+    """WITH w AS (
+      |  SELECT doc_id % 8 AS bucket, doc_id, n_chars,
+      |         sum(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |                            ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before
+      |  FROM documents)
+      |SELECT bucket, CAST(floor(cum_before / 4096.0) AS BIGINT) AS seq_no,
+      |       count(*) AS n_docs, sum(n_chars) AS sum_weight
+      |FROM w GROUP BY bucket, seq_no ORDER BY bucket, seq_no""".stripMargin
 
   val dedupMinhashVerify: String =
     """WITH sh AS (
