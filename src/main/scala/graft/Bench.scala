@@ -23,7 +23,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    Thread.sleep(3000) // settle: a concurrently-exiting JVM (sbt test) inflates early timings
+    // The four stream_* drains churn state-store commits and temp-dir cleanup
+    // threads; in plain sorted order that noise lands on whichever queries sort
+    // after "stream_*" (measured 2.6-3.2x inflation on text_* in BENCH_r04).
+    // Run every batch query first, then the drains last.
+    val (drains, batch) = SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.startsWith("stream_"))
+    val results = (batch ++ drains).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a crashed query must not masquerade as a fast pass: record -1.0
       val ok =

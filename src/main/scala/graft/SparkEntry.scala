@@ -56,6 +56,8 @@ object SparkEntry {
     "dedup_embedding"   -> (E.dedupEmbedding(_, _)),
     "ann_lsh_topk"      -> (E.annLsh(_, _)),
     "ann_ivf_topk"      -> (E.annIvf(_, _)),
+    "ann_ivf_stored"    -> (E.annIvfStored(_, _)),
+    "ann_ivf_kmeans"    -> (E.annIvfKmeans(_, _)),
     "emb_quantize"      -> (E.embQuantize(_, _)),
     "ann_q8_topk"       -> (E.annQ8(_, _)),
     "corpus_split"      -> (E.corpusSplit(_, _)),

@@ -7,13 +7,37 @@ import scala.collection.mutable.ArrayBuffer
   * `find(tag, attr)`-shaped, plus one text-match selector). Not a general
   * HTML parser: it tracks nesting depth of a single tag name, which is
   * exactly what the extraction semantics need, and runs on executors
-  * inside a UDF (HTML parsing is inherently non-codegen; everything
-  * around it stays built-in expressions — SURVEY §2.8).
+  * behind the native Catalyst expressions in [[HtmlExpressions]] (HTML
+  * parsing is inherently non-codegen; everything around it stays
+  * built-in expressions — SURVEY §2.8).
+  *
+  * Tag boundaries are found by a quote-aware linear scan, not a `[^>]*`
+  * regex: real scraped pages carry `>` inside quoted attribute values
+  * (`<div class="a>b">`), which a bare negated class would treat as the
+  * end of the tag and mis-parse both the attributes and the element
+  * body.
   */
 object HtmlLite {
 
-  private val TagOpen = """(?is)<([a-z][a-z0-9]*)((?:\s[^>]*)?)>""".r
+  private val TagStart = """(?i)<([a-z][a-z0-9]*)""".r
   private val AttrRe = """(?is)([a-z-]+)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""".r
+
+  /** Index of the `>` closing the tag whose name ends at `from`,
+    * honoring single- and double-quoted attribute values. -1 when the
+    * tag never closes (truncated or quote-unterminated page — the tag
+    * is treated as absent rather than parsed loosely). */
+  private def tagEnd(html: String, from: Int): Int = {
+    var i = from
+    var quote: Char = 0
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i
+      i += 1
+    }
+    -1
+  }
 
   private def attrs(attrStr: String): Map[String, String] =
     AttrRe.findAllMatchIn(attrStr).map { m =>
@@ -30,11 +54,14 @@ object HtmlLite {
     if (html == null) return Nil
     val re = ("""(?i)^""" + valueRe + "$").r
     val out = ArrayBuffer.empty[String]
-    for (m <- TagOpen.findAllMatchIn(html) if m.group(1).equalsIgnoreCase(tag)) {
-      val a = attrs(m.group(2))
-      val hit = attr == null || a.get(attr.toLowerCase).exists(
-        _.split("\\s+").exists(tok => re.findFirstIn(tok).isDefined))
-      if (hit) innerHtml(html, m.end, tag).foreach(out += _)
+    for (m <- TagStart.findAllMatchIn(html) if m.group(1).equalsIgnoreCase(tag)) {
+      val end = tagEnd(html, m.end)
+      if (end >= 0) {
+        val a = attrs(html.substring(m.end, end))
+        val hit = attr == null || a.get(attr.toLowerCase).exists(
+          _.split("\\s+").exists(tok => re.findFirstIn(tok).isDefined))
+        if (hit) innerHtml(html, end + 1, tag).foreach(out += _)
+      }
     }
     out.toSeq
   }
@@ -43,13 +70,29 @@ object HtmlLite {
   def findFirst(html: String, tag: String, attr: String, valueRe: String): Option[String] =
     findAll(html, tag, attr, valueRe).headOption
 
-  /** Inner HTML from `from` to the matching close of `tag` (depth-aware). */
+  /** Inner HTML from `from` to the matching close of `tag` (depth-aware,
+    * quote-aware: a `>` inside a nested tag's quoted attribute must not
+    * end that tag early, and close-tag text inside a quoted value must
+    * not decrement the depth). */
   private def innerHtml(html: String, from: Int, tag: String): Option[String] = {
-    val token = ("""(?i)<(/?)""" + tag + """(?=[\s>/])[^>]*>""").r
     var depth = 1
-    for (m <- token.findAllMatchIn(html.substring(from))) {
-      if (m.group(1).isEmpty) depth += 1 else depth -= 1
-      if (depth == 0) return Some(html.substring(from, from + m.start))
+    var i = from
+    val n = html.length
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) return None
+      val isClose = lt + 1 < n && html.charAt(lt + 1) == '/'
+      val nameAt = if (isClose) lt + 2 else lt + 1
+      val after = nameAt + tag.length
+      val named = html.regionMatches(true, nameAt, tag, 0, tag.length) &&
+        (after >= n || { val c = html.charAt(after); c == '>' || c == '/' || Character.isWhitespace(c) })
+      if (named) {
+        val end = tagEnd(html, after)
+        if (end < 0) return None
+        if (isClose) depth -= 1 else depth += 1
+        if (depth == 0) return Some(html.substring(from, lt))
+        i = end + 1
+      } else i = lt + 1
     }
     None
   }
@@ -59,16 +102,31 @@ object HtmlLite {
   def findByText(html: String, tag: String, textRe: String): Option[String] = {
     if (html == null) return None
     val re = textRe.r
-    TagOpen.findAllMatchIn(html)
+    TagStart.findAllMatchIn(html)
       .filter(_.group(1).equalsIgnoreCase(tag))
-      .flatMap(m => innerHtml(html, m.end, tag))
+      .flatMap { m =>
+        val end = tagEnd(html, m.end)
+        if (end < 0) None else innerHtml(html, end + 1, tag)
+      }
       .find(inner => re.findFirstIn(text(inner)).isDefined)
   }
 
-  /** Tag-stripped text with the handful of entities the fixtures use. */
+  /** Tag-stripped text with the handful of entities the fixtures use.
+    * Tags are skipped with the same quote-aware scan as [[tagEnd]]; a
+    * `<` that never closes is kept verbatim (truncated page). */
   def text(inner: String): String = {
     if (inner == null) return ""
-    inner.replaceAll("(?is)<[^>]*>", "")
+    val sb = new StringBuilder
+    var i = 0
+    val n = inner.length
+    while (i < n) {
+      val c = inner.charAt(i)
+      if (c == '<') {
+        val end = tagEnd(inner, i + 1)
+        if (end < 0) { sb.append(inner, i, n); i = n } else i = end + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
       .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
   }
@@ -76,9 +134,12 @@ object HtmlLite {
   /** All href attribute values of <a> tags inside `html`. */
   def hrefs(html: String): Seq[String] = {
     if (html == null) return Nil
-    TagOpen.findAllMatchIn(html)
+    TagStart.findAllMatchIn(html)
       .filter(_.group(1).equalsIgnoreCase("a"))
-      .flatMap(m => attrs(m.group(2)).get("href"))
+      .flatMap { m =>
+        val end = tagEnd(html, m.end)
+        if (end < 0) None else attrs(html.substring(m.end, end)).get("href")
+      }
       .toSeq
   }
 }

@@ -227,7 +227,10 @@ object Dedup {
     * custom Catalyst expression (codegen, no UDF).
     */
   def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = split(lower(trim(col(textCol))), "\\s+")
+    // shared whitespace class, not Java "\\s+": \s matches \x0B on the
+    // JVM but not in RE2/DuckDB, and the one stray tokenizer would
+    // silently diverge if a simhash oracle ever lands
+    val tokens = split(lower(trim(col(textCol))), TextAnalysis.WsClass)
     df.select(col(idCol), Sketches.simhash64(tokens).as("simhash"))
       .withColumn("bands", array((0 until 4).map { b =>
         struct(lit(b).as("band"),

@@ -174,6 +174,44 @@ object Extensions {
       .orderBy("qid", "rank")
   }
 
+  /** ANN over a storage-partitioned IVF corpus: same codebook and probe
+    * parameters as [[annIvf]], but the corpus is first materialized
+    * `partitionBy(list_id)` and the union of probed lists reaches the
+    * scan as a static partition filter — only the probed directories
+    * are listed and read ([[Similarity.ivfTopKStored]]). This is the
+    * plan the engine runs at 100 TB: scan cost scales with
+    * nprobe/nlist, not corpus size. Rows-only at the driver (seeded
+    * codebook); equality with the in-memory [[annIvf]] plan and the
+    * PartitionFilters pruning are both asserted in SimilaritySpec. */
+  def annIvfStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivf_q").toString + "/corpus"
+    Similarity.writeIvfCorpus(emb, "vec_id", "embedding", cents, store)
+    Similarity.ivfTopKStored(s, store, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, cents, nprobe = 4)
+      .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** ANN via a k-means-REFINED IVF codebook: the stride-sampled seed of
+    * [[annIvf]] is Lloyd-iterated twice ([[Similarity.kmeansRefine]])
+    * before the same probe path runs — the trained-codebook flow of a
+    * production IVF index (train on a sample, assign the corpus,
+    * search). Rows-only (iterated means aren't DuckDB-reproducible);
+    * recall at equal nprobe ≥ the stride codebook's is asserted in
+    * SimilaritySpec. */
+  def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val seed = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val cents = Similarity.kmeansRefine(emb, "vec_id", "embedding", seed, iters = 2)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "vec_id",
+      "embedding", k = 10, cents, nprobe = 4)
+      .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** ANN over int8-quantized codes: integer-dot-product cosine, no
     * dequantization. Oracle-checked: trunc-based quantization and
     * integer dots are exact in both engines, so even the float ranking
@@ -435,7 +473,7 @@ object ExtensionOracles {
       |                            ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before
       |  FROM documents)
       |SELECT bucket, CAST(floor(cum_before / 4096.0) AS BIGINT) AS seq_no,
-      |       count(*) AS n_docs, sum(n_chars) AS sum_weight
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_weight
       |FROM w GROUP BY bucket, seq_no ORDER BY bucket, seq_no""".stripMargin
 
   val dedupMinhashVerify: String =

@@ -56,6 +56,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(hammingNear <= 16, s"near-dup hamming was $hammingNear")
   }
 
+  test("simhash tokenizer uses the shared whitespace class (\\x0B is a token char)") {
+    // Java's \s matches \x0B but TextAnalysis.WsClass (the class every
+    // oracle-checked text operator splits on) deliberately does not —
+    // simhash must tokenize the same way, so "a\x0Bb" is ONE token and
+    // hashes differently from the two-token "a b"
+    val d = Dedup.simhashDocs(
+      Seq((1L, "a\u000Bb"), (2L, "a b"), (3L, "a\u000Bb extra")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(d(1L) != d(2L), "\\x0B was treated as a token separator")
+    // and the single token "a\x0Bb" is shared with doc 3 (same feature)
+    assert(java.lang.Long.bitCount(d(1L) ^ d(3L)) <=
+      java.lang.Long.bitCount(d(2L) ^ d(3L)))
+  }
+
   test("simhashPairs returns the exact-dup pair at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

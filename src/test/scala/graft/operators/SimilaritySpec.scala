@@ -110,6 +110,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit.toDouble / bf.size >= 0.4, s"recall ${hit.toDouble / bf.size}")
   }
 
+  test("k-means-refined codebook: recall at equal nprobe >= stride codebook") {
+    def recall(cents: Array[(Long, Array[Double])]): Double = {
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
+        k = 10, cents, nprobe = 3)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "vec_id", "embedding", 10)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      bf.count(ivf.contains).toDouble / bf.size
+    }
+    val seed = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val refined = Similarity.kmeansRefine(emb, "vec_id", "embedding", seed, iters = 2)
+    val (rSeed, rRefined) = (recall(seed), recall(refined))
+    assert(rRefined >= rSeed,
+      s"refined codebook recall $rRefined < stride codebook recall $rSeed")
+  }
+
   test("stored IVF corpus: partition-pruned probes, identical results") {
     val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
