@@ -92,7 +92,15 @@ object HtmlLite {
         if (isClose) depth -= 1 else depth += 1
         if (depth == 0) return Some(html.substring(from, lt))
         i = end + 1
-      } else i = lt + 1
+      } else {
+        // A non-matching tag still owns its quoted attributes: skip the
+        // whole tag (quote-aware), or a '</tag>' hiding inside another
+        // tag's quoted value (<span title="</div>">) would decrement the
+        // depth and truncate the extraction early.
+        val isTag = nameAt < n && Character.isLetter(html.charAt(nameAt))
+        val end = if (isTag) tagEnd(html, nameAt) else -1
+        i = if (end >= 0) end + 1 else lt + 1
+      }
     }
     None
   }
@@ -123,7 +131,7 @@ object HtmlLite {
       val c = inner.charAt(i)
       if (c == '<') {
         val end = tagEnd(inner, i + 1)
-        if (end < 0) { sb.append(inner, i, n); i = n } else i = end + 1
+        if (end < 0) { sb.append(inner.substring(i)); i = n } else i = end + 1
       } else { sb.append(c); i += 1 }
     }
     sb.toString
