@@ -55,13 +55,16 @@ object EtlStream {
           if (res.warehouse.limit(1).count() > 0) {
             // idempotency re-check: at-least-once file delivery + anti-join
             // against already-landed keys = effective exactly-once append.
-            val minPost = Option(
-              res.warehouse.agg(min(col("post_date"))).head.getTimestamp(0))
-            val fresh = landedKeys(batch.sparkSession, warehouseDir, minPost) match {
+            val months = res.warehouse
+              .select(postMonth(col("post_date")).as("m")).distinct()
+              .collect().map(_.getString(0)).toSeq
+            val fresh = landedKeys(batch.sparkSession, warehouseDir, months) match {
               case Some(keys) => res.warehouse.join(keys, Seq("uniq_id"), "left_anti")
               case None       => res.warehouse
             }
-            fresh.write.mode("append").partitionBy("state").parquet(warehouseDir)
+            fresh.withColumn("post_month", postMonth(col("post_date")))
+              .write.mode("append").partitionBy("state", "post_month")
+              .parquet(warehouseDir)
           }
           if (res.quarantine.limit(1).count() > 0)
             res.quarantine.withColumn("batch_id", lit(batchId))
@@ -74,30 +77,36 @@ object EtlStream {
     if (drainAndStop) query.awaitTermination()
   }
 
-  /** Already-landed uniq_ids an incoming row could collide with. The
-    * pruning column must be STABLE per uniq_id across scrape runs —
-    * uniq_id embeds post_date (post_date-ad_id-site_id-category,
-    * sources/Ingest.uniqId), so a colliding landed row always has the
-    * SAME post_date as the incoming one, and the anti-join only needs
-    * warehouse rows with post_date >= the batch's minimum. (scrape_date
-    * would be wrong here: a re-scraped ad carries a NEW scrape_date, so
-    * its landed copy would fall below the bound and slip through as a
-    * duplicate.) The predicate pushes into the parquet scan, so files
-    * whose post_date range is entirely older are skipped on footer
-    * stats — per-batch cost tracks the live-ad window, not warehouse
-    * size; the original form re-read the whole warehouse key column
-    * every micro-batch.
+  /** Warehouse month-partition key. The pruning column must be STABLE
+    * per uniq_id across scrape runs — uniq_id embeds post_date
+    * (post_date-ad_id-site_id-category, sources/Ingest.uniqId), so a
+    * colliding landed row always shares the incoming row's month.
+    * (scrape_date would be wrong here: a re-scraped ad carries a NEW
+    * scrape_date, so its landed copy would land in a different
+    * partition and slip through as a duplicate.) Null post_dates get a
+    * dedicated partition value rather than Hive's default marker so the
+    * prune can ask for them explicitly. */
+  def postMonth(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(date_format(c, "yyyy-MM"), lit("unknown"))
+
+  /** Already-landed uniq_ids an incoming row could collide with: the
+    * warehouse key scan restricted, via partition pruning on
+    * `post_month`, to exactly the months present in the batch. An
+    * earlier form bounded the scan by the batch's MIN post_date, which
+    * degraded to a near-full warehouse scan whenever one re-scraped
+    * ancient ad appeared in a batch — the month SET reads that one old
+    * directory plus the live window, never the span between. Per-batch
+    * cost tracks the number of distinct months in the batch (a handful),
+    * not warehouse size.
     */
   def landedKeys(spark: SparkSession, warehouseDir: String,
-                 minPost: Option[java.sql.Timestamp]): Option[DataFrame] =
+                 months: Seq[String]): Option[DataFrame] =
     if (!Files.exists(java.nio.file.Paths.get(warehouseDir))) None
     else {
       val wh = spark.read.parquet(warehouseDir)
-      val pruned = minPost match {
-        case Some(ts) =>
-          wh.filter(col("post_date").isNull || col("post_date") >= lit(ts))
-        case None => wh
-      }
+      val pruned =
+        if (wh.columns.contains("post_month")) wh.filter(col("post_month").isin(months: _*))
+        else wh   // legacy un-partitioned layout: full key scan, still correct
       Some(pruned.select("uniq_id"))
     }
 

@@ -48,24 +48,39 @@ class EtlStreamSpec extends AnyFunSuite with SparkSpec {
       .map(_.getString(0)).count(_ == "10000001") == 1)
   }
 
-  test("idempotency key scan pushes the post_date bound into the parquet scan") {
+  test("idempotency key scan partition-prunes to the batch's month set") {
     import org.apache.spark.sql.functions._
     val whDir = s"${tmp()}/warehouse"
-    spark.range(10).select(
+    // 12 monthly rows + one null post_date; one row per month directory
+    spark.range(12).select(
         concat(lit("u"), col("id")).as("uniq_id"),
-        timestamp_seconds(lit(1700000000L) + col("id") * 86400).as("post_date"),
+        timestamp_seconds(lit(1700000000L) + col("id") * 86400 * 30).as("post_date"),
         lit("CA").as("state"))
-      .write.partitionBy("state").parquet(whDir)
-    val keys = EtlStream.landedKeys(spark, whDir,
-      Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + 5 * 86400))))
+      .union(spark.range(1).select(
+        lit("unull").as("uniq_id"),
+        lit(null).cast("timestamp").as("post_date"),
+        lit("CA").as("state")))
+      .withColumn("post_month", EtlStream.postMonth(col("post_date")))
+      .write.partitionBy("state", "post_month").parquet(whDir)
+    val allMonths = spark.read.parquet(whDir)
+      .select("post_month").distinct().collect().map(_.getString(0)).sorted
+    assert(allMonths.length == 13 && allMonths.contains("unknown"))
+
+    // a batch holding one ancient re-scrape + the newest month + a null
+    // post_date row: the scan must read exactly those three directories,
+    // not the ten months in between (the old min-bound form read them all)
+    val probe = Seq(allMonths.head, allMonths(11), "unknown")
+    val keys = EtlStream.landedKeys(spark, whDir, probe)
     assert(keys.isDefined)
-    val plan = keys.get.queryExecution.executedPlan.toString
-    assert(plan.contains("GreaterThanOrEqual(post_date"),
-      s"post_date bound not pushed to the scan:\n${plan.take(2000)}")
-    assert(plan.contains("IsNull(post_date"),
-      "null-post_date rows must stay in the anti-join set")
-    assert(keys.get.count() == 5)
-    assert(EtlStream.landedKeys(spark, s"${tmp()}/nope", None).isEmpty)
+    assert(keys.get.count() == 3)
+    val scan = keys.get.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scan.toString.contains("PartitionFilters: [post_month"),
+      s"month set not applied as a partition filter:\n${scan.toString.take(2000)}")
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.files.size).sum == 3,
+      "partition pruning must list only the probed month directories")
+    assert(EtlStream.landedKeys(spark, s"${tmp()}/nope", Nil).isEmpty)
   }
 
   test("streaming tumbling-window agg matches the batch q18 totals") {
