@@ -63,9 +63,11 @@ object SparkEntry {
     "corpus_split"      -> (E.corpusSplit(_, _)),
     "corpus_sample"     -> (E.corpusSample(_, _)),
     "corpus_pack"       -> (E.corpusPack(_, _)),
+    "corpus_interleave" -> (E.corpusInterleave(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),
     "text_langid"       -> (E.textLangid(_, _)),
+    "text_tfidf"        -> (E.textTfidf(_, _)),
     "text_fingerprint"  -> (E.textFingerprint(_, _)),
     "mm_bytes"          -> (E.mmBytes(_, _)),
     "mm_decode"         -> (E.mmDecode(_, _)),
@@ -114,9 +116,11 @@ object SparkEntry {
     "corpus_split"      -> EO.corpusSplit,
     "corpus_sample"     -> EO.corpusSample,
     "corpus_pack"       -> EO.corpusPack,
+    "corpus_interleave" -> EO.corpusInterleave,
     "emb_quantize"      -> EO.embQuantize,
     "text_tokens"       -> EO.textTokens,
     "text_langid"       -> EO.textLangid,
+    "text_tfidf"        -> EO.textTfidf,
     "text_quality"      -> EO.textQuality,
     "mm_bytes"          -> EO.mmBytes,
     "mm_decode"         -> EO.mmDecode,

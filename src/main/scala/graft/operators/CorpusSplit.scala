@@ -76,6 +76,37 @@ object CorpusSplit {
     * outside Spark. Correlated with [[assign]]'s buckets by design:
     * sampling then splitting keeps strata proportions inside each
     * split. */
+  /** Rebalance a corpus toward a target mixture — the interleaving
+    * primitive of a training-data pipeline ("20% per language", "cap web
+    * crawl at 60%"). Each stratum's keep fraction is
+    * `min(1, total·share / n_s)`: strata above their target share are
+    * deterministically downsampled to it, strata at or below keep every
+    * row (a sampler can only remove — their realized shares simply end
+    * up above target, which is the standard behavior). Strata absent
+    * from `shares` are dropped: a mixture spec is exhaustive.
+    *
+    * The stratum counts are a bounded driver artifact (one row per
+    * stratum — the same class of artifact as an IVF codebook); the keep
+    * itself is [[sampleStratified]]'s md5-threshold projection, so the
+    * whole operator costs one tiny aggregate plus a scan — no shuffle
+    * of the corpus, stable across runs and partitionings, and
+    * recomputable in any engine with md5 (the fraction arithmetic uses
+    * only IEEE *,/ and min, which are correctly rounded, so an external
+    * engine derives bit-identical thresholds).
+    */
+  def interleaveToMixture(df: DataFrame, keyCol: String, strataCol: String,
+                          shares: Seq[(String, Double)]): DataFrame = {
+    require(shares.nonEmpty && shares.forall(_._2 >= 0), "non-negative shares required")
+    val counts = df.groupBy(col(strataCol).cast("string")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val fractions = shares.map { case (stratum, share) =>
+      stratum -> counts.get(stratum)
+        .map(n => math.min(1.0, total * share / n)).getOrElse(0.0)
+    }.toMap
+    sampleStratified(df, keyCol, strataCol, fractions, defaultFrac = 0.0)
+  }
+
   def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
                        fractions: Map[String, Double],
                        defaultFrac: Double = 1.0): DataFrame = {

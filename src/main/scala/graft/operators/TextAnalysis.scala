@@ -74,6 +74,48 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint (custom Catalyst expression). */
   def fingerprint(text: Column, k: Int = 8): Column = Sketches.docFingerprint(text, k)
 
+  /** Per-document top-k salient terms by TF-IDF — the corpus
+    * topic/quality signal of a curation pipeline. Every stage is keyed,
+    * never all-pairs: (1) per-(doc, term) counts — wordcount-shaped,
+    * map-side partial aggregation so the shuffle carries pre-combined
+    * pairs, not raw tokens; (2) document frequency per term, derived
+    * FROM (1)'s output (already one row per (doc, term) — no second
+    * pass over the corpus); (3) a term-keyed join of the two — the df
+    * side leaves (2) hash-partitioned by term, so only the pairs side
+    * re-shuffles; (4) per-doc top-k via the bounded-heap
+    * [[graft.functions.TopKAgg]] — ships ≤ k rows per doc and never
+    * sorts a partition. N (corpus size) rides along as a broadcast
+    * 1-row cross join, not a driver-side collect.
+    *
+    * Scoring is linear idf in parts-per-million,
+    * `floor(tf·10^6·N / df)`, computed in doubles: IEEE *,/ are
+    * correctly rounded, so ranking and values are bit-identical in any
+    * engine, whereas ln-idf differs in the last ulp between libm
+    * implementations and can flip ranks at exact-equality points like
+    * 2·ln(a) vs ln(a²). (Pure int64 would overflow at real corpus
+    * scale: tf·10^6·N passes 2^63 near 10^12 documents.) Ties break on
+    * term DESCENDING — the top-k heap takes the LARGEST (score, term)
+    * structs; the oracle mirrors that ordering.
+    */
+  def topTermsTfIdf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val pairs = df
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), WsClass)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTab = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    pairs.join(dfTab, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", (col("tf") * lit(1000000.0)) * col("n_total") / col("df"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("score"), col("term"), col("tf"), col("df")), k).as("top"))
+      .select(col(idCol), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col(idCol), (col("i") + 1).cast("long").as("rank"),
+        col("s.term").as("term"), col("s.tf").as("tf"), col("s.df").as("df"),
+        floor(col("s.score")).cast("long").as("score_ppm"))
+  }
+
   /** One-stop analysis projection over a documents table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

@@ -281,6 +281,24 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** The one target mixture shared by corpus_interleave and its oracle:
+    * a uniform 20% share per language — the dominant language (en, ~44%
+    * of the documents table) is downsampled to its target share, the
+    * rest keep every row. */
+  val corpusInterleaveSpec: Seq[(String, Double)] =
+    Seq("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+
+  /** Target-mixture rebalancing ([[graft.operators.CorpusSplit
+    * .interleaveToMixture]]): per-language kept counts, oracle-checked —
+    * the DuckDB side recomputes the same count → fraction → md5-hex
+    * threshold chain (IEEE *,/ and min only, so the thresholds are
+    * bit-identical across engines). */
+  def corpusInterleave(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusSplit
+      .interleaveToMixture(t(s, dir, "documents"), "text", "lang", corpusInterleaveSpec)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+
   /** Sequence packing into 4096-char chunks across 8 parallel buckets
     * ([[graft.operators.Packing]]), rolled up per chunk and
     * oracle-checked — the window arithmetic is engine-portable. */
@@ -325,6 +343,15 @@ object Extensions {
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
       .orderBy("doc_id")
+
+  /** Per-doc top-3 salient terms by TF-IDF
+    * ([[TextAnalysis.topTermsTfIdf]]), oracle-checked: linear-idf ppm
+    * scoring keeps every compared quantity inside correctly-rounded
+    * IEEE arithmetic, so ranking, ties, and values agree bit-for-bit
+    * with the DuckDB window formulation. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTermsTfIdf(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
 
   /** Rolling-hash fingerprint (custom expression; determinism in tests). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -483,6 +510,31 @@ object ExtensionOracles {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** The full count → fraction → threshold chain of
+    * [[graft.operators.CorpusSplit.interleaveToMixture]], recomputed in
+    * SQL with the shares interpolated from
+    * [[Extensions.corpusInterleaveSpec]] (no-drift). Every arithmetic
+    * step mirrors the Scala exactly — (total·share)/n, min against 1.0,
+    * floor(frac·2^32) as 8-hex — and uses only correctly-rounded IEEE
+    * ops, so the derived cut strings are bit-identical. */
+  val corpusInterleave: String = {
+    val shares = Extensions.corpusInterleaveSpec
+      .map { case (l, sh) => s"WHEN '$l' THEN $sh" }.mkString(" ")
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+       |f AS (SELECT c.lang,
+       |             least(1.0, (t.total * CASE c.lang $shares ELSE 0.0 END)
+       |                        / CAST(c.n AS DOUBLE)) AS frac
+       |      FROM c, t),
+       |cut AS (SELECT lang, CASE WHEN frac >= 1.0 THEN 'g'
+       |                          ELSE printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT)) END AS cut
+       |        FROM f)
+       |SELECT d.lang, count(*) AS n_kept
+       |FROM documents d JOIN cut ON d.lang = cut.lang
+       |WHERE substr(md5(d.text), 1, 8) < cut.cut
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   /** The packing window arithmetic, verbatim: cumulative weight BEFORE
     * each doc within its (doc_id % 8) bucket, chunk = floor(/4096). */
   val corpusPack: String =
@@ -523,6 +575,27 @@ object ExtensionOracles {
        |       CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '$ws')) END AS n_ws,
        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF as the equivalent window formulation. The score expression
+    * `((tf·10^6)·N)/df` keeps the exact association order of
+    * [[graft.operators.TextAnalysis.topTermsTfIdf]]; ORDER BY
+    * (s DESC, term DESC) mirrors the top-k heap taking the LARGEST
+    * (score, term) structs. */
+  val textTfidf: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '$ws')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_total FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+       |              ((tf.tf * 1000000.0) * n.n_total) / dfq.df AS s
+       |       FROM tf JOIN dfq USING (term), n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term DESC) AS rank
+       |      FROM sc)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+       |       CAST(floor(s) AS BIGINT) AS score_ppm
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
   val textQuality: String =
     s"""WITH tok AS (

@@ -63,6 +63,29 @@ class CorpusSplitSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("interleave: dominant stratum capped near target, tail whole, unlisted dropped") {
+    val docs = t(spark, dir, "documents")
+    val shares = Seq("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+    val kept = CorpusSplit.interleaveToMixture(docs, "text", "lang", shares)
+    val keptBy = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val allBy = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = allBy.values.sum.toDouble
+    // en sits above its 20% target in the fixture and gets downsampled
+    // toward total*0.2 (loose binomial band around the md5 threshold)
+    assert(allBy("en") > total * 0.2, s"fixture drifted: $allBy")
+    assert(keptBy("en") > total * 0.1 && keptBy("en") < total * 0.3, s"$keptBy")
+    // strata at/below target keep EVERY row ('g' sentinel, no clip)
+    for (l <- Seq("de", "es", "fr", "zh")) assert(keptBy(l) == allBy(l), l)
+    // a mixture spec is exhaustive: strata missing from it are dropped
+    val only = CorpusSplit.interleaveToMixture(docs, "text", "lang", Seq("en" -> 1.0))
+    assert(only.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+    // deterministic and partition-independent, like the other samplers
+    val a = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = CorpusSplit.interleaveToMixture(docs.repartition(13), "text", "lang", shares)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("sampling then splitting: strata stay proportional inside each split") {
     val docs = t(spark, dir, "documents")
     val sampled = CorpusSplit.sampleStratified(docs, "text", "lang", Map("en" -> 0.25))

@@ -33,6 +33,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "el \t perro  y \n el gato en   la casa que no se mueve") == "es")
   }
 
+  test("topTermsTfIdf: closed-form scores, term-desc tie-break, empty docs excluded") {
+    // N = 5 documents (the blank one still counts toward corpus size);
+    // score_ppm = tf * 1e6 * N / df, exact in int64 at this size
+    val docs = Seq(
+      (0L, "apple banana apple"), (1L, "banana cherry"),
+      (2L, "apple date  date date"), (3L, "x y"), (4L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTermsTfIdf(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term", "tf", "df", "score_ppm")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    def ppm(tf: Long, df: Long) = tf * 1000000L * 5 / df
+    assert(out == Seq(
+      (0L, 1L, "apple",  2L, 2L, ppm(2, 2)),
+      (0L, 2L, "banana", 1L, 2L, ppm(1, 2)),
+      (1L, 1L, "cherry", 1L, 1L, ppm(1, 1)),
+      (1L, 2L, "banana", 1L, 2L, ppm(1, 2)),
+      (2L, 1L, "date",   3L, 1L, ppm(3, 1)),
+      (2L, 2L, "apple",  1L, 2L, ppm(1, 2)),
+      // equal scores (same tf, df): the larger term takes rank 1 — the
+      // heap orders (score, term) structs, mirrored by the oracle's
+      // ORDER BY s DESC, term DESC
+      (3L, 1L, "y", 1L, 1L, ppm(1, 1)),
+      (3L, 2L, "x", 1L, 1L, ppm(1, 1))))
+  }
+
   test("quality signals") {
     val r = Seq("The quick. Brown fox!").toDF("x")
       .select(TextAnalysis.qualitySignals(col("x")).as("q")).select("q.*").collect()(0)

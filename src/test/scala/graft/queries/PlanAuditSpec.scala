@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q20_cosine_topk",      // 1-row query vector
     "dedup_jaccard",        // 1-row query document
     "dedup_jaccard_char",   // 1-row query document (char shingles)
-    "ann_q8_topk")          // 5-row quantized query set
+    "ann_q8_topk",          // 5-row quantized query set
+    "text_tfidf")           // 1-row corpus-size aggregate (scalar-subquery shape)
 
   graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, no stray nested-loop join") {
@@ -47,6 +48,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     ("q5_groupby_agg", "l_partkey", "l_quantity"),   // lineitem: no partkey
                                                      // (l_shipdate IS read — pushed filter)
     ("text_tokens", "source", "text"),               // documents: id+text only
+    ("text_tfidf", "lang", "text"),                  // documents: id+text only
+    ("corpus_interleave", "source", "lang"),         // documents: text+lang only
     ("dedup_exact", "lang", "text"),
     ("q23_sessionize", "props", "user_id"),
     ("q14_range_join", "value", "user_id"))
