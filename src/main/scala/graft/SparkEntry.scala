@@ -64,6 +64,7 @@ object SparkEntry {
     "corpus_sample"     -> (E.corpusSample(_, _)),
     "corpus_pack"       -> (E.corpusPack(_, _)),
     "corpus_interleave" -> (E.corpusInterleave(_, _)),
+    "corpus_decontam"   -> (E.corpusDecontam(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),
     "text_langid"       -> (E.textLangid(_, _)),
@@ -117,6 +118,7 @@ object SparkEntry {
     "corpus_sample"     -> EO.corpusSample,
     "corpus_pack"       -> EO.corpusPack,
     "corpus_interleave" -> EO.corpusInterleave,
+    "corpus_decontam"   -> EO.corpusDecontam,
     "emb_quantize"      -> EO.embQuantize,
     "text_tokens"       -> EO.textTokens,
     "text_langid"       -> EO.textLangid,

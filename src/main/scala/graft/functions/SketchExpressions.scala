@@ -226,6 +226,14 @@ object SketchUtil {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** [[isWs]] as an RE2/Java regex class — the character set an external
+    * engine must split on to reproduce [[wordShingles]] tokenization
+    * (note the vertical tab x0B: this class is ASCII `\s`, WIDER than
+    * [[graft.operators.TextAnalysis.WsClass]] — the shingle kernels
+    * predate the text operators' narrowed class, and their oracles must
+    * match THIS set). Kept adjacent to isWs so the two cannot drift. */
+  val WsClassRegex = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Winnowing-style document fingerprint: minimum FNV-1a hash over all
     * k-byte windows of the UTF-8 text (k-gram rolling fingerprint,
     * cf. the standard winnowing scheme). Deterministic; equal for equal

@@ -299,6 +299,18 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Train/eval 8-gram contamination report over the 90/5/5 md5 split
+    * ([[graft.operators.Decontam]]): eval documents sharing an 8-gram
+    * shingle with a training document, with the boilerplate/skew guard
+    * at its default. Oracle-checked — DuckDB recomputes the split CASE
+    * from the shared thresholds and tokenizes on the shingle kernel's
+    * exact whitespace class. */
+  def corpusDecontam(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Decontam.contamination(
+      graft.operators.CorpusSplit.split(t(s, dir, "documents"), "text", corpusSplitSpec),
+      "doc_id", "text", "split", "train", Seq("val", "test"))
+      .orderBy("doc_id")
+
   /** Sequence packing into 4096-char chunks across 8 parallel buckets
     * ([[graft.operators.Packing]]), rolled up per chunk and
     * oracle-checked — the window arithmetic is engine-portable. */
@@ -533,6 +545,43 @@ object ExtensionOracles {
        |FROM documents d JOIN cut ON d.lang = cut.lang
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
+  /** The decontamination chain in SQL: split CASE derived from
+    * [[graft.operators.CorpusSplit.hexThresholds]] (no-drift, like the
+    * corpus_split oracle), tokens split on the shingle kernel's EXACT
+    * whitespace class ([[graft.functions.SketchUtil.WsClassRegex]] —
+    * ASCII \\s including vertical tab, wider than the text operators'
+    * class) with empties filtered (the kernel never emits empty
+    * tokens), 8-gram windows with the kernel's shingle-whole-when-short
+    * rule (coalesce: DuckDB's array_to_string of an empty list is NULL
+    * where the kernel yields one empty shingle), and the same
+    * train-df ≤ 100 boilerplate guard ahead of the join. */
+  val corpusDecontam: String = {
+    val spec = Extensions.corpusSplitSpec
+    val ths = graft.operators.CorpusSplit.hexThresholds(spec)
+    val whens = spec.init.zip(ths.init).map { case ((name, _), cut) =>
+      s"WHEN substr(md5(text), 1, 8) < '$cut' THEN '$name'"
+    }.mkString(" ")
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH d AS (
+       |  SELECT doc_id, CASE $whens ELSE '${spec.last._1}' END AS split,
+       |         list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, split,
+       |         CASE WHEN len(tk) < 8 THEN [coalesce(array_to_string(tk, ' '), '')]
+       |              ELSE list_distinct([array_to_string(tk[i:i+7], ' ') for i in range(1, len(tk) - 6)]) END AS sg
+       |  FROM d),
+       |e AS (SELECT doc_id, split, unnest(sg) AS g FROM sh),
+       |tr AS (SELECT g, doc_id AS train_id FROM e WHERE split = 'train'),
+       |keep AS (SELECT g FROM tr GROUP BY g HAVING count(*) <= 100),
+       |ev AS (SELECT doc_id, g FROM e WHERE split IN ('val', 'test'))
+       |SELECT ev.doc_id,
+       |       count(DISTINCT ev.g) AS n_shared_ngrams,
+       |       count(DISTINCT tr.train_id) AS n_train_docs
+       |FROM ev JOIN keep USING (g) JOIN tr USING (g)
+       |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
   }
 
   /** The packing window arithmetic, verbatim: cumulative weight BEFORE
