@@ -69,10 +69,12 @@ object SparkEntry {
     "text_quality"      -> (E.textQuality(_, _)),
     "text_langid"       -> (E.textLangid(_, _)),
     "text_tfidf"        -> (E.textTfidf(_, _)),
+    "text_redact"       -> (E.textRedact(_, _)),
     "text_fingerprint"  -> (E.textFingerprint(_, _)),
     "mm_bytes"          -> (E.mmBytes(_, _)),
     "mm_decode"         -> (E.mmDecode(_, _)),
     "mm_frames"         -> (E.mmFrames(_, _)),
+    "mm_audio"          -> (E.mmAudio(_, _)),
     // §2.7 streaming operators, drained to deterministic batch shapes
     "stream_session"    -> (SQ.streamSession(_, _)),
     "stream_dedup"      -> (SQ.streamDedup(_, _)),
@@ -123,10 +125,12 @@ object SparkEntry {
     "text_tokens"       -> EO.textTokens,
     "text_langid"       -> EO.textLangid,
     "text_tfidf"        -> EO.textTfidf,
+    "text_redact"       -> EO.textRedact,
     "text_quality"      -> EO.textQuality,
     "mm_bytes"          -> EO.mmBytes,
     "mm_decode"         -> EO.mmDecode,
     "mm_frames"         -> EO.mmFrames,
+    "mm_audio"          -> EO.mmAudio,
     "stream_session"    -> SO.streamSession,
     "stream_dedup"      -> SO.streamDedup,
     "stream_join"       -> SO.streamJoin,

@@ -74,6 +74,27 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint (custom Catalyst expression). */
   def fingerprint(text: Column, k: Int = 8): Column = Sketches.docFingerprint(text, k)
 
+  /** PII patterns for [[redactPii]], RE2-safe by construction: no
+    * backreferences or lookaround, and no alternation whose leftmost
+    * match could differ between Java's leftmost-first and RE2's
+    * leftmost-longest semantics — so the redaction is reproducible
+    * bit-for-bit in any RE2-based engine. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrub — the redaction pass of a corpus-curation pipeline:
+    * emails first, then IPv4s (each a codegen'd regexp_replace; order
+    * fixed so the second pass runs over the first's output and the
+    * counts are well-defined). Returns
+    * struct(redacted, n_emails, n_ips). */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    struct(
+      regexp_replace(noEmail, Ipv4Re, "<IP>").as("redacted"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
+  }
+
   /** Per-document top-k salient terms by TF-IDF — the corpus
     * topic/quality signal of a curation pipeline. Every stage is keyed,
     * never all-pairs: (1) per-(doc, term) counts — wordcount-shaped,

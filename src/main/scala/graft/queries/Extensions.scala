@@ -371,6 +371,24 @@ object Extensions {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** PII redaction ([[TextAnalysis.redactPii]]) over documents carrying
+    * deterministic synthesized PII (the corpus itself has none — same
+    * synthesize-then-recover pattern as [[mmDecode]]): an email and an
+    * IPv4 derived from doc_id are appended, the scrub has to find and
+    * replace them in the actual text, and the oracle re-runs the same
+    * RE2-safe patterns in DuckDB — counts plus an md5 over the full
+    * redacted text, so every byte of the replacement output is
+    * checked. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@mail.example.com or 10."), pmod(col("doc_id"), lit(256)), lit(".0.1"))
+    t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(withPii).as("r"))
+      .select(col("doc_id"), col("r.n_emails").as("n_emails"),
+        col("r.n_ips").as("n_ips"), md5(col("r.redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal: byte length of the opaque payload (oracle-checked). */
   def mmBytes(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -399,6 +417,27 @@ object Extensions {
     }(Encoders.product[Multimodal.MediaRow])
     Multimodal.decode(media, Multimodal.HeaderDecoder).toDF()
       .select(col("media_id"), col("kind"), col("width"), col("height"))
+      .orderBy("media_id")
+  }
+
+  /** Audio metadata through the real WAV codec: per-row byte-valid
+    * RIFF/WAVE containers (fmt chunk, PCM fields, empty data chunk)
+    * synthesized from doc_id, sample rate recovered from the actual
+    * bytes by [[Multimodal.HeaderDecoder]]'s chunk walk, oracle-checked
+    * against the synthesized closed form — the audio-modality twin of
+    * [[mmDecode]]. */
+  def mmAudio(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        Multimodal.MediaRow(id,
+          Multimodal.MediaFixtures.wav((8000 + id % 40000).toInt))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.decode(media, Multimodal.HeaderDecoder).toDF()
+      .select(col("media_id"), col("kind"), col("sample_rate_hz"))
       .orderBy("media_id")
   }
 
@@ -696,5 +735,30 @@ object ExtensionOracles {
       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
       |       CAST(320 + doc_id % 1601 AS INT) AS width,
       |       CAST(240 + doc_id % 1081 AS INT) AS height
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** The same synthesize → scrub chain with the patterns interpolated
+    * from [[graft.operators.TextAnalysis]] (no-drift); 'g' flag: DuckDB
+    * regexp_replace is first-match-only by default, Spark's is global. */
+  val textRedact: String = {
+    val em = graft.operators.TextAnalysis.EmailRe
+    val ip = graft.operators.TextAnalysis.Ipv4Re
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || doc_id || '@mail.example.com or 10.' || (doc_id % 256) || '.0.1' AS t
+       |  FROM documents),
+       |e AS (SELECT doc_id, t, regexp_replace(t, '$em', '<EMAIL>', 'g') AS t1 FROM p)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(t, '$em'))::BIGINT AS n_emails,
+       |       len(regexp_extract_all(t1, '$ip'))::BIGINT AS n_ips,
+       |       md5(regexp_replace(t1, '$ip', '<IP>', 'g')) AS redacted_md5
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  /** The WAV fixture's closed form — the codec has to recover this from
+    * the RIFF bytes. */
+  val mmAudio: String =
+    """SELECT doc_id AS media_id, 'wav' AS kind,
+      |       CAST(8000 + doc_id % 40000 AS INT) AS sample_rate_hz
       |FROM documents ORDER BY media_id""".stripMargin
 }

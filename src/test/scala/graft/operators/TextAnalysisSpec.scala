@@ -58,6 +58,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       (3L, 2L, "x", 1L, 1L, ppm(1, 1))))
   }
 
+  test("redactPii: emails and IPv4s replaced, counted, non-PII untouched") {
+    // note: single-letter TLDs (x@y.z) are NOT matched ({2,} floor)
+    val r = Seq("mail a.b+c@ex.co and x@y.io, server 10.0.0.1 or 192.168.1.255; not 1.2.3 nor a@b")
+      .toDF("x").select(TextAnalysis.redactPii(col("x")).as("r")).select("r.*").collect()(0)
+    assert(r.getAs[String]("redacted") ==
+      "mail <EMAIL> and <EMAIL>, server <IP> or <IP>; not 1.2.3 nor a@b")
+    assert(r.getAs[Long]("n_emails") == 2L)
+    assert(r.getAs[Long]("n_ips") == 2L)
+  }
+
   test("quality signals") {
     val r = Seq("The quick. Brown fox!").toDF("x")
       .select(TextAnalysis.qualitySignals(col("x")).as("q")).select("q.*").collect()(0)
