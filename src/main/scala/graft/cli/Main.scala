@@ -66,10 +66,11 @@ object Main {
     case "etl" :: rawPath :: dimPath :: outDir :: Nil =>
       val raw = Pipeline.dedupIngest(Pipeline.parseRaw(spark.read.text(rawPath)), None)
       val res = Pipeline.enrich(Pipeline.cleanData(raw), Pipeline.siteDim(spark, dimPath))
-      // state-partitioned layout (SURVEY §2.1 warehouse-sink mapping):
-      // geography predicates prune whole directories at scale
-      res.warehouse.write.mode("overwrite").partitionBy("state")
-        .parquet(s"$outDir/warehouse")
+      // (state, post_month)-partitioned layout via the one shared writer
+      // (SURVEY §2.1 warehouse-sink mapping): geography predicates prune
+      // whole directories at scale, and the month key keeps the batch and
+      // streaming paths layout-identical so either can append later
+      graft.streaming.EtlStream.warehouseOverwrite(res.warehouse, s"$outDir/warehouse")
       res.quarantine.write.mode("overwrite").parquet(s"$outDir/quarantine")
       println(s"etl: warehouse=${spark.read.parquet(s"$outDir/warehouse").count()} " +
         s"quarantine=${spark.read.parquet(s"$outDir/quarantine").count()}")

@@ -23,17 +23,24 @@ object HtmlLite {
   private val AttrRe = """(?is)([a-z-]+)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""".r
 
   /** Index of the `>` closing the tag whose name ends at `from`,
-    * honoring single- and double-quoted attribute values. -1 when the
+    * honoring single- and double-quoted attribute values. A quote only
+    * OPENS after `=` (optionally with whitespace), matching the HTML5
+    * attribute-value states: an apostrophe in prose that strays into a
+    * tag-shaped fragment (`<unit can't beat>`) must not start a quoted
+    * region and swallow everything to the next apostrophe. -1 when the
     * tag never closes (truncated or quote-unterminated page — the tag
     * is treated as absent rather than parsed loosely). */
   private def tagEnd(html: String, from: Int): Int = {
     var i = from
     var quote: Char = 0
+    var afterEq = false
     while (i < html.length) {
       val c = html.charAt(i)
       if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '"' || c == '\'') quote = c
+      else if ((c == '"' || c == '\'') && afterEq) { quote = c; afterEq = false }
       else if (c == '>') return i
+      else if (c == '=') afterEq = true
+      else if (!Character.isWhitespace(c)) afterEq = false
       i += 1
     }
     -1
@@ -81,25 +88,34 @@ object HtmlLite {
     while (i < n) {
       val lt = html.indexOf('<', i)
       if (lt < 0) return None
-      val isClose = lt + 1 < n && html.charAt(lt + 1) == '/'
-      val nameAt = if (isClose) lt + 2 else lt + 1
-      val after = nameAt + tag.length
-      val named = html.regionMatches(true, nameAt, tag, 0, tag.length) &&
-        (after >= n || { val c = html.charAt(after); c == '>' || c == '/' || Character.isWhitespace(c) })
-      if (named) {
-        val end = tagEnd(html, after)
-        if (end < 0) return None
-        if (isClose) depth -= 1 else depth += 1
-        if (depth == 0) return Some(html.substring(from, lt))
-        i = end + 1
+      if (html.startsWith("<!--", lt)) {
+        // a comment is atomic: '</tag>' inside it is commented-out
+        // markup, not a close tag (an unterminated comment truncates
+        // the element, like an unterminated quote)
+        val cend = html.indexOf("-->", lt + 4)
+        if (cend < 0) return None
+        i = cend + 3
       } else {
-        // A non-matching tag still owns its quoted attributes: skip the
-        // whole tag (quote-aware), or a '</tag>' hiding inside another
-        // tag's quoted value (<span title="</div>">) would decrement the
-        // depth and truncate the extraction early.
-        val isTag = nameAt < n && Character.isLetter(html.charAt(nameAt))
-        val end = if (isTag) tagEnd(html, nameAt) else -1
-        i = if (end >= 0) end + 1 else lt + 1
+        val isClose = lt + 1 < n && html.charAt(lt + 1) == '/'
+        val nameAt = if (isClose) lt + 2 else lt + 1
+        val after = nameAt + tag.length
+        val named = html.regionMatches(true, nameAt, tag, 0, tag.length) &&
+          (after >= n || { val c = html.charAt(after); c == '>' || c == '/' || Character.isWhitespace(c) })
+        if (named) {
+          val end = tagEnd(html, after)
+          if (end < 0) return None
+          if (isClose) depth -= 1 else depth += 1
+          if (depth == 0) return Some(html.substring(from, lt))
+          i = end + 1
+        } else {
+          // A non-matching tag still owns its quoted attributes: skip the
+          // whole tag (quote-aware), or a '</tag>' hiding inside another
+          // tag's quoted value (<span title="</div>">) would decrement the
+          // depth and truncate the extraction early.
+          val isTag = nameAt < n && Character.isLetter(html.charAt(nameAt))
+          val end = if (isTag) tagEnd(html, nameAt) else -1
+          i = if (end >= 0) end + 1 else lt + 1
+        }
       }
     }
     None
@@ -130,8 +146,14 @@ object HtmlLite {
     while (i < n) {
       val c = inner.charAt(i)
       if (c == '<') {
-        val end = tagEnd(inner, i + 1)
-        if (end < 0) { sb.append(inner.substring(i)); i = n } else i = end + 1
+        if (inner.startsWith("<!--", i)) {
+          // comments strip atomically — a '>' inside one must not end it
+          val cend = inner.indexOf("-->", i + 4)
+          if (cend < 0) { sb.append(inner.substring(i)); i = n } else i = cend + 3
+        } else {
+          val end = tagEnd(inner, i + 1)
+          if (end < 0) { sb.append(inner.substring(i)); i = n } else i = end + 1
+        }
       } else { sb.append(c); i += 1 }
     }
     sb.toString

@@ -42,7 +42,11 @@ object Decontam {
       .filter(col("train_df") <= maxTrainDf).select("g")
     val ev = sh.filter(col(splitCol).isin(evalLabels: _*))
       .select(col(idCol), col("g"))
-    ev.join(kept, "g").join(train, "g")
+    // the guard must land on the TRAIN side before the eval join: the
+    // train relation carries the hot keys (a license header in millions
+    // of docs), and joining it unfiltered would shuffle every copy to
+    // one reducer even though none can match
+    ev.join(train.join(kept, "g"), "g")
       .groupBy(col(idCol))
       .agg(countDistinct(col("g")).as("n_shared_ngrams"),
         countDistinct(col("train_id")).as("n_train_docs"))

@@ -189,13 +189,18 @@ object Extensions {
     * corpus per call. The codebook is deterministic (stride-sampled), so
     * a cached corpus is identical to a fresh one. Deleted on JVM exit. */
   private val ivfStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // tmp roots registered at creation, BEFORE the corpus write — a write
+  // that fails midway still gets its partial output cleaned at exit
+  private val ivfTmpRoots =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      ivfStores.values.forEach { st =>
-        val root = java.nio.file.Paths.get(st).getParent
+      ivfTmpRoots.forEach { root =>
         try {
-          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally walk.close()
         } catch { case _: java.io.IOException => () }
       }))
   }
@@ -204,7 +209,9 @@ object Extensions {
     val emb = t(s, dir, "embeddings")
     val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
     val store = ivfStores.computeIfAbsent(dir, _ => {
-      val st = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString + "/corpus"
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_q")
+      ivfTmpRoots.add(root)
+      val st = root.toString + "/corpus"
       Similarity.writeIvfCorpus(emb, "vec_id", "embedding", cents, st)
       st
     })

@@ -62,9 +62,7 @@ object EtlStream {
               case Some(keys) => res.warehouse.join(keys, Seq("uniq_id"), "left_anti")
               case None       => res.warehouse
             }
-            fresh.withColumn("post_month", postMonth(col("post_date")))
-              .write.mode("append").partitionBy("state", "post_month")
-              .parquet(warehouseDir)
+            warehouseAppend(fresh, warehouseDir)
           }
           if (res.quarantine.limit(1).count() > 0)
             res.quarantine.withColumn("batch_id", lit(batchId))
@@ -83,11 +81,41 @@ object EtlStream {
     * colliding landed row always shares the incoming row's month.
     * (scrape_date would be wrong here: a re-scraped ad carries a NEW
     * scrape_date, so its landed copy would land in a different
-    * partition and slip through as a duplicate.) Null post_dates get a
-    * dedicated partition value rather than Hive's default marker so the
-    * prune can ask for them explicitly. */
+    * partition and slip through as a duplicate.) Rendered in UTC via
+    * convert_timezone, NOT the session timezone — a tz change between
+    * runs must not move a timestamp into a different month string, or
+    * the prune would probe the wrong partition on redelivery and admit
+    * a duplicate. Null post_dates get a dedicated partition value
+    * rather than Hive's default marker so the prune can ask for them
+    * explicitly. */
   def postMonth(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    coalesce(date_format(c, "yyyy-MM"), lit("unknown"))
+    coalesce(date_format(convert_timezone(lit("UTC"), c), "yyyy-MM"), lit("unknown"))
+
+  /** Append a batch with the layout the destination already uses:
+    * (state, post_month) for new or month-partitioned warehouses, the
+    * legacy (state) layout when appending into a pre-month warehouse —
+    * mixing partition depths under one root makes every subsequent read
+    * fail on conflicting partition columns, so an existing legacy
+    * warehouse keeps its layout (and its full-scan prune fallback)
+    * until rewritten. */
+  def warehouseAppend(df: DataFrame, warehouseDir: String): Unit =
+    if (hasMonthLayout(df.sparkSession, warehouseDir).getOrElse(true))
+      df.withColumn("post_month", postMonth(col("post_date")))
+        .write.mode("append").partitionBy("state", "post_month").parquet(warehouseDir)
+    else
+      df.write.mode("append").partitionBy("state").parquet(warehouseDir)
+
+  /** Full rewrite in the current (state, post_month) layout — the batch
+    * CLI path, and the migration route for a legacy warehouse. */
+  def warehouseOverwrite(df: DataFrame, warehouseDir: String): Unit =
+    df.withColumn("post_month", postMonth(col("post_date")))
+      .write.mode("overwrite").partitionBy("state", "post_month").parquet(warehouseDir)
+
+  /** None when the warehouse doesn't exist yet; otherwise whether its
+    * layout carries the post_month partition column. */
+  def hasMonthLayout(spark: SparkSession, dir: String): Option[Boolean] =
+    if (!Files.exists(java.nio.file.Paths.get(dir))) None
+    else Some(spark.read.parquet(dir).columns.contains("post_month"))
 
   /** Already-landed uniq_ids an incoming row could collide with: the
     * warehouse key scan restricted, via partition pruning on

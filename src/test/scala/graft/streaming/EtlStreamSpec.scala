@@ -83,6 +83,29 @@ class EtlStreamSpec extends AnyFunSuite with SparkSpec {
     assert(EtlStream.landedKeys(spark, s"${tmp()}/nope", Nil).isEmpty)
   }
 
+  test("appending into a legacy state-only warehouse keeps its layout readable") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val whDir = s"${tmp()}/warehouse"
+    def rows(ids: Seq[Int]) = ids.toDF("i").select(
+      concat(lit("u"), col("i")).as("uniq_id"),
+      timestamp_seconds(lit(1700000000L) + col("i") * 86400).as("post_date"),
+      lit("CA").as("state"))
+    // legacy layout: partitioned by state only (pre-month stream / old data)
+    rows(Seq(1, 2)).write.partitionBy("state").parquet(whDir)
+    assert(EtlStream.hasMonthLayout(spark, whDir).contains(false))
+    // the shared writer must NOT mix a deeper layout into it
+    EtlStream.warehouseAppend(rows(Seq(3)), whDir)
+    assert(spark.read.parquet(whDir).count() == 3)      // still readable
+    assert(!spark.read.parquet(whDir).columns.contains("post_month"))
+    // a fresh warehouse gets the month layout, and appends keep it
+    val fresh = s"${tmp()}/warehouse"
+    EtlStream.warehouseAppend(rows(Seq(1)), fresh)
+    EtlStream.warehouseAppend(rows(Seq(2)), fresh)
+    assert(EtlStream.hasMonthLayout(spark, fresh).contains(true))
+    assert(spark.read.parquet(fresh).count() == 2)
+  }
+
   test("streaming tumbling-window agg matches the batch q18 totals") {
     import org.apache.spark.sql.functions._
     // the file streaming source requires a directory, and the sf dirs mix
