@@ -124,6 +124,11 @@ object TextAnalysis {
       .select(col(idCol), explode(split(lower(trim(col(textCol))), WsClass)).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      // materialize: df-counting needs only DISTINCT (doc, term), so
+      // Catalyst prunes tf out of that branch, the subtrees stop being
+      // equal, and without the lineage cut the corpus would be scanned
+      // and tokenized twice (once per branch) instead of once
+      .localCheckpoint()
     val dfTab = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
     pairs.join(dfTab, "term")
       .crossJoin(broadcast(total))

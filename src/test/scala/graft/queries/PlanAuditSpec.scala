@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     ("q5_groupby_agg", "l_partkey", "l_quantity"),   // lineitem: no partkey
                                                      // (l_shipdate IS read — pushed filter)
     ("text_tokens", "source", "text"),               // documents: id+text only
-    ("text_tfidf", "lang", "text"),                  // documents: id+text only
+    // (text_tfidf's tokenize scan sits behind a localCheckpoint and is
+    //  invisible in the final plan; its projection is text_tokens' shape)
     ("corpus_interleave", "source", "lang"),         // documents: text+lang only
     ("dedup_exact", "lang", "text"),
     ("q23_sessionize", "props", "user_id"),
