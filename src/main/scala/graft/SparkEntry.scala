@@ -65,6 +65,7 @@ object SparkEntry {
     "corpus_pack"       -> (E.corpusPack(_, _)),
     "corpus_interleave" -> (E.corpusInterleave(_, _)),
     "corpus_decontam"   -> (E.corpusDecontam(_, _)),
+    "corpus_curate"     -> (E.corpusCurate(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),
     "text_langid"       -> (E.textLangid(_, _)),
@@ -121,6 +122,7 @@ object SparkEntry {
     "corpus_pack"       -> EO.corpusPack,
     "corpus_interleave" -> EO.corpusInterleave,
     "corpus_decontam"   -> EO.corpusDecontam,
+    "corpus_curate"     -> EO.corpusCurate,
     "emb_quantize"      -> EO.embQuantize,
     "text_tokens"       -> EO.textTokens,
     "text_langid"       -> EO.textLangid,

@@ -318,6 +318,36 @@ object Extensions {
       "doc_id", "text", "split", "train", Seq("val", "test"))
       .orderBy("doc_id")
 
+  /** Capstone curation pipeline — the composition a corpus team actually
+    * runs, end-to-end in one plan: quality gate (≥ 32 whitespace
+    * tokens) → language ID (argmax seed-list score, drop 'und') →
+    * exact dedup (canonical copy = min doc_id per content hash) →
+    * deterministic 90/5/5 split → per-(split, language) doc and token
+    * counts. Two real shuffles (the md5 dedup group and the doc_id semi
+    * join) plus a tiny final aggregate; everything else is projections
+    * over the scan. Oracle-checked: every stage reuses the exact
+    * arithmetic of its standalone oracle (token class, padded-sort-key
+    * argmax, hex split thresholds), so the whole pipeline hash-matches
+    * DuckDB — operators don't just pass alone, they compose. */
+  def corpusCurate(s: SparkSession, dir: String): DataFrame = {
+    // pred_lang gates quality (drop docs the seed-list ID can't place);
+    // the breakdown uses the table's lang label — the generator's text
+    // is English-ish for every label, so pred_lang itself is a
+    // degenerate grouping dimension on this corpus
+    val scored = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))
+      .filter(col("n_tokens") >= 32 && col("pred_lang") =!= "und")
+    val keep = scored.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    scored.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("split",
+        graft.operators.CorpusSplit.assign(col("text"), corpusSplitSpec))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("split", "lang")
+  }
+
   /** Sequence packing into 4096-char chunks across 8 parallel buckets
     * ([[graft.operators.Packing]]), rolled up per chunk and
     * oracle-checked — the window arithmetic is engine-portable. */
@@ -591,6 +621,41 @@ object ExtensionOracles {
        |FROM documents d JOIN cut ON d.lang = cut.lang
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
+  /** The full curation pipeline in SQL, each stage verbatim from its
+    * standalone oracle: textTokens' count (with its empty-text guard),
+    * textLangid's padded-sort-key argmax, dedupExact's min-per-hash,
+    * corpusSplit's derived hex thresholds. */
+  val corpusCurate: String = {
+    val spec = Extensions.corpusSplitSpec
+    val ths = graft.operators.CorpusSplit.hexThresholds(spec)
+    val whens = spec.init.zip(ths.init).map { case ((name, _), cut) =>
+      s"WHEN substr(md5(text), 1, 8) < '$cut' THEN '$name'"
+    }.mkString(" ")
+    // bound locally: the shared `ws` val is declared further down the
+    // object and would still be null during this val's initialization
+    val w = graft.operators.TextAnalysis.WsClass
+    s"""WITH tok AS (SELECT doc_id, text, lang, regexp_split_to_array(lower(trim(text)), '$w') AS tk FROM documents),
+       |sc AS (SELECT doc_id, text, lang,
+       |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '$w')) END AS n_tokens,
+       |  len(list_filter(tk, t -> t IN ('the','and','of','to','a','in','is','you','that','it'))) AS en,
+       |  len(list_filter(tk, t -> t IN ('el','la','de','que','y','en','un','se','no','los'))) AS es,
+       |  len(list_filter(tk, t -> t IN ('le','de','un','et','les','en','que','pour','des','est'))) AS fr,
+       |  len(list_filter(tk, t -> t IN ('der','die','und','in','den','von','zu','das','mit','ist'))) AS de,
+       |  len(list_filter(tk, t -> t IN ('的','一','是','不','了','人','我','在','有','他'))) AS zh
+       |  FROM tok),
+       |lid AS (SELECT doc_id, text, lang, n_tokens,
+       |  CASE WHEN split_part(best, '|', 1) = '00000000' THEN 'und' ELSE split_part(best, '|', 2) END AS pred_lang
+       |  FROM (SELECT *, greatest(
+       |    printf('%08d|en', en), printf('%08d|es', es), printf('%08d|fr', fr),
+       |    printf('%08d|de', de), printf('%08d|zh', zh)) AS best FROM sc)),
+       |f AS (SELECT * FROM lid WHERE n_tokens >= 32 AND pred_lang <> 'und'),
+       |k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM f GROUP BY 1),
+       |kept AS (SELECT f.* FROM f JOIN k ON f.doc_id = k.keep_id),
+       |sp AS (SELECT *, CASE $whens ELSE '${spec.last._1}' END AS split FROM kept)
+       |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
 
   /** The decontamination chain in SQL: split CASE derived from
