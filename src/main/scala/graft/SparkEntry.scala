@@ -46,6 +46,8 @@ object SparkEntry {
     "q24_percentiles"   -> (I.q24Percentiles(_, _)),
     "q25_topk_agg"      -> (I.q25TopkAgg(_, _)),
     "q26_cube"          -> (I.q26Cube(_, _)),
+    "q27_pivot"         -> (I.q27Pivot(_, _)),
+    "q27b_unpivot"      -> (I.q27bUnpivot(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "dedup_exact"       -> (E.dedupExact(_, _)),
     "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
@@ -111,6 +113,8 @@ object SparkEntry {
     "q24_percentiles"   -> O.q24Percentiles,
     "q25_topk_agg"      -> O.q25TopkAgg,
     "q26_cube"          -> O.q26Cube,
+    "q27_pivot"         -> O.q27Pivot,
+    "q27b_unpivot"      -> O.q27bUnpivot,
     // deterministic extension ops; sketch/LSH ops are rows-only
     "dedup_exact"       -> EO.dedupExact,
     "dedup_jaccard"     -> EO.dedupJaccard,

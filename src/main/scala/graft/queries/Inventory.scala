@@ -396,6 +396,37 @@ object Inventory {
       .orderBy("n_name", "c_mktsegment")
   }
 
+  /** Q27 — PIVOT: per-day event counts spread into one column per event
+    * type. The value list is EXPLICIT, which matters at scale twice
+    * over: no distinct-discovery pre-job before the real aggregation,
+    * and a deterministic output schema (a discovered list would change
+    * shape with the data). One aggregation pass; absent (day, type)
+    * cells are 0. Oracle = conditional aggregation, the relational core
+    * of PIVOT.
+    */
+  val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q27Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  /** Q27b — UNPIVOT (melt): the inverse of [[q27Pivot]], stacking the
+    * per-type columns back to (day, event_type, cnt) rows. Zero cells
+    * are dropped so the round trip lands exactly on the plain
+    * (day, type) counts — asserting pivot∘unpivot = identity at the
+    * driver's oracle gate, not just in a unit test. */
+  def q27bUnpivot(s: SparkSession, dir: String): DataFrame =
+    q27Pivot(s, dir)
+      .unpivot(Array(col("day")), eventTypes.map(col).toArray, "event_type", "cnt")
+      .filter(col("cnt") > 0)
+      .orderBy("day", "event_type")
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

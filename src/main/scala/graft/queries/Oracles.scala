@@ -193,6 +193,23 @@ object Oracles {
       |GROUP BY CUBE (n_name, c_mktsegment)
       |ORDER BY n_name, c_mktsegment""".stripMargin
 
+  /** PIVOT's relational core, spelled as conditional aggregation (the
+    * column list mirrors [[Inventory.eventTypes]]). */
+  val q27Pivot: String = {
+    val cols = graft.queries.Inventory.eventTypes.map { t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS \"$t\""
+    }.mkString(",\n       |       ")
+    s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |       $cols
+       |FROM events GROUP BY day ORDER BY day""".stripMargin
+  }
+
+  /** The unpivoted round trip collapses back to the plain counts. */
+  val q27bUnpivot: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       event_type, count(*) AS cnt
+      |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+
   val q23Sessionize: String =
     """WITH x AS (
       |  SELECT user_id, ts, event_id,
