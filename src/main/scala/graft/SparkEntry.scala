@@ -48,6 +48,7 @@ object SparkEntry {
     "q26_cube"          -> (I.q26Cube(_, _)),
     "q27_pivot"         -> (I.q27Pivot(_, _)),
     "q27b_unpivot"      -> (I.q27bUnpivot(_, _)),
+    "q28_window_nav"    -> (I.q28WindowNav(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "dedup_exact"       -> (E.dedupExact(_, _)),
     "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q26_cube"          -> O.q26Cube,
     "q27_pivot"         -> O.q27Pivot,
     "q27b_unpivot"      -> O.q27bUnpivot,
+    "q28_window_nav"    -> O.q28WindowNav,
     // deterministic extension ops; sketch/LSH ops are rows-only
     "dedup_exact"       -> EO.dedupExact,
     "dedup_jaccard"     -> EO.dedupJaccard,

@@ -396,6 +396,25 @@ object Inventory {
       .orderBy("n_name", "c_mktsegment")
   }
 
+  /** Q28 — window navigation + distribution functions, completing the
+    * window family (Q9 ranks, Q10 frames): per-customer order gaps via
+    * lag, quartile via ntile, percent_rank. percent_rank is
+    * (rank−1)/(n−1) — one integer division, IEEE-identical across
+    * engines, so it oracle-checks exactly (rounded for the 6-dp float
+    * normalization). One window spec, one shuffle.
+    */
+  def q28WindowNav(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("gap_days"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Q27 — PIVOT: per-day event counts spread into one column per event
     * type. The value list is EXPLICIT, which matters at scale twice
     * over: no distinct-discovery pre-job before the real aggregation,

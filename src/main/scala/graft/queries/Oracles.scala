@@ -193,6 +193,15 @@ object Oracles {
       |GROUP BY CUBE (n_name, c_mktsegment)
       |ORDER BY n_name, c_mktsegment""".stripMargin
 
+  val q28WindowNav: String =
+    """SELECT o_custkey, o_orderkey,
+      |       date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate)::BIGINT AS gap_days,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** PIVOT's relational core, spelled as conditional aggregation (the
     * column list mirrors [[Inventory.eventTypes]]). */
   val q27Pivot: String = {
