@@ -74,6 +74,7 @@ object SparkEntry {
     "text_langid"       -> (E.textLangid(_, _)),
     "text_tfidf"        -> (E.textTfidf(_, _)),
     "text_redact"       -> (E.textRedact(_, _)),
+    "text_repetition"   -> (E.textRepetition(_, _)),
     "text_fingerprint"  -> (E.textFingerprint(_, _)),
     "mm_bytes"          -> (E.mmBytes(_, _)),
     "mm_decode"         -> (E.mmDecode(_, _)),
@@ -134,6 +135,7 @@ object SparkEntry {
     "text_langid"       -> EO.textLangid,
     "text_tfidf"        -> EO.textTfidf,
     "text_redact"       -> EO.textRedact,
+    "text_repetition"   -> EO.textRepetition,
     "text_quality"      -> EO.textQuality,
     "mm_bytes"          -> EO.mmBytes,
     "mm_decode"         -> EO.mmDecode,

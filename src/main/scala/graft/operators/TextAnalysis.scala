@@ -74,6 +74,24 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint (custom Catalyst expression). */
   def fingerprint(text: Column, k: Int = 8): Column = Sketches.docFingerprint(text, k)
 
+  /** Intra-document repetition signals — the duplicate-n-gram family of
+    * quality rules (boilerplate and template spam repeat tokens and
+    * bigrams far above natural text): total vs distinct counts for
+    * unigrams and bigrams, from the codegen'd shingle kernel. Pure
+    * projection, no shuffle — the ratios (1 − distinct/total) are left
+    * to the caller so the outputs stay exact integers. Note the kernel
+    * tokenizer (ASCII \s incl. vertical tab, lowercased) — shingle
+    * semantics, not [[WsClass]]. */
+  def repetitionSignals(text: Column): Column = {
+    val uni = Sketches.wordShingles(text, 1)
+    val bi = Sketches.wordShingles(text, 2)
+    struct(
+      size(uni).cast("long").as("n_tokens"),
+      size(array_distinct(uni)).cast("long").as("n_uniq_tokens"),
+      size(bi).cast("long").as("n_bigrams"),
+      size(array_distinct(bi)).cast("long").as("n_uniq_bigrams"))
+  }
+
   /** PII patterns for [[redactPii]], RE2-safe by construction: no
     * backreferences or lookaround, and no alternation whose leftmost
     * match could differ between Java's leftmost-first and RE2's

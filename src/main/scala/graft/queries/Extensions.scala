@@ -408,6 +408,19 @@ object Extensions {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Intra-doc repetition counts ([[TextAnalysis.repetitionSignals]]),
+    * oracle-checked: the DuckDB side rebuilds the shingle kernel's
+    * unigram/bigram semantics (kernel whitespace class, shingle-whole-
+    * when-short) and compares exact integers. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.repetitionSignals(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_uniq_tokens").as("n_uniq_tokens"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.n_uniq_bigrams").as("n_uniq_bigrams"))
+      .orderBy("doc_id")
+
   /** PII redaction ([[TextAnalysis.redactPii]]) over documents carrying
     * deterministic synthesized PII (the corpus itself has none — same
     * synthesize-then-recover pattern as [[mmDecode]]): an email and an
@@ -808,6 +821,30 @@ object ExtensionOracles {
       |       CAST(320 + doc_id % 1601 AS INT) AS width,
       |       CAST(240 + doc_id % 1081 AS INT) AS height
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** The shingle kernel's unigram/bigram semantics in SQL: kernel
+    * whitespace class, empty-filtered tokens, zero tokens → one empty
+    * unigram, fewer than 2 tokens → one whole-doc bigram (coalesce for
+    * DuckDB's NULL array_to_string on empty lists). */
+  val textRepetition: String = {
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tk) = 0 THEN [''] ELSE tk END AS uni,
+       |         CASE WHEN len(tk) < 2 THEN [coalesce(array_to_string(tk, ' '), '')]
+       |              ELSE [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] END AS bi
+       |  FROM d)
+       |SELECT doc_id,
+       |       len(uni)::BIGINT AS n_tokens,
+       |       len(list_distinct(uni))::BIGINT AS n_uniq_tokens,
+       |       len(bi)::BIGINT AS n_bigrams,
+       |       len(list_distinct(bi))::BIGINT AS n_uniq_bigrams
+       |FROM sh ORDER BY doc_id""".stripMargin
+  }
 
   /** The same synthesize → scrub chain with the patterns interpolated
     * from [[graft.operators.TextAnalysis]] (no-drift); 'g' flag: DuckDB

@@ -58,6 +58,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       (3L, 2L, "x", 1L, 1L, ppm(1, 1))))
   }
 
+  test("repetitionSignals: template spam shows collapsed distinct counts") {
+    def sig(s: String) = Seq(s).toDF("x")
+      .select(TextAnalysis.repetitionSignals(col("x")).as("r")).select("r.*")
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(sig("a a b") == ((3L, 2L, 2L, 2L)))            // bigrams "a a","a b"
+    assert(sig("spam spam spam spam") == ((4L, 1L, 3L, 1L)))
+    assert(sig("all words are unique here") == ((5L, 5L, 4L, 4L)))
+    assert(sig("") == ((1L, 1L, 1L, 1L)))                 // kernel: one empty shingle
+  }
+
   test("redactPii: emails and IPv4s replaced, counted, non-PII untouched") {
     // note: single-letter TLDs (x@y.z) are NOT matched ({2,} floor)
     val r = Seq("mail a.b+c@ex.co and x@y.io, server 10.0.0.1 or 192.168.1.255; not 1.2.3 nor a@b")
