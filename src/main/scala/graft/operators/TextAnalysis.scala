@@ -136,12 +136,18 @@ object TextAnalysis {
     * term DESCENDING — the top-k heap takes the LARGEST (score, term)
     * structs; the oracle mirrors that ordering.
     */
-  def topTermsTfIdf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val total = df.agg(count(lit(1)).as("n_total"))
-    val pairs = df
-      .select(col(idCol), explode(split(lower(trim(col(textCol))), WsClass)).as("term"))
+  /** [[topTermsTfIdf]]'s first stage, pre-materialization: per-(doc,
+    * term) counts. Exposed so the scan-pruning audit can assert on THIS
+    * plan — the checkpoint in [[topTermsTfIdf]] hides the tokenize scan
+    * from the final query's executed plan. */
+  def tfPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(lower(trim(col(textCol))), WsClass)).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  def topTermsTfIdf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val pairs = tfPairs(df, idCol, textCol)
       // materialize: df-counting needs only DISTINCT (doc, term), so
       // Catalyst prunes tf out of that branch, the subtrees stop being
       // equal, and without the lineage cut the corpus would be scanned

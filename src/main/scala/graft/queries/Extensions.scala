@@ -323,9 +323,10 @@ object Extensions {
     * tokens) → language ID (argmax seed-list score, drop 'und') →
     * exact dedup (canonical copy = min doc_id per content hash) →
     * deterministic 90/5/5 split → per-(split, language) doc and token
-    * counts. Two real shuffles (the md5 dedup group and the doc_id semi
-    * join) plus a tiny final aggregate; everything else is projections
-    * over the scan. Oracle-checked: every stage reuses the exact
+    * counts. One scan (the scored projection is checkpointed for its
+    * two consumers), two real shuffles (the md5 dedup group and the
+    * doc_id semi join), plus a tiny final aggregate.
+    * Oracle-checked: every stage reuses the exact
     * arithmetic of its standalone oracle (token class, padded-sort-key
     * argmax, hex split thresholds), so the whole pipeline hash-matches
     * DuckDB — operators don't just pass alone, they compose. */
@@ -338,6 +339,12 @@ object Extensions {
         TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
         TextAnalysis.langId(col("text")).as("pred_lang"))
       .filter(col("n_tokens") >= 32 && col("pred_lang") =!= "und")
+      // materialize: `scored` feeds both the dedup aggregate and the
+      // semi-join probe side — without the lineage cut the scan and the
+      // 5-seed-list language scoring (the expensive row-local work)
+      // would run once per branch (same two-consumer shape as
+      // topTermsTfIdf's pairs)
+      .localCheckpoint()
     val keep = scored.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
     scored.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")

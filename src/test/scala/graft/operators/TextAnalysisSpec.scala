@@ -58,6 +58,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       (3L, 2L, "x", 1L, 1L, ppm(1, 1))))
   }
 
+  test("tfPairs scan prunes to doc_id+text (the stage the checkpoint hides)") {
+    val plan = TextAnalysis.tfPairs(
+        graft.core.Tables.t(spark, "/root/testdata/sf0.001", "documents"),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(schemas.nonEmpty && !schemas.exists(_.contains("lang")), schemas.mkString("\n"))
+    assert(schemas.exists(_.contains("text")), schemas.mkString("\n"))
+  }
+
   test("repetitionSignals: template spam shows collapsed distinct counts") {
     def sig(s: String) = Seq(s).toDF("x")
       .select(TextAnalysis.repetitionSignals(col("x")).as("r")).select("r.*")
