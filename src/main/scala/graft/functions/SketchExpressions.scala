@@ -405,6 +405,30 @@ object Sketches {
   def charShingles(text: Column, n: Int): Column =
     ColumnBridge.column(CharShingles(ColumnBridge.expression(text), n))
 
+  /** Bloom-filter aggregate over a LONG hash column → filter bytes.
+    * Spark's own `BloomFilterAggregate` (the sketch behind runtime
+    * row-level filtering), surfaced for explicit semi-join prefilters;
+    * `expectedItems`/`numBits` bound the driver artifact exactly like a
+    * codebook (numBits/8 bytes regardless of input size). */
+  def bloomAgg(hashed: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(hashed), Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+  }
+
+  /** might_contain(bloomBytes, hash): false ⇒ the hash was never added
+    * (no false negatives). Codegen'd; the filter rides the constant
+    * pool as a literal. */
+  def mightContain(bloomBytes: Array[Byte], hashed: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(hashed)))
+  }
+
   // SQL registration lives in graft.GraftExtensions only — a second
   // registry path here once hardcoded doc_fingerprint's k and silently
   // dropped the argument, diverging from the extension's signature.

@@ -42,4 +42,37 @@ object Packing {
   def chunkStats(packed: DataFrame, weightCol: String): DataFrame =
     packed.groupBy("bucket", "seq_no")
       .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("sum_weight"))
+
+  /** Sliding token-window chunking WITHIN each document — the other
+    * half of sequence preparation: a document longer than the model
+    * context is cut into overlapping windows of `window` tokens taken
+    * every `stride` tokens (overlap = window − stride preserves
+    * context across cuts), short documents yield exactly one chunk.
+    * n_chunks = 1 + ceil(max(0, n − window) / stride), so the final
+    * window always covers the document's tail.
+    *
+    * Scale design: a pure per-row generator — tokenize once, explode a
+    * 0..n_chunks−1 sequence, slice the token array per chunk. Narrow
+    * operators only (no shuffle, no window function); chunk parallelism
+    * is the scan's. Tokens split on [[TextAnalysis.WsClass]] like every
+    * text operator, so the DuckDB oracle reproduces chunk hashes
+    * bit-for-bit.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    docs
+      .select(col(idCol), split(trim(col(textCol)), TextAnalysis.WsClass).as("tk"))
+      .withColumn("n_chunks",
+        (lit(1) + ceil(greatest(lit(0), size(col("tk")) - window) / lit(stride.toDouble)))
+          .cast("int"))
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("tk"), col("chunk_id") * stride + 1, lit(window)).as("ch"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("ch")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("ch"))).as("chunk_md5"))
+  }
 }
