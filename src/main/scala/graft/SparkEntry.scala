@@ -68,6 +68,9 @@ object SparkEntry {
     "corpus_pack"       -> (E.corpusPack(_, _)),
     "corpus_interleave" -> (E.corpusInterleave(_, _)),
     "corpus_decontam"   -> (E.corpusDecontam(_, _)),
+    "corpus_decontam_bloom" -> (E.corpusDecontamBloom(_, _)),
+    "corpus_chunk"      -> (E.corpusChunk(_, _)),
+    "line_dedup"        -> (E.lineDedup(_, _)),
     "corpus_curate"     -> (E.corpusCurate(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),
@@ -129,6 +132,12 @@ object SparkEntry {
     "corpus_pack"       -> EO.corpusPack,
     "corpus_interleave" -> EO.corpusInterleave,
     "corpus_decontam"   -> EO.corpusDecontam,
+    // the Bloom prefilter is exact-preserving, so the bloom path must
+    // match the SAME oracle SQL bit for bit — sharing the string keeps
+    // the two paths from drifting apart
+    "corpus_decontam_bloom" -> EO.corpusDecontam,
+    "corpus_chunk"      -> EO.corpusChunk,
+    "line_dedup"        -> EO.lineDedup,
     "corpus_curate"     -> EO.corpusCurate,
     "emb_quantize"      -> EO.embQuantize,
     "text_tokens"       -> EO.textTokens,

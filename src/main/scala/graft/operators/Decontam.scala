@@ -101,7 +101,11 @@ object Decontam {
 
   /** Aggregate `hashed` (a long hash column over `df`) into Bloom
     * filter bytes on the driver — bounded by numBits/8 regardless of
-    * row count. */
+    * row count. NOTE: the `.head` is an EAGER Spark action at
+    * plan-construction time (one aggregation job over the eval side),
+    * not a lazy plan node — the same bounded driver-side index build as
+    * the IVF centroid scan, accepted because the filter must exist as a
+    * literal before the train-side plan can embed it. */
   private def buildBloom(df: DataFrame, hashed: org.apache.spark.sql.Column): Array[Byte] =
     df.select(graft.functions.Sketches.bloomAgg(hashed,
         expectedItems = 1L << 20, numBits = 1L << 23).as("bf"))

@@ -318,6 +318,21 @@ object Extensions {
       "doc_id", "text", "split", "train", Seq("val", "test"))
       .orderBy("doc_id")
 
+  /** [[corpusDecontam]] through the Bloom-prefiltered train path
+    * ([[graft.operators.Decontam.contaminationBloom]]) — the variant
+    * that matters at 100 TB, where the prefilter drops corpus n-grams
+    * that appear in no eval doc BEFORE the train-side shuffles. The
+    * prefilter is exact-preserving (no false negatives; survivors still
+    * pass the equi-join), so this query shares [[corpusDecontam]]'s
+    * DuckDB oracle verbatim: the gate proves bit-identity against an
+    * independent engine, and DecontamSpec asserts Spark-side equality
+    * of the two paths besides. */
+  def corpusDecontamBloom(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Decontam.contaminationBloom(
+      graft.operators.CorpusSplit.split(t(s, dir, "documents"), "text", corpusSplitSpec),
+      "doc_id", "text", "split", "train", Seq("val", "test"))
+      .orderBy("doc_id")
+
   /** Capstone curation pipeline — the composition a corpus team actually
     * runs, end-to-end in one plan: quality gate (≥ 32 whitespace
     * tokens) → language ID (argmax seed-list score, drop 'und') →
@@ -364,6 +379,37 @@ object Extensions {
         t(s, dir, "documents"), "doc_id", "n_chars", budget = 4096L, buckets = 8),
       "n_chars")
       .orderBy("bucket", "seq_no")
+
+  /** Within-document sliding-window chunking
+    * ([[graft.operators.Packing.chunkTokens]]): 64-token windows every
+    * 48 tokens (16-token overlap) — the other half of sequence prep
+    * next to [[corpusPack]]'s cross-document packing. Oracle-checked:
+    * the ceil/tail-window arithmetic and the slice bounds are
+    * engine-portable, so DuckDB reproduces every chunk_md5. */
+  def corpusChunk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunkTokens(
+      t(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Line-level (CCNet-style) boilerplate removal
+    * ([[graft.operators.LineDedup.dedupLines]]). The documents table is
+    * single-line prose, so the query first re-lines each text into
+    * 10-token lines (pure per-row arithmetic — transform over a
+    * sequence, no shuffle); near-duplicate documents then share body
+    * lines verbatim (127 distinct cross-document line contents at
+    * sf0.01), which `maxDocDf = 1` strips from every document.
+    * Oracle-checked end to end: DuckDB rebuilds the same lines with the
+    * same slice arithmetic and reproduces each document's kept-line
+    * reassembly md5. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(trim(col("text")), TextAnalysis.WsClass)
+    val lined = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n", transform(
+        sequence(lit(0), ceil(size(tk) / lit(10.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * lit(10) + lit(1), lit(10))))).as("text"))
+    graft.operators.LineDedup.dedupLines(lined, "doc_id", "text", maxDocDf = 1)
+      .orderBy("doc_id")
+  }
 
   /** Token counting (whitespace + BPE-ish regex), oracle-checked. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
@@ -726,6 +772,46 @@ object ExtensionOracles {
       |SELECT bucket, CAST(floor(cum_before / 4096.0) AS BIGINT) AS seq_no,
       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_weight
       |FROM w GROUP BY bucket, seq_no ORDER BY bucket, seq_no""".stripMargin
+
+  /** [[graft.operators.Packing.chunkTokens]]' arithmetic verbatim:
+    * whitespace-class tokens, n_chunks = 1 + ceil(max(0, n−64)/48),
+    * 1-based 64-wide slices every 48 tokens (DuckDB's inclusive `[a:b]`
+    * slice clamps at the tail exactly like Spark's `slice`). Bound
+    * locally like corpusCurate: the shared `ws` val is declared further
+    * down the object. */
+  val corpusChunk: String = {
+    val w = graft.operators.TextAnalysis.WsClass
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '$w') AS tk FROM documents),
+       |c AS (SELECT doc_id, tk,
+       |        1 + CAST(ceil(greatest(0, len(tk) - 64) / 48.0) AS INT) AS n_chunks FROM tok),
+       |e AS (SELECT doc_id, tk, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+       |s AS (SELECT doc_id, chunk_id, tk[chunk_id*48 + 1 : chunk_id*48 + 64] AS ch FROM e)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       CAST(len(ch) AS BIGINT) AS n_tok, md5(array_to_string(ch, ' ')) AS chunk_md5
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** The line_dedup chain: 10-token re-lining with the same slice
+    * arithmetic as the Spark side, document frequency per distinct
+    * line content, boilerplate = df > maxDocDf (= 1), and kept-line
+    * reassembly in original order. The coalesce mirrors `concat_ws`: a
+    * document whose every line is boilerplate reassembles to '' (DuckDB
+    * string_agg over zero rows is NULL). */
+  val lineDedup: String = {
+    val w = graft.operators.TextAnalysis.WsClass
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '$w') AS tk FROM documents),
+       |ln AS (SELECT doc_id,
+       |         unnest([{'p': i, 's': array_to_string(tk[i*10+1:i*10+10], ' ')}
+       |                 for i in range(0, CAST(ceil(len(tk) / 10.0) AS INT))]) AS e
+       |       FROM tok),
+       |l AS (SELECT doc_id, e.p AS pos, e.s AS line FROM ln),
+       |dup AS (SELECT md5(line) AS h FROM l GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+       |j AS (SELECT l.doc_id, l.pos, l.line, dup.h FROM l LEFT JOIN dup ON md5(l.line) = dup.h)
+       |SELECT doc_id, count(*) AS n_lines,
+       |       count(CASE WHEN h IS NULL THEN 1 END) AS n_kept,
+       |       md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE h IS NULL), '')) AS clean_md5
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   val dedupMinhashVerify: String =
     """WITH sh AS (

@@ -42,6 +42,53 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("chunkTokens: window/stride arithmetic, tail coverage, short docs whole") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // n=5, w=3, s=2: chunks [a b c][c d e] — tail exact
+      (2L, "a b c d e f"),     // n=6: [a b c][c d e][e f] — ceil tail window short
+      (3L, "a b"),             // n < window: one whole chunk
+      (4L, "a b c")            // n == window: exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkTokens(docs, "doc_id", "text", window = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_tok", "chunk_md5")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Seq(
+      (1L, 0L, 3L, h("a b c")), (1L, 1L, 3L, h("c d e")),
+      (2L, 0L, 3L, h("a b c")), (2L, 1L, 3L, h("c d e")), (2L, 2L, 2L, h("e f")),
+      (3L, 0L, 2L, h("a b")),
+      (4L, 0L, 3L, h("a b c"))))
+  }
+
+  test("chunkTokens: every token covered; no shuffle in the plan") {
+    val docs = t(spark, dir, "documents")
+    val chunks = Packing.chunkTokens(docs, "doc_id", "text", window = 64, stride = 48)
+    // the last window always reaches the document tail: per doc, the
+    // max slice end (chunk_id*stride + n_tok) equals the token count
+    val covered = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_id") * 48 + col("n_tok")).as("reach"))
+      .join(docs.select(col("doc_id"),
+        size(split(trim(col("text")), TextAnalysis.WsClass)).cast("long").as("n")),
+        Seq("doc_id"))
+      .filter(col("reach") =!= col("n")).count()
+    assert(covered == 0L)
+    // pure per-row generator: narrow ops only
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("chunkTokens rejects stride > window or non-positive params") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.chunkTokens(docs, "doc_id", "text", window = 3, stride = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.chunkTokens(docs, "doc_id", "text", window = 0, stride = 1)
+    }
+  }
+
   test("packing shuffles once on bucket, never a single global partition") {
     val plan = Packing.packSequences(
         t(spark, dir, "documents"), "doc_id", "n_chars", 4096L, 8)
