@@ -102,5 +102,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("cosine_i8", "cosine_i8(a, b) - cosine over int8 codes (integer dot products)") {
       es => CosineI8(es.head, es(1))
     }
+    reg("normalize_url", "normalize_url(url) - canonical URL (case/www/port/slash/tracking-param/fragment)") {
+      es => NormalizeUrl(es.head)
+    }
   }
 }

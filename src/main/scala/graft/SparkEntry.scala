@@ -51,6 +51,7 @@ object SparkEntry {
     "q28_window_nav"    -> (I.q28WindowNav(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "dedup_exact"       -> (E.dedupExact(_, _)),
+    "dedup_url"         -> (E.dedupUrl(_, _)),
     "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
     "dedup_jaccard_char" -> (E.dedupJaccardChar(_, _)),
     "dedup_minhash"     -> (E.dedupMinhash(_, _)),
@@ -72,6 +73,7 @@ object SparkEntry {
     "corpus_chunk"      -> (E.corpusChunk(_, _)),
     "line_dedup"        -> (E.lineDedup(_, _)),
     "corpus_curate"     -> (E.corpusCurate(_, _)),
+    "corpus_curate2"    -> (E.corpusCurate2(_, _)),
     "text_tokens"       -> (E.textTokens(_, _)),
     "text_quality"      -> (E.textQuality(_, _)),
     "text_langid"       -> (E.textLangid(_, _)),
@@ -123,6 +125,7 @@ object SparkEntry {
     "q28_window_nav"    -> O.q28WindowNav,
     // deterministic extension ops; sketch/LSH ops are rows-only
     "dedup_exact"       -> EO.dedupExact,
+    "dedup_url"         -> EO.dedupUrl,
     "dedup_jaccard"     -> EO.dedupJaccard,
     "dedup_jaccard_char" -> EO.dedupJaccardChar,
     "dedup_minhash_verify" -> EO.dedupMinhashVerify,
@@ -139,6 +142,7 @@ object SparkEntry {
     "corpus_chunk"      -> EO.corpusChunk,
     "line_dedup"        -> EO.lineDedup,
     "corpus_curate"     -> EO.corpusCurate,
+    "corpus_curate2"    -> EO.corpusCurate2,
     "emb_quantize"      -> EO.embQuantize,
     "text_tokens"       -> EO.textTokens,
     "text_langid"       -> EO.textLangid,

@@ -27,6 +27,98 @@ object Dedup {
     df.groupBy(col(on))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  // ---------- URL canonicalization ----------
+
+  /** Canonicalize an absolute http(s) URL so that cosmetically-different
+    * spellings of the same resource compare equal — the key-preparation
+    * step of URL-keyed dedup (the first pass every crawl pipeline runs,
+    * before any content even downloads). Rules, applied in order:
+    *
+    *   1. drop the fragment (`#...` — client-side only, never a
+    *      different resource);
+    *   2. lowercase the scheme and host (RFC 3986 §6.2.2.1: both are
+    *      case-insensitive; the path is NOT touched — it is
+    *      case-sensitive on most origins);
+    *   3. strip a leading `www.` and a default port (`:80` for http,
+    *      `:443` for https) from the host;
+    *   4. strip trailing slashes from the path (`/a/b/` ≡ `/a/b`,
+    *      `/` ≡ empty);
+    *   5. drop tracking query parameters (`utm_*`, `ref`, `fbclid`,
+    *      `gclid`) while preserving the order of the rest; an
+    *      emptied-out query drops its `?` too.
+    *
+    * Backed by the single-pass codegen'd kernel
+    * ([[graft.functions.NormalizeUrl]]); the declaratively-composed
+    * twin [[urlNormalizeReference]] (regexp ops on the RE2 ∩ Java-regex
+    * common subset — the chain the DuckDB oracle runs) pins the
+    * kernel's semantics in UrlDedupSpec. No UDF, no higher-order
+    * function, stays inside whole-stage codegen either way. A string
+    * that doesn't parse as `scheme://host...` is passed through
+    * unchanged rather than nulled: an un-canonicalizable key still
+    * dedups against exact copies of itself. Query parameters are NOT
+    * reordered (a=1&b=2 vs b=2&a=1 stay distinct): ordering is
+    * semantic for some origins, and the crawl frontier that feeds this
+    * operator emits params in a fixed order anyway.
+    */
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)"
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$"
+  private val TrackRe = "&(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)=[^&]*"
+
+  // the reference chain's sub-computations over `base`/`q` sub-Columns
+  // (assembled by [[urlNormalizeReference]])
+  private def schemeOf(base: Column) = lower(regexp_extract(base, SchemeRe, 1))
+  private def hostRawOf(base: Column) =
+    regexp_replace(lower(regexp_extract(base, HostRe, 1)), "^www\\.", "")
+  private def pathOf(base: Column) =
+    regexp_replace(regexp_extract(base, PathRe, 1), "/+$", "")
+  // '&'-prefix every param so one anchored pattern kills any tracking
+  // param wherever it sits; then strip the sentinel '&' back off
+  private def cleanQueryOf(q: Column) =
+    regexp_replace(regexp_replace(concat(lit("&"), q), TrackRe, ""), "^&", "")
+
+  /** Reassemble the canonical URL from its normalized pieces — pure
+    * cheap ops (CASE/concat/length over the inputs), safe to inline
+    * over either expression trees or materialized attributes. */
+  private def assemble(url: Column, scheme: Column, host0: Column,
+                       path: Column, q: Column, q2: Column): Column = {
+    val defPort = when(scheme === "http", lit(":80"))
+      .when(scheme === "https", lit(":443")).otherwise(lit(""))
+    val host = when(length(defPort) > 0 && host0.endsWith(defPort),
+      host0.substr(lit(1), length(host0) - length(defPort))).otherwise(host0)
+    val qn = when(q.isNull || q2 === "", lit("")).otherwise(concat(lit("?"), q2))
+    when(scheme === "" || host0 === "", url)
+      .otherwise(concat(scheme, lit("://"), host, path, qn))
+  }
+
+  def urlNormalize(url: Column): Column =
+    graft.functions.Urls.normalizeUrl(url)
+
+  /** The same canonicalization composed from built-in regexp
+    * expressions — the declarative REFERENCE implementation: it is the
+    * chain the DuckDB oracle runs verbatim, and UrlDedupSpec pins the
+    * kernel to it (edge-case table + full equality over the synthesized
+    * corpus). Not the hot path: inlined as one Column its CASE branches
+    * re-derive the regexp sub-chains ~30× per row, and even layered it
+    * is ~7 compiled-regex evaluations per row vs the kernel's single
+    * scan. */
+  def urlNormalizeReference(url: Column): Column = {
+    val nofrag = regexp_replace(url, "#.*$", "")
+    val parts = split(nofrag, "\\?", 2)
+    val base = get(parts, lit(0))
+    val q = get(parts, lit(1)) // null when the URL has no '?'
+    assemble(url, schemeOf(base), hostRawOf(base), pathOf(base), q, cleanQueryOf(q))
+  }
+
+  /** URL-keyed exact dedup: [[urlNormalize]] then [[exact]] on the
+    * canonical form. The group-by key is the canonical URL itself (a
+    * bounded short string — unlike document text there is no need to
+    * pre-hash it; Spark's hash-aggregate hashes it once either way). */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), urlNormalize(col(urlCol)).as("norm_url"))
+      .groupBy(col("norm_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   // ---------- shingling ----------
 
   /** Word n-gram shingles of lowercased whitespace-tokenized text; a doc

@@ -36,6 +36,19 @@ object LineDedup {
     * or more documents.
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 maxDocDf: Long = 1): DataFrame =
+    cleanLines(docs, idCol, textCol, maxDocDf)
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  /** [[dedupLines]] keeping the reassembled document itself
+    * (`clean_text`) instead of its md5 — the form downstream curation
+    * stages (quality gate, exact dedup, decontamination) consume when
+    * line dedup runs as a pipeline stage rather than a report. Same
+    * single explode-and-reassemble shuffle; the md5 report is just a
+    * projection of this.
+    */
+  def cleanLines(docs: DataFrame, idCol: String, textCol: String,
                  maxDocDf: Long = 1): DataFrame = {
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
@@ -55,10 +68,10 @@ object LineDedup {
       .agg(
         count(lit(1)).as("n_lines"),
         count(when(col("h").isNull, 1)).as("n_kept"),
-        md5(concat_ws("\n",
+        concat_ws("\n",
           transform(
             array_sort(collect_list(when(col("h").isNull,
               struct(col("pos"), col("line"))))),
-            x => x.getField("line")))).as("clean_md5"))
+            x => x.getField("line"))).as("clean_text"))
   }
 }

@@ -34,6 +34,40 @@ object Extensions {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("text_hash")
 
+  /** URL-keyed exact dedup ([[graft.operators.Dedup.urlNormalize]] →
+    * group on the canonical form) — the first pass of every crawl
+    * pipeline, run on the frontier BEFORE content downloads. The
+    * testdata has no URL column, so the query derives a listing URL per
+    * order row from its keys (the same synthesize-then-operate pattern
+    * as q1's uniq_id), with deterministic cosmetic noise keyed off
+    * o_orderkey — host case, `www.`, default `:443` port, trailing
+    * slash, `utm_*` params, `#fragment` — so different orders of the
+    * same customer spell the same canonical listing URL five-plus
+    * different ways. Normalization collapses them to one row per
+    * customer listing. Oracle-checked: DuckDB synthesizes the same raw
+    * URLs and runs the identical normalization chain (the regexes live
+    * in the RE2 ∩ Java-regex common subset; DuckDB's replace-first
+    * default gets the 'g' flag where Spark replaces all). */
+  /** The synthesized raw-URL frontier [[dedupUrl]] runs on (also the
+    * corpus UrlDedupSpec fuzzes the kernel ≡ reference equality over). */
+  def synthUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      concat(
+        lit("https://"),
+        when(col("o_orderkey") % 2 === 0, lit("WWW.Example.COM")).otherwise(lit("example.com")),
+        when(col("o_orderkey") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/cat"), (col("o_custkey") % 10).cast("string"),
+        lit("/d/listing/"), col("o_custkey").cast("string"),
+        when(col("o_orderkey") % 5 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(col("o_orderkey") % 2 === 1, lit("utm_source=feed&")).otherwise(lit("")),
+        lit("id="), (col("o_custkey") % 7).cast("string"),
+        when(col("o_orderkey") % 4 === 1, lit("&utm_campaign=x")).otherwise(lit("")),
+        when(col("o_orderkey") % 7 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+
+  def dedupUrl(s: SparkSession, dir: String): DataFrame =
+    Dedup.urlDedup(synthUrls(s, dir), "url", "o_orderkey").orderBy("norm_url")
+
   /** Word-set Jaccard similarity vs a fixed document (doc_id=0), top 50
     * — the exact-verification kernel of n-gram dedup, oracle-checkable.
     * Single-space split for DuckDB parity (library form is regex-based).
@@ -411,6 +445,51 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Capstone curation pipeline #2 — the line-level + decontamination
+    * composition that [[corpusCurate]]'s quality/langid/split chain
+    * doesn't cover, proving the round's operators compose inside one
+    * plan: re-line into 10-token lines ([[lineDedup]]'s arithmetic) →
+    * strip lines shared by >2 documents
+    * ([[graft.operators.LineDedup.cleanLines]]; `maxDocDf = 2` keeps
+    * pairwise near-dup overlap in the text so the decontamination stage
+    * downstream has something real to find, while heavy boilerplate
+    * still dies) → quality-gate on the CLEANED text (≥ 16 kept tokens)
+    * → exact dedup on the cleaned content hash → deterministic 90/5/5
+    * split → Bloom-prefiltered train/eval 8-gram decontamination
+    * ([[graft.operators.Decontam.contaminationBloom]]) → per-split doc
+    * / kept-token / contaminated-doc counts. Two localCheckpoints cut
+    * the two 2-consumer fan-outs (gated feeds the dedup aggregate and
+    * the semi-join probe; uniq feeds the decontam shingle pass and the
+    * final rollup) — without them the explode-reassemble stage would
+    * re-run once per consumer. Oracle-checked end to end: every stage
+    * reuses the exact arithmetic of its standalone oracle, so the whole
+    * pipeline hash-matches DuckDB. */
+  def corpusCurate2(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(trim(col("text")), TextAnalysis.WsClass)
+    val lined = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n", transform(
+        sequence(lit(0), ceil(size(tk) / lit(10.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * lit(10) + lit(1), lit(10))))).as("text"))
+    val gated = graft.operators.LineDedup.cleanLines(lined, "doc_id", "text", maxDocDf = 2)
+      .select(col("doc_id"), col("clean_text"),
+        TextAnalysis.tokenCountWs(col("clean_text")).as("n_tokens"))
+      .filter(col("n_tokens") >= 16)
+      .localCheckpoint()
+    val keep = gated.groupBy(md5(col("clean_text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val uniq = gated.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("split",
+        graft.operators.CorpusSplit.assign(col("clean_text"), corpusSplitSpec))
+      .localCheckpoint()
+    val contam = graft.operators.Decontam.contaminationBloom(
+      uniq, "doc_id", "clean_text", "split", "train", Seq("val", "test"))
+    uniq.join(contam.select(col("doc_id"), lit(1).as("hit")), Seq("doc_id"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        count(col("hit")).as("n_contaminated"))
+      .orderBy("split")
+  }
+
   /** Token counting (whitespace + BPE-ish regex), oracle-checked. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -567,6 +646,50 @@ object ExtensionOracles {
   val dedupExact: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  /** The same synthesize → canonicalize → group chain as
+    * [[Extensions.dedupUrl]], every regex verbatim from
+    * [[graft.operators.Dedup.urlNormalize]] (RE2 ∩ Java common subset;
+    * DuckDB's replace-first default takes the 'g' flag exactly where
+    * Spark's replace-all semantics apply — the anchored `#.*$`, `^www\.`,
+    * `/+$`, `^&` patterns can only match once, so they need no flag). */
+  val dedupUrl: String =
+    """WITH raw AS (
+      |  SELECT o_orderkey,
+      |    'https://' ||
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'WWW.Example.COM' ELSE 'example.com' END ||
+      |    CASE WHEN o_orderkey % 3 = 0 THEN ':443' ELSE '' END ||
+      |    '/cat' || (o_custkey % 10) || '/d/listing/' || o_custkey ||
+      |    CASE WHEN o_orderkey % 5 = 0 THEN '/' ELSE '' END ||
+      |    '?' ||
+      |    CASE WHEN o_orderkey % 2 = 1 THEN 'utm_source=feed&' ELSE '' END ||
+      |    'id=' || (o_custkey % 7) ||
+      |    CASE WHEN o_orderkey % 4 = 1 THEN '&utm_campaign=x' ELSE '' END ||
+      |    CASE WHEN o_orderkey % 7 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM orders),
+      |n0 AS (SELECT o_orderkey, regexp_replace(url, '#.*$', '') AS nf FROM raw),
+      |n1 AS (SELECT o_orderkey, split_part(nf, '?', 1) AS base,
+      |              CASE WHEN contains(nf, '?') THEN split_part(nf, '?', 2) END AS q
+      |       FROM n0),
+      |n2 AS (SELECT o_orderkey, q,
+      |              lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |              regexp_replace(lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)), '^www\.', '') AS host0,
+      |              regexp_replace(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$', 1), '/+$', '') AS path
+      |       FROM n1),
+      |n3 AS (SELECT o_orderkey, scheme, path,
+      |              CASE WHEN scheme = 'https' AND host0 LIKE '%:443' THEN substr(host0, 1, len(host0) - 4)
+      |                   WHEN scheme = 'http'  AND host0 LIKE '%:80'  THEN substr(host0, 1, len(host0) - 3)
+      |                   ELSE host0 END AS host,
+      |              CASE WHEN q IS NULL THEN NULL
+      |                   ELSE regexp_replace(regexp_replace('&' || q,
+      |                          '&(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)=[^&]*', '', 'g'), '^&', '') END AS q2
+      |       FROM n2),
+      |n AS (SELECT o_orderkey,
+      |             scheme || '://' || host || path ||
+      |             CASE WHEN q2 IS NULL OR q2 = '' THEN '' ELSE '?' || q2 END AS norm_url
+      |      FROM n3)
+      |SELECT norm_url, min(o_orderkey) AS keep_id, count(*) AS n_dups
+      |FROM n GROUP BY 1 ORDER BY norm_url""".stripMargin
 
   val dedupJaccard: String =
     """WITH tok AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS tk FROM documents),
@@ -759,6 +882,57 @@ object ExtensionOracles {
        |       count(DISTINCT tr.train_id) AS n_train_docs
        |FROM ev JOIN keep USING (g) JOIN tr USING (g)
        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
+  }
+
+  /** The capstone-2 pipeline in SQL, each stage verbatim from its
+    * standalone oracle: lineDedup's 10-token re-lining + df-count +
+    * kept-line reassembly (threshold > 2 here), textTokens' count with
+    * its empty-text guard, dedupExact's min-per-hash, corpusSplit's
+    * derived hex CASE — all over the CLEANED text — and
+    * corpusDecontam's shingle/guard/join chain (which, per the
+    * operator's exactness argument, is also the oracle for the Bloom
+    * path the Spark side runs). */
+  val corpusCurate2: String = {
+    val spec = Extensions.corpusSplitSpec
+    val ths = graft.operators.CorpusSplit.hexThresholds(spec)
+    val whens = spec.init.zip(ths.init).map { case ((name, _), cut) =>
+      s"WHEN substr(md5(clean_text), 1, 8) < '$cut' THEN '$name'"
+    }.mkString(" ")
+    val w = graft.operators.TextAnalysis.WsClass
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '$w') AS tk FROM documents),
+       |ln AS (SELECT doc_id,
+       |         unnest([{'p': i, 's': array_to_string(tk[i*10+1:i*10+10], ' ')}
+       |                 for i in range(0, CAST(ceil(len(tk) / 10.0) AS INT))]) AS e
+       |       FROM tok),
+       |l AS (SELECT doc_id, e.p AS pos, e.s AS line FROM ln),
+       |dup AS (SELECT md5(line) AS h FROM l GROUP BY 1 HAVING count(DISTINCT doc_id) > 2),
+       |j AS (SELECT l.doc_id, l.pos, l.line, dup.h FROM l LEFT JOIN dup ON md5(l.line) = dup.h),
+       |cl AS (SELECT doc_id,
+       |         coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE h IS NULL), '') AS clean_text
+       |       FROM j GROUP BY doc_id),
+       |tc AS (SELECT doc_id, clean_text,
+       |         CASE WHEN len(trim(clean_text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(clean_text), '$w')) END AS n_tokens
+       |       FROM cl),
+       |f AS (SELECT * FROM tc WHERE n_tokens >= 16),
+       |k AS (SELECT md5(clean_text) AS h, min(doc_id) AS keep_id FROM f GROUP BY 1),
+       |u AS (SELECT f.*, CASE $whens ELSE '${spec.last._1}' END AS split
+       |      FROM f JOIN k ON f.doc_id = k.keep_id),
+       |d AS (SELECT doc_id, split,
+       |        list_filter(regexp_split_to_array(lower(clean_text), '$kws'), t -> t <> '') AS tkc
+       |      FROM u),
+       |sh AS (SELECT doc_id, split,
+       |         CASE WHEN len(tkc) < 8 THEN [coalesce(array_to_string(tkc, ' '), '')]
+       |              ELSE list_distinct([array_to_string(tkc[i:i+7], ' ') for i in range(1, len(tkc) - 6)]) END AS sg
+       |       FROM d),
+       |e AS (SELECT doc_id, split, unnest(sg) AS g FROM sh),
+       |keep AS (SELECT g FROM e WHERE split = 'train' GROUP BY g HAVING count(*) <= 100),
+       |ev AS (SELECT DISTINCT e.doc_id FROM e JOIN keep USING (g) WHERE e.split IN ('val', 'test'))
+       |SELECT u.split, count(*) AS n_docs, CAST(sum(u.n_tokens) AS BIGINT) AS sum_tokens,
+       |       count(ev.doc_id) AS n_contaminated
+       |FROM u LEFT JOIN ev ON u.doc_id = ev.doc_id
+       |GROUP BY u.split ORDER BY u.split""".stripMargin
   }
 
   /** The packing window arithmetic, verbatim: cumulative weight BEFORE

@@ -92,4 +92,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(viaSql.getLong(0) == viaCol.getLong(0))
     assert(viaSql.getLong(1) == viaCol.getLong(1))
   }
+
+  test("normalize_url resolves from plain SQL") {
+    val r = extSession.sql(
+      "SELECT normalize_url('HTTPS://WWW.X.COM:443/a/?utm_source=s&id=1#f') AS n")
+      .collect()(0)
+    assert(r.getString(0) == "https://x.com/a?id=1")
+  }
 }

@@ -43,6 +43,19 @@ class LineDedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("cleanLines keeps the exact surviving text; dedupLines is its md5 projection") {
+    val docs = Seq(
+      (1L, "keep one\nBOILER\nkeep two"),
+      (2L, "BOILER\nonly mine")
+    ).toDF("doc_id", "text")
+    val ct = LineDedup.cleanLines(docs, "doc_id", "text", maxDocDf = 1)
+      .orderBy("doc_id").select("clean_text").as[String].collect().toSeq
+    assert(ct == Seq("keep one\nkeep two", "only mine"))
+    val md5s = LineDedup.dedupLines(docs, "doc_id", "text", maxDocDf = 1)
+      .orderBy("doc_id").select("clean_md5").as[String].collect().toSeq
+    assert(md5s == ct.map(md5hex))
+  }
+
   test("dedupLines plan: broadcast join against the boilerplate set, one content shuffle") {
     val plan = LineDedup.dedupLines(
         t(spark, "/root/testdata/sf0.001", "documents"), "doc_id", "text")
