@@ -52,6 +52,8 @@ object SparkEntry {
     // LLM-data-pipeline operators (BASELINE.json north star)
     "dedup_exact"       -> (E.dedupExact(_, _)),
     "dedup_url"         -> (E.dedupUrl(_, _)),
+    "dedup_substring"   -> (E.dedupSubstring(_, _)),
+    "text_ngrams"       -> (E.textNgrams(_, _)),
     "dedup_jaccard"     -> (E.dedupJaccard(_, _)),
     "dedup_jaccard_char" -> (E.dedupJaccardChar(_, _)),
     "dedup_minhash"     -> (E.dedupMinhash(_, _)),
@@ -126,6 +128,8 @@ object SparkEntry {
     // deterministic extension ops; sketch/LSH ops are rows-only
     "dedup_exact"       -> EO.dedupExact,
     "dedup_url"         -> EO.dedupUrl,
+    "dedup_substring"   -> EO.dedupSubstring,
+    "text_ngrams"       -> EO.textNgrams,
     "dedup_jaccard"     -> EO.dedupJaccard,
     "dedup_jaccard_char" -> EO.dedupJaccardChar,
     "dedup_minhash_verify" -> EO.dedupMinhashVerify,

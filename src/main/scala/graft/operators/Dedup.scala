@@ -119,6 +119,45 @@ object Dedup {
       .groupBy(col("norm_url"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  // ---------- exact-substring duplication ----------
+
+  /** Per-document exact-substring duplication report — the signal
+    * behind substring-level dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499:
+    * long verbatim token runs repeated across documents hurt LMs even
+    * when whole-document dedup passes). For every stride-1 `window`-
+    * token window of every document: is that exact window present in
+    * any OTHER document? Reports per doc the window count, the number
+    * of window POSITIONS whose content is cross-document duplicated,
+    * and their fraction. (Within-document repetition is deliberately
+    * out of scope — [[TextAnalysis]]'s text_repetition covers it.)
+    *
+    * Shape at scale: a suffix array (the paper's tool) is not a
+    * distributed-friendly structure; the equivalent signal here is the
+    * decontam shape — windows from the codegen'd
+    * [[graft.functions.WordShingles]] kernel, projected to md5 hashes
+    * immediately (the shuffles carry 16-byte keys + ids, never window
+    * text), document-frequency aggregate on the hash, and an equi-join
+    * back. The windowed projection feeds both the df branch and the
+    * probe side, so it is localCheckpoint'ed to run the scan + shingle
+    * + hash pass once. */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        window: Int): DataFrame = {
+    val wh = df.select(col(idCol),
+        explode(Sketches.wordShingles(col(textCol), window)).as("g"))
+      .select(col(idCol), md5(col("g")).as("h"))
+      .localCheckpoint()
+    val dup = wh.distinct()
+      .groupBy("h").agg(count(lit(1)).as("doc_df"))
+      .filter(col("doc_df") > 1)
+      .select(col("h").as("hd"))
+    wh.join(dup, wh("h") === dup("hd"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"), count(col("hd")).as("n_dup"),
+        round(count(col("hd")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("dup_frac"))
+  }
+
   // ---------- shingling ----------
 
   /** Word n-gram shingles of lowercased whitespace-tokenized text; a doc

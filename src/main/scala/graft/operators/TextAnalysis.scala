@@ -145,6 +145,20 @@ object TextAnalysis {
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Corpus-wide top-k n-gram frequency table — the corpus-analysis
+    * staple (vocabulary/boilerplate inspection, contamination triage,
+    * tokenizer training diagnostics). One hash aggregate with map-side
+    * partial counts over the codegen'd [[graft.functions.WordShingles]]
+    * kernel, then sort+limit — Catalyst plans TakeOrderedAndProject, so
+    * the global step is O(k) per partition, never a full sort, at any
+    * corpus size. Total (count DESC, gram) ordering makes the k-th
+    * boundary deterministic under ties. Short-document rule is the
+    * shingle kernel's: fewer than n tokens → one whole-document gram. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(Sketches.wordShingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(k)
+
   def topTermsTfIdf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val total = df.agg(count(lit(1)).as("n_total"))
     val pairs = tfPairs(df, idCol, textCol)

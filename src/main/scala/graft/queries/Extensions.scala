@@ -68,6 +68,20 @@ object Extensions {
   def dedupUrl(s: SparkSession, dir: String): DataFrame =
     Dedup.urlDedup(synthUrls(s, dir), "url", "o_orderkey").orderBy("norm_url")
 
+  /** Per-document duplicated-32-token-window report
+    * ([[graft.operators.Dedup.substringDupStats]]) — the exact-substring
+    * dedup signal. Oracle-checked: window arithmetic, cross-document
+    * df, and the rounded fraction are all engine-portable. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text", window = 32)
+      .orderBy("doc_id")
+
+  /** Corpus-wide top-50 bigram table
+    * ([[graft.operators.TextAnalysis.topNgrams]]), oracle-checked with
+    * the deterministic (count DESC, gram) tie-break. */
+  def textNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 50)
+
   /** Word-set Jaccard similarity vs a fixed document (doc_id=0), top 50
     * — the exact-verification kernel of n-gram dedup, oracle-checkable.
     * Single-space split for DuckDB parity (library form is regex-based).
@@ -882,6 +896,46 @@ object ExtensionOracles {
        |       count(DISTINCT tr.train_id) AS n_train_docs
        |FROM ev JOIN keep USING (g) JOIN tr USING (g)
        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
+  }
+
+  /** [[Extensions.dedupSubstring]]'s chain with the shingle kernel's
+    * tokenization (same CTE shape as the decontam oracle): stride-1
+    * 32-token windows, whole-doc window when shorter, cross-document
+    * df > 1 = duplicated, per-doc position counts + rounded fraction.
+    * The oracle groups window TEXT where Spark groups md5(text) — equal
+    * short of an md5 collision, which the hash-keyed output could not
+    * represent anyway. */
+  val dedupSubstring: String = {
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH d AS (SELECT doc_id,
+       |             list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |           FROM documents),
+       |w AS (SELECT doc_id,
+       |        CASE WHEN len(tk) < 32 THEN [coalesce(array_to_string(tk, ' '), '')]
+       |             ELSE [array_to_string(tk[i:i+31], ' ') for i in range(1, len(tk) - 30)] END AS ws
+       |      FROM d),
+       |e AS (SELECT doc_id, unnest(ws) AS g FROM w),
+       |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM e) GROUP BY g HAVING count(*) > 1)
+       |SELECT e.doc_id, count(*) AS n_windows, count(dup.g) AS n_dup,
+       |       round(count(dup.g)::DOUBLE / count(*)::DOUBLE, 4) AS dup_frac
+       |FROM e LEFT JOIN dup ON e.g = dup.g
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+  }
+
+  /** [[Extensions.textNgrams]]: bigrams by the shingle kernel's rules
+    * (lowercase, kernel whitespace class, short doc → whole-doc gram),
+    * total (n DESC, gram) order so the LIMIT boundary is deterministic
+    * in both engines (ASCII grams, binary collation both sides). */
+  val textNgrams: String = {
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |           FROM documents),
+       |w AS (SELECT CASE WHEN len(tk) < 2 THEN [coalesce(array_to_string(tk, ' '), '')]
+       |                  ELSE [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] END AS gs
+       |      FROM d),
+       |e AS (SELECT unnest(gs) AS gram FROM w)
+       |SELECT gram, count(*) AS n FROM e
+       |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin
   }
 
   /** The capstone-2 pipeline in SQL, each stage verbatim from its

@@ -85,4 +85,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("substringDupStats counts cross-document duplicated window positions") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // windows: "a b c" "b c d" "c d e"
+      (2L, "c d e f g"),        // windows: "c d e" "d e f" "e f g"
+      (3L, "h i j k l")         // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(docs, "doc_id", "text", window = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 0.3333), (2L, 3L, 1L, 0.3333), (3L, 3L, 0L, 0.0)))
+  }
+
+  test("substringDupStats: within-doc repeats are NOT duplication; every position of a cross-doc window counts") {
+    val docs = Seq(
+      (1L, "x y z x y z"),      // "x y z" twice within one doc: df = 1
+      (2L, "p q r s"),
+      (3L, "w w p q r s w")     // shares "p q r" and "q r s" with doc 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(docs, "doc_id", "text", window = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0.0), (2L, 2L, 2L, 1.0), (3L, 5L, 2L, 0.4)))
+  }
+
+  test("substringDupStats: a doc shorter than the window shingles whole") {
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(docs, "doc_id", "text", window = 32)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, 1.0), (2L, 1L, 1L, 1.0), (3L, 1L, 0L, 0.0)))
+  }
 }

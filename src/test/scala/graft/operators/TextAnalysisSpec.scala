@@ -114,6 +114,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(fp1 != fp3)
   }
 
+  test("topNgrams: counts, (n DESC, gram) ordering, short-doc whole-shingle rule") {
+    val docs = Seq(
+      (1L, "the cat sat"),      // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran"),      // bigrams: "the cat", "cat ran"
+      (3L, "solo")              // < 2 tokens: one whole-doc gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(docs, "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // "the cat" ×2 first; then count-1 grams in lexicographic order
+    assert(got == Seq(("the cat", 2L), ("cat ran", 1L), ("cat sat", 1L)))
+  }
+
+  test("topNgrams plans TakeOrderedAndProject, never a global sort") {
+    val plan = TextAnalysis.topNgrams(
+        graft.core.Tables.t(spark, "/root/testdata/sf0.001", "documents"),
+        "text", n = 2, k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Sort "), plan.take(1500))
+  }
+
   test("analyze projection over the documents table") {
     val out = TextAnalysis.analyze(
       graft.core.Tables.t(spark, "/root/testdata/sf0.001", "documents"), "doc_id", "text")
