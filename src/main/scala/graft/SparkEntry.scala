@@ -64,6 +64,7 @@ object SparkEntry {
     "ann_ivf_topk"      -> (E.annIvf(_, _)),
     "ann_ivf_stored"    -> (E.annIvfStored(_, _)),
     "ann_ivf_kmeans"    -> (E.annIvfKmeans(_, _)),
+    "ann_ivfpq_topk"    -> (E.annIvfPq(_, _)),
     "emb_quantize"      -> (E.embQuantize(_, _)),
     "ann_q8_topk"       -> (E.annQ8(_, _)),
     "corpus_split"      -> (E.corpusSplit(_, _)),

@@ -241,6 +241,86 @@ object VecUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** PQ encode: per subspace, the index of the L2-nearest centroid in
+    * that subspace's table — one byte per subspace (first-index
+    * tie-break; a vector shorter than m·dsub reads as zero-padded).
+    * books(s)(j) is subspace s's centroid j. */
+  def pqEncode(vec: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val out = new Array[Byte](m)
+    val nv = vec.numElements()
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val tab = books(s)
+      val dsub = tab(0).length
+      var best = 0
+      var bd = Double.MaxValue
+      var j = 0
+      while (j < tab.length) {
+        val cv = tab(j)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = (if (off + i < nv) vec.getDouble(off + i) else 0.0) - cv(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      out(s) = best.toByte
+      off += dsub
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC lookup table for one query: flat [m·ksub] of
+    * dot(q_subspace_s, books(s)(j)) — built once per query row, so
+    * every query↔code pair afterwards costs m array reads instead of a
+    * dim-length float loop. */
+  def pqLut(vec: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val ksub = books(0).length
+    val out = new Array[Double](m * ksub)
+    val nv = vec.numElements()
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val tab = books(s)
+      val dsub = tab(0).length
+      var j = 0
+      while (j < ksub) {
+        val cv = tab(j)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          d += (if (off + i < nv) vec.getDouble(off + i) else 0.0) * cv(i)
+          i += 1
+        }
+        out(s * ksub + j) = d
+        j += 1
+      }
+      off += dsub
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: Σ_s lut[s·ksub + code_s] ≈ dot(query, reconstructed
+    * corpus vector) — m adds per pair. */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getDouble(s * ksub + (codes.getByte(s) & 0xff))
+      s += 1
+    }
+    acc
+  }
 }
 
 /** cosine_sim(array<double>, array<double>) → double. */
@@ -386,6 +466,48 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
 }
 
 /** Column-API surface for the vector kernels. */
+/** pq_encode(array<double>) → array<tinyint> of per-subspace centroid
+  * indices. The trained codebooks ride the constant pool, like the IVF
+  * codebook in [[NearestLists]]. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullSafeEval(vec: Any): Any =
+    VecUtil.pqEncode(vec.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.pqEncode($c, $booksRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** pq_lut(array<double>) → array<double> flat [m·ksub] ADC table. */
+case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(vec: Any): Any =
+    VecUtil.pqLut(vec.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.pqLut($c, $booksRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** pq_adc(codes, lut) → double approximate inner product. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    VecUtil.pqAdc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.VecUtil.pqAdc($c, $l, $ksub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
 object Vecs {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -406,6 +528,12 @@ object Vecs {
     ColumnBridge.column(QuantizeI8(ColumnBridge.expression(vec)))
   def cosineI8(a: Column, b: Column): Column =
     ColumnBridge.column(CosineI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), books))
+  def pqLut(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(vec), books))
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(codes), ColumnBridge.expression(lut), ksub))
 
   // SQL registration lives in graft.GraftExtensions only (see the note
   // in graft.functions.Sketches).

@@ -209,6 +209,106 @@ object Similarity {
     cents
   }
 
+  /** Train product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI): split the
+    * dimension into `m` subspaces and k-means each subspace to `ksub`
+    * centroids. Training runs on a deterministic stride sample
+    * collected to the driver (same bounded-artifact rule as
+    * [[sampleCentroids]]/[[kmeansRefine]]: a codebook is m·ksub·dsub
+    * doubles regardless of corpus size; at 100 TB you train on a
+    * sample by definition). Deterministic: stride sample, stride init,
+    * fixed Lloyd iteration count, first-index tie-breaks.
+    */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+              ksub: Int, sampleN: Int = 512, iters: Int = 5): Array[Array[Array[Double]]] = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / sampleN)
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(vecs.nonEmpty, "PQ training sample is empty")
+    val dim = vecs(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = vecs.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var cents = Array.tabulate(ksub)(j => sub((j * sub.length / ksub) % sub.length).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val cnt = new Array[Int](ksub)
+        sub.foreach { x =>
+          var best = 0; var bd = Double.MaxValue
+          var j = 0
+          while (j < ksub) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = x(i) - cents(j)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += x(i); i += 1 }
+          cnt(best) += 1
+        }
+        cents = Array.tabulate(ksub)(j =>
+          if (cnt(j) == 0) cents(j) else sums(j).map(_ / cnt(j)))
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** IVF-PQ top-k — the shape ANN actually takes at 100 TB, where float
+    * vectors don't fit anywhere: the corpus index holds one byte per
+    * subspace (m bytes/vector, a 32× compression at m=8 over 64 floats)
+    * plus a coarse list id; search is coarse probe (nprobe lists, same
+    * [[ivfTopK]] pruning) → asymmetric-distance scoring (each query
+    * precomputes an m·ksub lookup table ONCE, then every candidate
+    * costs m array reads — no dim-length math per pair) → exact
+    * re-rank of the k·`refine` ADC survivors against their full
+    * vectors. The refine fetch is a broadcast-candidate hash join
+    * against the corpus (candidate set ≤ |queries|·k·refine — tiny), so
+    * full vectors are read for survivors only, which is exactly the
+    * two-tier storage layout (codes hot, vectors cold) PQ exists to
+    * enable. Deterministic end to end; recall vs brute force asserted
+    * in SimilaritySpec.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                qidCol: String, vecCol: String, k: Int,
+                centroids: Array[(Long, Array[Double])], nprobe: Int,
+                books: Array[Array[Array[Double]]], refine: Int = 4): DataFrame = {
+    import graft.functions.Vecs.{pqAdc, pqEncode, pqLut}
+    val ksub = books(0).length
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("v"), col("list_id"),
+        pqEncode(col("v"), books).as("codes"))
+      .localCheckpoint()   // bucket join must see attributes (see lshTopK)
+    val q0 = queries
+      .select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("lut", pqLut(col("qv"), books))
+      .localCheckpoint()
+    val q = q0.select(col("qid"), col("lut"),
+      explode(graft.functions.Vecs.nearestLists(col("qv"), centroids, nprobe)).as("list_id"))
+    // ADC candidate generation: bounded-heap top (k·refine) per query,
+    // scored from codes + the per-query LUT only
+    val cand = assigned.select(col("id"), col("list_id"), col("codes"))
+      .join(q, Seq("list_id"))
+      .select(col("qid"), col("id"), pqAdc(col("codes"), col("lut"), ksub).as("adc"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("adc"), (-col("id")).as("nid")), k * refine).as("t"))
+      .select(col("qid"), explode(col("t")).as("s"))
+      .select(col("qid"), (-col("s.nid")).as("id"))
+    // exact refine: full vectors for the tiny candidate set only
+    topkRank(
+      assigned.select(col("id"), col("v")).join(broadcast(cand), Seq("id"))
+        .join(broadcast(q0.select(col("qid"), col("qv"))), Seq("qid"))
+        .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim")),
+      k)
+  }
+
   /** IVF top-k search: corpus bucketed once by nearest centroid
     * ([[ivfAssign]]); each query probes only its `nprobe` nearest lists
     * and re-ranks candidates exactly. The probe join is an equi-join on

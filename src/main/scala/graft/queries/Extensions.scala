@@ -222,6 +222,23 @@ object Extensions {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-PQ ANN ([[Similarity.ivfPqTopK]]): [[annIvf]]'s coarse
+    * codebook and probe width, 8-subspace × 16-centroid product
+    * codebooks trained on a deterministic sample, ADC candidate
+    * generation over 8-byte codes, exact re-rank of the survivors.
+    * Rows-only at the driver (trained-artifact family, like the other
+    * IVF queries); determinism, exactness of refined sims, and recall
+    * vs brute force asserted in SimilaritySpec. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "vec_id",
+      "embedding", k = 10, cents, nprobe = 4, books)
+      .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** ANN over a storage-partitioned IVF corpus: same codebook and probe
     * parameters as [[annIvf]], but the corpus is first materialized
     * `partitionBy(list_id)` and the union of probed lists reaches the

@@ -110,6 +110,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit.toDouble / bf.size >= 0.4, s"recall ${hit.toDouble / bf.size}")
   }
 
+  test("ivf-pq: deterministic codebooks, self at rank 1, exact refined sims, recall floor") {
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(books.length == 8 && books(0).length == 16 && books(0)(0).length == 8)
+    // training is a pure function of the corpus (stride sample, stride
+    // init, fixed iterations) — byte-stable run to run
+    val books2 = Similarity.trainPq(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+    val pq = Similarity.ivfPqTopK(emb, queries, "vec_id", "vec_id", "embedding",
+      k = 10, cents, nprobe = 3, books)
+      .select("qid", "id", "sim", "rank").as[(Long, Long, Double, Int)].collect()
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "vec_id", "embedding", 10)
+      .select("qid", "id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, i, s) => (q, i) -> s }.toMap
+    // self's ADC score is the query·its-own-reconstruction dot — top of
+    // its list — so it survives candidate generation, and exact refine
+    // must then put it at rank 1 with sim 1
+    for (q <- pq.map(_._1).distinct) {
+      val r1 = pq.find(r => r._1 == q && r._4 == 1).get
+      assert(r1._2 == q && math.abs(r1._3 - 1.0) < 1e-9)
+    }
+    // final sims come from the exact kernel, not ADC
+    pq.foreach { case (q, i, s, _) =>
+      bf.get((q, i)).foreach(exact => assert(math.abs(s - exact) < 1e-9))
+    }
+    val hit = pq.count { case (q, i, _, _) => bf.contains((q, i)) }
+    assert(hit.toDouble / bf.size >= 0.4, s"recall ${hit.toDouble / bf.size}")
+  }
+
   test("k-means-refined codebook: recall at equal nprobe >= stride codebook") {
     def recall(cents: Array[(Long, Array[Double])]): Double = {
       val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
