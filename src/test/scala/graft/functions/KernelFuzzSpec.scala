@@ -132,4 +132,32 @@ class KernelFuzzSpec extends AnyFunSuite with SparkSpec {
       assert(got(id)._2 == refSumLen(tokens), s"len id=$id")
     }
   }
+
+  test("UrlUtil kernel matches the regexp reference chain over fuzzed URL-ish strings") {
+    // URL metacharacters heavily over-weighted so every branch of the
+    // parser (scheme run, ://, host/port, path slashes, ?, &, =, #,
+    // www., utm_ names, case) is hit in combination
+    val urlAlphabet: Vector[String] =
+      ("abzAZ09" + ":/?#&=.-+_%wWuUtTmMrRefé").map(_.toString).toVector
+    def randUrlish(): String = {
+      val prefix = rng.nextInt(6) match {
+        case 0 => "https://" case 1 => "HTTP://www." case 2 => "http://"
+        case 3 => "ftp://"   case 4 => ""            case 5 => "hx+p://WWW."
+      }
+      val n = rng.nextInt(40)
+      val sb = new StringBuilder(prefix)
+      (0 until n).foreach(_ => sb.append(urlAlphabet(rng.nextInt(urlAlphabet.size))))
+      sb.toString
+    }
+    val urls = (0 until 2000).map(i => (i.toLong, randUrlish()))
+    val diff = urls.toDF("id", "url")
+      .select(col("id"), col("url"),
+        graft.functions.Urls.normalizeUrl(col("url")).as("k"),
+        graft.operators.Dedup.urlNormalizeReference(col("url")).as("r"))
+      .filter(col("k") =!= col("r"))
+      .collect()
+    assert(diff.isEmpty, diff.take(5).map(r =>
+      s"url='${r.getString(1)}' kernel='${r.getString(2)}' ref='${r.getString(3)}'")
+      .mkString("\n"))
+  }
 }

@@ -52,6 +52,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     //  invisible in the final plan; its projection is text_tokens' shape)
     ("corpus_interleave", "source", "lang"),         // documents: text+lang only
     ("dedup_exact", "lang", "text"),
+    ("dedup_url", "o_orderstatus", "o_custkey"), // orders: keys only
+    ("text_ngrams", "doc_id", "text"),           // documents: text only
+    // (dedup_substring's windowed scan sits behind its localCheckpoint,
+    //  invisible in the final plan — same situation as text_tfidf; its
+    //  pre-checkpoint projection is text_ngrams' shape)
     ("q23_sessionize", "props", "user_id"),
     ("q14_range_join", "value", "user_id"))
 
