@@ -71,6 +71,7 @@ object SparkEntry {
     "corpus_sample"     -> (E.corpusSample(_, _)),
     "corpus_pack"       -> (E.corpusPack(_, _)),
     "corpus_interleave" -> (E.corpusInterleave(_, _)),
+    "corpus_mix"        -> (E.corpusMix(_, _)),
     "corpus_decontam"   -> (E.corpusDecontam(_, _)),
     "corpus_decontam_bloom" -> (E.corpusDecontamBloom(_, _)),
     "corpus_chunk"      -> (E.corpusChunk(_, _)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "corpus_sample"     -> EO.corpusSample,
     "corpus_pack"       -> EO.corpusPack,
     "corpus_interleave" -> EO.corpusInterleave,
+    "corpus_mix"        -> EO.corpusMix,
     "corpus_decontam"   -> EO.corpusDecontam,
     // the Bloom prefilter is exact-preserving, so the bloom path must
     // match the SAME oracle SQL bit for bit — sharing the string keeps

@@ -107,6 +107,50 @@ object CorpusSplit {
     sampleStratified(df, keyCol, strataCol, fractions, defaultFrac = 0.0)
   }
 
+  /** Integer stratum weight for temperature sampling: ⌊2^16·n^(1/2^d)⌋.
+    * The exponent is restricted to 1/2^d so the weight is computed by d
+    * applications of sqrt — IEEE 754 sqrt is correctly rounded (pow is
+    * NOT), and ·2^16 is an exact scaling, so every engine derives the
+    * same integer from the same count and the weight SUM is exact
+    * integer arithmetic with no float-accumulation-order hazard. Shared
+    * with the DuckDB oracle the same way [[hexThresholds]] is. */
+  def temperatureWeight(n: Long, sqrtDepth: Int): Long = {
+    var x = n.toDouble
+    var d = sqrtDepth
+    while (d > 0) { x = math.sqrt(x); d -= 1 }
+    math.floor(x * 65536.0).toLong
+  }
+
+  /** Temperature-weighted mixture sampling — the multilingual
+    * rebalancing pass of an LLM pipeline (sample strata ∝ n^α, α=1/T,
+    * so dominant strata are flattened toward the tail; XLM-R/mT5-style).
+    * Unlike [[interleaveToMixture]] the target shares are DERIVED from
+    * the stratum counts: share_g = w_g/Σw with w_g = [[temperatureWeight]]
+    * (α = 1/2^sqrtDepth; depth 1 = the common T=2), then each stratum
+    * keeps min(1, total·share_g/n_g) of its rows via the md5-threshold
+    * projection. The counts→weights table is a bounded driver artifact
+    * (one row per stratum, IVF-codebook class); the keep is a shuffle-
+    * free scan filter; α's 1/2^d form plus integer weight sums make the
+    * realized thresholds bit-reproducible in any engine with md5 and
+    * sqrt, so the mixture can be recomputed and audited outside Spark.
+    * Null strata are dropped (a mixture is over known strata — same
+    * contract as [[interleaveToMixture]]'s exhaustive spec). */
+  def mixtureByTemperature(df: DataFrame, keyCol: String, strataCol: String,
+                           sqrtDepth: Int = 1): DataFrame = {
+    require(sqrtDepth >= 1 && sqrtDepth <= 4, "sqrtDepth in [1,4] (alpha = 1/2^d)")
+    val counts = df.groupBy(col(strataCol).cast("string")).agg(count(lit(1)).as("n"))
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    val total = counts.values.sum
+    val weights = counts.map { case (st, n) => st -> temperatureWeight(n, sqrtDepth) }
+    val wSum = weights.values.sum
+    // ((total·w)/Σw)/n, left-associated — the oracle mirrors this exact
+    // op order so each correctly-rounded double step matches bit-for-bit
+    val fractions = counts.map { case (st, n) =>
+      st -> math.min(1.0, total.toDouble * weights(st).toDouble / wSum.toDouble / n.toDouble)
+    }
+    sampleStratified(df, keyCol, strataCol, fractions, defaultFrac = 0.0)
+  }
+
   def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
                        fractions: Map[String, Double],
                        defaultFrac: Double = 1.0): DataFrame = {

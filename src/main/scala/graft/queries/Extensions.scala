@@ -371,6 +371,20 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Temperature-weighted mixture sampling
+    * ([[graft.operators.CorpusSplit.mixtureByTemperature]], T=2):
+    * per-language kept counts after flattening the language
+    * distribution toward n^0.5 shares. Oracle-checked — the DuckDB side
+    * recomputes the count → ⌊2^16·sqrt(n)⌋ integer weight → exact
+    * integer weight sum → ((total·w)/Σw)/n fraction → md5-hex threshold
+    * chain (sqrt is IEEE-correctly-rounded and the ·2^16 scale is
+    * exact, so the thresholds are bit-identical across engines). */
+  def corpusMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusSplit
+      .mixtureByTemperature(t(s, dir, "documents"), "text", "lang", sqrtDepth = 1)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+
   /** Train/eval 8-gram contamination report over the 90/5/5 md5 split
     * ([[graft.operators.Decontam]]): eval documents sharing an 8-gram
     * shingle with a training document, with the boilerplate/skew guard
@@ -842,6 +856,26 @@ object ExtensionOracles {
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
+
+  /** [[Extensions.corpusMix]]'s chain with the temperature-weight
+    * derivation inlined: integer weights ⌊2^16·sqrt(n)⌋ summed exactly
+    * (no float-accumulation order hazard), fraction computed in the
+    * same left-associated op order as
+    * [[graft.operators.CorpusSplit.mixtureByTemperature]]. */
+  val corpusMix: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+      |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 65536.0) AS BIGINT) AS w FROM c),
+      |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(sum(w) AS DOUBLE) AS wsum FROM w),
+      |f AS (SELECT w.lang,
+      |             least(1.0, t.total * CAST(w.w AS DOUBLE) / t.wsum / CAST(w.n AS DOUBLE)) AS frac
+      |      FROM w, t),
+      |cut AS (SELECT lang, CASE WHEN frac >= 1.0 THEN 'g'
+      |                          ELSE printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT)) END AS cut
+      |        FROM f)
+      |SELECT d.lang, count(*) AS n_kept
+      |FROM documents d JOIN cut ON d.lang = cut.lang
+      |WHERE substr(md5(d.text), 1, 8) < cut.cut
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   /** The full curation pipeline in SQL, each stage verbatim from its
     * standalone oracle: textTokens' count (with its empty-text guard),

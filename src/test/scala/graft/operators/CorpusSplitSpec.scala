@@ -86,6 +86,36 @@ class CorpusSplitSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("temperature mixture: dominant flattened toward sqrt share, tail kept whole") {
+    val docs = t(spark, dir, "documents")
+    val allBy = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = allBy.values.sum.toDouble
+    val kept = CorpusSplit.mixtureByTemperature(docs, "text", "lang", sqrtDepth = 1)
+    val keptBy = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // sqrt-share targets: w_g = sqrt(n_g), share = w/Σw
+    val w = allBy.map { case (l, n) => l -> math.sqrt(n.toDouble) }
+    val wSum = w.values.sum
+    for ((l, n) <- allBy) {
+      val target = total * w(l) / wSum
+      if (n <= target) assert(keptBy(l) == n, s"$l below target must keep all rows")
+      else { // flattened toward target, loose binomial band around the md5 cut
+        assert(keptBy(l) < n, s"$l above target must shrink")
+        assert(math.abs(keptBy(l) - target) < total * 0.06,
+          s"$l: kept ${keptBy(l)} vs target $target")
+      }
+    }
+    // a sampler can only remove rows, so realized share of the dominant
+    // stratum strictly falls while every tail stratum's share rises
+    val keptTotal = keptBy.values.sum.toDouble
+    val dominant = allBy.maxBy(_._2)._1
+    assert(keptBy(dominant) / keptTotal < allBy(dominant) / total)
+    // deterministic + partition-independent like the other samplers
+    val a = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = CorpusSplit.mixtureByTemperature(docs.repartition(13), "text", "lang", sqrtDepth = 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("sampling then splitting: strata stay proportional inside each split") {
     val docs = t(spark, dir, "documents")
     val sampled = CorpusSplit.sampleStratified(docs, "text", "lang", Map("en" -> 0.25))
