@@ -119,6 +119,35 @@ object Dedup {
       .groupBy(col("norm_url"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Per-host document quota — the Common-Crawl-style curation pass
+    * that caps how many pages any one site contributes to the corpus
+    * (a handful of template-heavy domains otherwise dominate a crawl).
+    * Hosts are canonicalized through [[urlNormalize]] (case, `www.`,
+    * default ports) so one site can't dodge its cap by spelling its
+    * host five ways; the kept set is the `maxPerHost` SMALLEST ids
+    * (earliest in crawl order — deterministic and re-runnable).
+    *
+    * Shape at scale: the naive idiom (`row_number() over (partition by
+    * host order by id)`) shuffles and SORTS every URL of every host.
+    * This uses the bounded-heap [[graft.functions.TopKAgg]] instead:
+    * partial aggregation caps map-side state at `maxPerHost` ids per
+    * local host, the shuffle carries ≤ maxPerHost·hosts rows, and no
+    * full sort ever happens — a skewed mega-host costs its map tasks a
+    * heap each, not a single sorted partition. TopK keeps the LARGEST
+    * values, so ids ride negated and are flipped back on output
+    * (descending −id = ascending id, so `kept_ids` comes out sorted). */
+  def domainQuota(df: DataFrame, urlCol: String, idCol: String,
+                  maxPerHost: Int): DataFrame = {
+    val host = regexp_extract(urlNormalize(col(urlCol)),
+      "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    df.select(col(idCol).cast("long").as("_id"), host.as("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        graft.functions.TopKAgg.topK(-col("_id"), maxPerHost).as("_neg"))
+      .select(col("host"), col("n_urls"),
+        transform(col("_neg"), x => -x).as("kept_ids"))
+  }
+
   // ---------- exact-substring duplication ----------
 
   /** Per-document exact-substring duplication report — the signal

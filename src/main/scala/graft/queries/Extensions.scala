@@ -68,6 +68,32 @@ object Extensions {
   def dedupUrl(s: SparkSession, dir: String): DataFrame =
     Dedup.urlDedup(synthUrls(s, dir), "url", "o_orderkey").orderBy("norm_url")
 
+  /** A multi-host frontier for [[domainQuota]]: 23 synthetic hosts
+    * keyed off o_custkey, with the same cosmetic-noise classes as
+    * [[synthUrls]] (host case, `www.`, default `:443` port, a tracking
+    * param) so the cap is counted against the CANONICAL host. Paths are
+    * keyed off o_orderkey, so every row is a distinct URL — quota, not
+    * dedup, decides what survives. */
+  def synthHostUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      concat(
+        lit("https://"),
+        when(col("o_orderkey") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        when(col("o_orderkey") % 2 === 0, lit("H")).otherwise(lit("h")),
+        (col("o_custkey") % 23).cast("string"),
+        lit(".example.com"),
+        when(col("o_orderkey") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/item/"), col("o_orderkey").cast("string"),
+        when(col("o_orderkey") % 5 === 0, lit("?utm_source=feed")).otherwise(lit(""))).as("url"))
+
+  /** Per-host quota ([[graft.operators.Dedup.domainQuota]], cap 10):
+    * canonical host, URL count, and the 10 smallest kept ids per host.
+    * Oracle-checked — DuckDB re-derives the canonical host with the
+    * kernel's case/`www.`/port rules and takes the same sorted prefix. */
+  def domainQuota(s: SparkSession, dir: String): DataFrame =
+    Dedup.domainQuota(synthHostUrls(s, dir), "url", "o_orderkey", maxPerHost = 10)
+      .orderBy("host")
+
   /** Per-document duplicated-32-token-window report
     * ([[graft.operators.Dedup.substringDupStats]]) — the exact-substring
     * dedup signal. Oracle-checked: window arithmetic, cross-document
@@ -735,6 +761,33 @@ object ExtensionOracles {
       |      FROM n3)
       |SELECT norm_url, min(o_orderkey) AS keep_id, count(*) AS n_dups
       |FROM n GROUP BY 1 ORDER BY norm_url""".stripMargin
+
+  /** [[Extensions.domainQuota]]'s synth → canonical-host → sorted-prefix
+    * chain. The host rules are the [[dedupUrl]] oracle's n2/n3 steps
+    * (lowercase, strip `www.`, strip the scheme-default port — the synth
+    * is all-https so the `:443` strip needs no scheme CASE); the kept
+    * set is the 10 smallest ids per host, which the bounded-heap
+    * aggregate emits already sorted. */
+  val domainQuota: String =
+    """WITH raw AS (
+      |  SELECT o_orderkey,
+      |    'https://' ||
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'WWW.' ELSE '' END ||
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'H' ELSE 'h' END ||
+      |    (o_custkey % 23) || '.example.com' ||
+      |    CASE WHEN o_orderkey % 4 = 0 THEN ':443' ELSE '' END ||
+      |    '/item/' || o_orderkey ||
+      |    CASE WHEN o_orderkey % 5 = 0 THEN '?utm_source=feed' ELSE '' END AS url
+      |  FROM orders),
+      |h0 AS (SELECT o_orderkey,
+      |         regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS host0
+      |       FROM raw),
+      |h AS (SELECT o_orderkey,
+      |        CASE WHEN host0 LIKE '%:443' THEN substr(host0, 1, len(host0) - 4) ELSE host0 END AS host
+      |      FROM h0)
+      |SELECT host, count(*) AS n_urls,
+      |       list_slice(list_sort(list(o_orderkey)), 1, 10) AS kept_ids
+      |FROM h GROUP BY host ORDER BY host""".stripMargin
 
   val dedupJaccard: String =
     """WITH tok AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS tk FROM documents),
