@@ -58,6 +58,49 @@ object Packing {
     * text operator, so the DuckDB oracle reproduces chunk hashes
     * bit-for-bit.
     */
+  /** Global exclusive prefix sum over a total order — the offset
+    * assignment that lays a corpus into one contiguous token stream
+    * (offset(doc) = tokens of every doc with a smaller id; the index a
+    * packed-binary corpus writer needs). The result depends ONLY on
+    * (id, weight), never on partitioning.
+    *
+    * Scale design: the naive `sum() over (order by id)` window has no
+    * PARTITION BY — Spark plans it as Exchange SinglePartition and one
+    * task scans the entire corpus, a cliff at any scale. This is the
+    * classic two-phase scan instead: (1) range-bucket by id (bucket
+    * width from the max id — a one-row driver artifact like the IVF
+    * codebook; NB `max(id) div buckets + 1` in integer arithmetic, no
+    * double rounding at 2^63) and aggregate one total per bucket; (2)
+    * broadcast the ~`buckets` cumulative bases back and run the running
+    * sum WITHIN each bucket, every window partition a bucket, all
+    * buckets in parallel. Cost: one tiny aggregate + one partitioned
+    * window — no single-partition stage anywhere. */
+  def assignOffsets(df: DataFrame, idCol: String, weightCol: String,
+                    buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "positive bucket count required")
+    val spark = df.sparkSession
+    // eager action: bounded driver artifact (one row) sizing the buckets
+    val maxId = Option(df.agg(max(col(idCol))).head.get(0))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val width = maxId / buckets + 1
+    val bucketed = df.select(col(idCol), col(weightCol),
+      expr(s"$idCol div $width").as("_b"))
+    // eager action: per-bucket totals, ≤ `buckets` rows — scanned once
+    // on the driver into exclusive cumulative bases
+    val totals = bucketed.groupBy(col("_b"))
+      .agg(sum(col(weightCol)).as("_t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val baseDf = spark.createDataFrame(bases.toSeq).toDF("_bb", "_base")
+    val w = Window.partitionBy("_b").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(baseDf), col("_b") === col("_bb"))
+      .withColumn("offset",
+        (col("_base") + coalesce(sum(col(weightCol)).over(w), lit(0L))).cast("long"))
+      .select(col(idCol), col(weightCol), col("offset"))
+  }
+
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
                   window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,

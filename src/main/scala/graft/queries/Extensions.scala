@@ -397,6 +397,21 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Global token-offset assignment
+    * ([[graft.operators.Packing.assignOffsets]]): each document's
+    * exclusive prefix sum of whitespace-token counts in doc_id order —
+    * the contiguous-stream index a packed corpus writer emits.
+    * Oracle-checked: DuckDB's plain `sum() over (order by doc_id)`
+    * window reproduces the two-phase result exactly, PROVING the
+    * bucketed formulation equals the single-window semantics it
+    * replaces. */
+  def corpusOffsets(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.assignOffsets(
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok")),
+      "doc_id", "n_tok")
+      .orderBy("doc_id")
+
   /** Temperature-weighted mixture sampling
     * ([[graft.operators.CorpusSplit.mixtureByTemperature]], T=2):
     * per-language kept counts after flattening the language
@@ -908,6 +923,23 @@ object ExtensionOracles {
        |FROM documents d JOIN cut ON d.lang = cut.lang
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
+  /** [[Extensions.corpusOffsets]] as the single-window formulation the
+    * two-phase operator replaces — the oracle IS the semantic spec:
+    * bucket math must be invisible in the output. Tokens on the shared
+    * whitespace class with textTokens' empty-text guard. */
+  val corpusOffsets: String = {
+    val w = graft.operators.TextAnalysis.WsClass
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '$w')) END AS n_tok
+       |  FROM documents)
+       |SELECT doc_id, n_tok,
+       |       coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+       |FROM tok ORDER BY doc_id""".stripMargin
   }
 
   /** [[Extensions.corpusMix]]'s chain with the temperature-weight

@@ -99,4 +99,34 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("hashpartitioning(bucket"), plan.take(2000))
     assert(!plan.contains("SinglePartition"), plan.take(2000))
   }
+
+  test("offsets: two-phase prefix sum equals the naive global window") {
+    val docs = t(spark, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokenCountWs($"text").cast("long").as("n_tok"))
+    val got = Packing.assignOffsets(docs, "doc_id", "n_tok", buckets = 7)
+      .select("doc_id", "offset").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val rows = docs.as[(Long, Long)].collect().sortBy(_._1)
+    val ref = rows.map(_._1).zip(rows.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+    assert(got == ref)
+    assert(got.head._2 == 0L)
+    // bucket count must be invisible in the result
+    val other = Packing.assignOffsets(docs.repartition(13), "doc_id", "n_tok", buckets = 64)
+      .select("doc_id", "offset").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(other == ref)
+  }
+
+  test("offsets: no single-partition stage in the plan") {
+    val docs = t(spark, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokenCountWs($"text").cast("long").as("n_tok"))
+    val plan = Packing.assignOffsets(docs, "doc_id", "n_tok")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+    assert(plan.contains("hashpartitioning(_b"), plan.take(2000))
+  }
+
+  test("offsets: empty input yields an empty result, not a crash") {
+    val docs = t(spark, dir, "documents")
+      .select($"doc_id", $"n_chars").filter(lit(false))
+    assert(Packing.assignOffsets(docs, "doc_id", "n_chars").count() == 0)
+  }
 }
