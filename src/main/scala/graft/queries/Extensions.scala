@@ -397,6 +397,29 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Z-order layout report ([[graft.functions.Layout.interleave16]]):
+    * orders keyed by (customer bucket, order-day bucket), grouped into
+    * 256 z-buckets (top 8 bits of the 20-bit Morton key), reporting each
+    * bucket's count and min/max span on BOTH dimensions. The spans are
+    * the pruning argument made measurable: fixing the key's top 8 bits
+    * confines x and y to 64-value windows each (the spec asserts ≤ 63),
+    * so files written per z-bucket carry tight parquet min/max stats on
+    * both columns at once — a filter on either dimension prunes to
+    * ~1/16 of the files, where a plain sort by x leaves y's per-file
+    * span at the full domain. Oracle-checked: DuckDB re-derives the
+    * interleave with per-bit shift arithmetic. */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+    val x = (col("o_custkey") % 1024).cast("long")
+    val y = (datediff(to_date(col("o_orderdate")), lit("1970-01-01")) % 1024).cast("long")
+    t(s, dir, "orders")
+      .select(graft.functions.Layout.interleave16(x, y).as("z"), x.as("x"), y.as("y"))
+      .groupBy(shiftright(col("z"), 12).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy("zbucket")
+  }
+
   /** Global token-offset assignment
     * ([[graft.operators.Packing.assignOffsets]]): each document's
     * exclusive prefix sum of whitespace-token counts in doc_id order —
@@ -924,6 +947,22 @@ object ExtensionOracles {
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
+
+  /** [[Extensions.layoutZorder]] with the Morton key spelled as per-bit
+    * shift arithmetic (the magic-mask spread is a Spark-side speedup;
+    * bit i of x lands at 2i, bit i of y at 2i+1 either way). */
+  val layoutZorder: String =
+    """WITH b AS (
+      |  SELECT o_custkey % 1024 AS x,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
+      |  FROM orders),
+      |z AS (SELECT x, y,
+      |        list_sum(list_transform(range(0, 16),
+      |          i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1)))) AS z
+      |      FROM b)
+      |SELECT CAST(z >> 12 AS BIGINT) AS zbucket, count(*) AS n,
+      |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** [[Extensions.corpusOffsets]] as the single-window formulation the
     * two-phase operator replaces — the oracle IS the semantic spec:
