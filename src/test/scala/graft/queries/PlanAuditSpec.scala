@@ -58,7 +58,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     //  invisible in the final plan — same situation as text_tfidf; its
     //  pre-checkpoint projection is text_ngrams' shape)
     ("q23_sessionize", "props", "user_id"),
-    ("q14_range_join", "value", "user_id"))
+    ("q14_range_join", "value", "user_id"),
+    ("domain_quota", "o_orderstatus", "o_custkey"),  // orders: keys only
+    ("layout_zorder", "o_totalprice", "o_orderdate"),// orders: cluster dims only
+    ("corpus_offsets", "source", "text"),            // documents: id+text only
+    ("corpus_mix", "source", "lang"))                // documents: text+lang only
 
   prunedScans.foreach { case (name, absent, present) =>
     test(s"$name: parquet scan prunes '$absent', reads '$present'") {
