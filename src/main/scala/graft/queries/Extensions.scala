@@ -354,6 +354,29 @@ object Extensions {
         round(col("st.recon_cos"), 4).as("recon_cos"))
       .orderBy("vec_id")
 
+  /** Per-label class centroids over the int8-quantized embeddings —
+    * the label-propagation / clustering-seed primitive (a centroid per
+    * observed class, used downstream for nearest-centroid labeling and
+    * drift monitoring). Quantizing FIRST ([[graft.functions.Vecs
+    * .quantizeI8]], trunc semantics) makes every per-dimension sum
+    * exact integer arithmetic, so the centroid is bit-reproducible
+    * across engines and summation orders — the float-accumulation
+    * hazard of averaging raw doubles never arises. Shape at scale:
+    * posexplode to (label, pos, q) then groupBy(label, pos) — partial
+    * aggregation combines map-side, so the shuffle carries
+    * labels×dims partial sums per task, never n×dims rows.
+    * Oracle-checked. */
+  def embCentroid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        posexplode(graft.functions.Vecs.quantizeI8(col("embedding").cast("array<double>")))
+          .as(Seq("pos0", "q")))
+      .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q").cast("long")).as("q_sum"))
+      .select(col("label"), col("pos"), col("n"), col("q_sum"),
+        round(col("q_sum").cast("double") / col("n"), 4).as("c"))
+      .orderBy("label", "pos")
+
   /** Deterministic 90/5/5 corpus split by content hash (split counts).
     * Oracle-checked: the md5-hex bucket ([[graft.operators.CorpusSplit]])
     * is reproducible in any engine; proportions and partition-
@@ -835,6 +858,24 @@ object ExtensionOracles {
       |             (len(tk) + len(qtk) - len(list_intersect(tk, qtk)))::DOUBLE, 4) AS jaccard
       |FROM tok, q WHERE doc_id > 0
       |ORDER BY jaccard DESC, doc_id LIMIT 50""".stripMargin
+
+  /** [[Extensions.embCentroid]]: the [[embQuantize]] trunc-quantize
+    * chain, then positional unnest → per-(label, pos) exact integer
+    * sums. The zero-vector CASE mirrors the kernel's all-zero output
+    * (trunc(e·127/0) would be NaN). */
+  val embCentroid: String =
+    """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      |m AS (SELECT label, x, list_max(list_transform(x, e -> abs(e))) AS maxabs FROM v),
+      |q AS (SELECT label,
+      |             CASE WHEN maxabs > 0
+      |                  THEN list_transform(x, e -> trunc(e * 127.0 / maxabs))
+      |                  ELSE list_transform(x, e -> 0.0) END AS qi
+      |      FROM m)
+      |SELECT label, i AS pos, count(*) AS n,
+      |       CAST(sum(qi[i]) AS BIGINT) AS q_sum,
+      |       round(CAST(sum(qi[i]) AS DOUBLE) / count(*), 4) AS c
+      |FROM q, unnest(generate_series(1, len(qi))) AS u(i)
+      |GROUP BY label, i ORDER BY label, i""".stripMargin
 
   val embQuantize: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),

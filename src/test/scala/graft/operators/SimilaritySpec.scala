@@ -180,4 +180,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted.toSeq
     assert(sto == mem, "stored-corpus search diverged from in-memory IVF")
   }
+
+  test("emb_centroid: integer-exact sums match a driver reference; map-side combine in plan") {
+    val dir = "/root/testdata/sf0.01"
+    val q = graft.queries.Extensions.embCentroid(spark, dir)
+    val got = q.select($"label".cast("long"), $"pos", $"n", $"q_sum")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // reference: quantize on the driver with the same trunc kernel
+    val raw = graft.core.Tables.t(spark, dir, "embeddings")
+      .select($"label".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val ref = raw.flatMap { case (label, x) =>
+      val maxAbs = x.map(math.abs).max
+      x.zipWithIndex.map { case (e, i) =>
+        (label, i + 1L) -> (if (maxAbs > 0) (e * 127.0 / maxAbs).toByte.toLong else 0L)
+      }
+    }.groupBy(_._1).map { case ((label, pos), vs) =>
+      (label, pos, vs.size.toLong, vs.map(_._2).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == ref)
+    // the shuffle must carry partial sums, not exploded rows: two
+    // aggregate stages around the (label, pos) exchange
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(label"), plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
 }
