@@ -446,6 +446,23 @@ object Inventory {
       .filter(col("cnt") > 0)
       .orderBy("day", "event_type")
 
+  /** Q29 — ordered conversion funnel over events (view → click →
+    * purchase): a user reaches stage k when an event of stage k's type
+    * exists STRICTLY AFTER their earliest stage-(k−1) arrival — the
+    * classic funnel semantics, expressed relationally as cascaded
+    * min-ts aggregates + equi-joins rather than a per-user event-list
+    * fold. Each stage is filter (pushed to the scan) → groupBy(user)
+    * with map-side combine → hash join on user_id against the previous
+    * stage's one-row-per-user table; no window over unbounded user
+    * history, no collect_list of a user's events. Lag totals are kept
+    * as EXACT integer micros (sum, not avg — average would accumulate
+    * in doubles, whose order-sensitivity breaks cross-engine
+    * bit-equality). */
+  def q29Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.report(t(s, dir, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("stage")
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

@@ -237,4 +237,22 @@ object Oracles {
       |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
       |FROM y GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
+
+  val q29Funnel: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts, min(v.v_ts) AS v_ts
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts, min(c.c_ts) AS c_ts
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+      |SELECT '1_view' AS stage, count(*) AS n_users, CAST(NULL AS BIGINT) AS sum_lag_us FROM v
+      |UNION ALL
+      |SELECT '2_click', count(*),
+      |       CAST(sum(epoch_us(c_ts) - epoch_us(v_ts)) AS BIGINT) FROM c
+      |UNION ALL
+      |SELECT '3_purchase', count(*),
+      |       CAST(sum(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) FROM p
+      |ORDER BY stage""".stripMargin
 }

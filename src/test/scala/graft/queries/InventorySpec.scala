@@ -31,4 +31,28 @@ class InventorySpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.10,
       s"approx=$approx exact=$exact")
   }
+
+  test("q29 funnel: strict event ordering — out-of-order stages don't count") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // u1 converts fully in order; u2 clicked BEFORE viewing (no stage 2);
+    // u3 purchased before clicking (stage 2 only); u4 never viewed
+    val e = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(3)),
+      (2L, "click", ts(0)), (2L, "view", ts(1)), (2L, "purchase", ts(2)),
+      (3L, "view", ts(0)), (3L, "purchase", ts(1)), (3L, "click", ts(2)),
+      (4L, "click", ts(0)), (4L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Funnel
+      .report(e, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("stage")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    // u1: view@0 → click@1 (60s) → purchase@3 (120s)
+    // u3: view@0 → click@2 (120s); purchase@1 precedes the click → no stage 3
+    assert(got == Seq(
+      ("1_view", 3L, None),
+      ("2_click", 2L, Some(180000000L)),
+      ("3_purchase", 1L, Some(120000000L))), s"funnel: $got")
+  }
 }
