@@ -159,6 +159,35 @@ object TextAnalysis {
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(k)
 
+  /** Corpus-familiarity score — the language-model-perplexity-shaped
+    * quality signal (CCNet ranks documents by LM score; this is the
+    * engine-portable integer form): how "ordinary" a document's
+    * character 3-grams are in THIS corpus, as the mean document
+    * frequency over the doc's trigram positions. Fluent text built
+    * from common trigrams scores high; garbled/ocr-noise/off-charset
+    * text scores low. Deliberately integer-exact: per-doc df SUM plus
+    * a single rounded division — no log(), whose libm rounding differs
+    * across engines.
+    *
+    * Shape at scale: the trigram projection (codegen'd
+    * [[graft.functions.Sketches.charShingles]]) feeds both the df
+    * aggregate and the probe side, so it is localCheckpoint'ed to scan
+    * once (tfidf precedent). The df table is bounded by the charset
+    * CUBED — independent of corpus size — so at 100 TB the join back
+    * is a broadcast of a dimension table, and the per-doc aggregate
+    * combines map-side. */
+  def familiarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tri = df.select(col(idCol), explode(Sketches.charShingles(col(textCol), 3)).as("g"))
+      .localCheckpoint()
+    val dfTab = tri.distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("doc_df"))
+    tri.join(dfTab, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), sum(col("doc_df")).as("df_sum"))
+      .select(col(idCol), col("n_tri"), col("df_sum"),
+        round(col("df_sum").cast("double") / col("n_tri"), 4).as("familiarity"))
+  }
+
   def topTermsTfIdf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val total = df.agg(count(lit(1)).as("n_total"))
     val pairs = tfPairs(df, idCol, textCol)

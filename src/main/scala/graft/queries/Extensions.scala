@@ -420,6 +420,16 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Corpus-familiarity quality score
+    * ([[graft.operators.TextAnalysis.familiarity]]): per-document mean
+    * corpus document-frequency over its char-3-gram positions — the
+    * LM-perplexity-shaped signal in engine-portable integer form.
+    * Oracle-checked: trigram extraction, df aggregate, integer sums and
+    * the single rounded division all reproduce in DuckDB. */
+  def textFamiliarity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.familiarity(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Z-order layout report ([[graft.functions.Layout.interleave16]]):
     * orders keyed by (customer bucket, order-day bucket), grouped into
     * 256 z-buckets (top 8 bits of the 20-bit Morton key), reporting each
@@ -988,6 +998,23 @@ object ExtensionOracles {
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
+
+  /** [[Extensions.textFamiliarity]]: the [[dedupJaccardChar]] trigram
+    * window chain (lowercase, ≤3-char texts shingle whole), distinct
+    * doc-df, then per-doc integer sums. */
+  val textFamiliarity: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(lower(text)) <= 3 THEN [lower(text)]
+      |              ELSE [substr(lower(text), i, 3) for i in range(1, len(lower(text)) - 1)] END AS sg
+      |  FROM documents),
+      |tri AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+      |dfq AS (SELECT g, count(DISTINCT doc_id) AS doc_df FROM tri GROUP BY g)
+      |SELECT t.doc_id, count(*) AS n_tri,
+      |       CAST(sum(d.doc_df) AS BIGINT) AS df_sum,
+      |       round(CAST(sum(d.doc_df) AS DOUBLE) / count(*), 4) AS familiarity
+      |FROM tri t JOIN dfq d ON t.g = d.g
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   /** [[Extensions.layoutZorder]] with the Morton key spelled as per-bit
     * shift arithmetic (the magic-mask spread is a Spark-side speedup;

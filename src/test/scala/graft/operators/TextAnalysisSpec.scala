@@ -142,4 +142,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "n_tokens_ws", "n_tokens_bpe",
       "quality", "pred_lang", "fingerprint"))
   }
+
+  test("familiarity: exact integer df sums on a fixture; junk scores below fluent text") {
+    // "abcd" trigrams: abc, bcd; "abce": abc, bce; "zq": whole-text shingle
+    val docs = Seq((1L, "abcd"), (2L, "abce"), (3L, "zq")).toDF("doc_id", "text")
+    val got = TextAnalysis.familiarity(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // df: abc→2, bcd→1, bce→1, zq→1
+    assert(got == Seq(
+      (1L, 2L, 3L, 1.5),   // abc(2) + bcd(1)
+      (2L, 2L, 3L, 1.5),   // abc(2) + bce(1)
+      (3L, 1L, 1L, 1.0)))  // zq(1)
+    // corpus-level sanity: shuffled-alphabet junk is less familiar than
+    // the fluent corpus median
+    val corpus = graft.core.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+      .select($"doc_id", $"text")
+    val junk = Seq((100000L, "xq zvkw qjzx wvqk zzxj qkwv")).toDF("doc_id", "text")
+    val scores = TextAnalysis.familiarity(corpus.union(junk), "doc_id", "text")
+      .select($"doc_id", $"familiarity").as[(Long, Double)].collect().toMap
+    val real = scores.filter(_._1 != 100000L).values.toSeq.sorted
+    assert(scores(100000L) < real(real.size / 2),
+      s"junk ${scores(100000L)} vs median ${real(real.size / 2)}")
+  }
 }
