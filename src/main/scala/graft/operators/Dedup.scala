@@ -148,6 +148,45 @@ object Dedup {
         transform(col("_neg"), x => -x).as("kept_ids"))
   }
 
+  /** Incremental ingest dedup — the daily-crawl pass: screen an
+    * incoming batch against the EXISTING corpus without ever comparing
+    * corpus docs to each other. Two deterministic screens per incoming
+    * doc: exact (16-byte md5 equi-join against the corpus's
+    * pre-aggregated hash table — the shuffle carries hashes, never
+    * text) and near (the [[Dedup]] verify kernel: length-blocked
+    * char-5-gram sorted-distinct shingles, merge-walk Jaccard, with
+    * the corpus-side hot-bucket guard bounding any block's fan-out at
+    * `maxBucket`). Returns one row per incoming doc: `n_exact` corpus
+    * twins, `n_near` corpus docs at Jaccard ≥ `minJaccard`, and the
+    * best score (null when none) — the accept/reject signal an ingest
+    * gate consumes. Cost scales with the BATCH (corpus side is hash
+    * table + blocked shingles), which is what makes re-screening every
+    * day affordable; the seeded-minhash path covers cross-length
+    * near-dups where this blocking is deliberately narrow. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, maxBucket: Int, minJaccard: Double): DataFrame = {
+    val ch = corpus.select(md5(col(textCol)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_corpus"))
+    val exact = batch.select(col(idCol), md5(col(textCol)).as("h"))
+      .join(ch, Seq("h"), "left")
+      .select(col(idCol), coalesce(col("n_corpus"), lit(0L)).as("n_exact"))
+    val cb = corpus.select(length(col(textCol)).cast("long").as("lb"),
+      graft.functions.Sketches.sortedDistinct(charShingles(col(textCol), 5)).as("sg_c"))
+    val keep = cb.groupBy("lb").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket).select("lb")
+    val cbp = cb.join(broadcast(keep), Seq("lb")).localCheckpoint()
+    val bb = batch.select(col(idCol), length(col(textCol)).cast("long").as("lb"),
+      graft.functions.Sketches.sortedDistinct(charShingles(col(textCol), 5)).as("sg_b"))
+    val near = bb.join(cbp.hint("shuffle_hash"), Seq("lb"))
+      .select(col(idCol), round(jaccardSorted(col("sg_b"), col("sg_c")), 4).as("j"))
+      .filter(col("j") >= minJaccard)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_near"), max(col("j")).as("best_jaccard"))
+    exact.join(near, Seq(idCol), "left")
+      .select(col(idCol), col("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"), col("best_jaccard"))
+  }
+
   // ---------- exact-substring duplication ----------
 
   /** Per-document exact-substring duplication report — the signal

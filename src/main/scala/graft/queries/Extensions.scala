@@ -420,6 +420,21 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Incremental ingest screen
+    * ([[graft.operators.Dedup.incrementalDedup]]): docs ≥ 400 play the
+    * incoming batch, docs < 400 the existing corpus — per incoming doc,
+    * exact corpus twins and length-blocked verified near-dups
+    * (Jaccard ≥ 0.2). Oracle-checked: every screen reuses
+    * [[ExtensionOracles.dedupMinhashVerify]]'s established SQL
+    * spellings. */
+  def corpusIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalDedup(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+      "doc_id", "text", maxBucket = 100, minJaccard = 0.2)
+      .orderBy("doc_id")
+  }
+
   /** Corpus-familiarity quality score
     * ([[graft.operators.TextAnalysis.familiarity]]): per-document mean
     * corpus document-frequency over its char-3-gram positions — the
@@ -998,6 +1013,37 @@ object ExtensionOracles {
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
+
+  /** [[Extensions.corpusIncremental]]: the [[dedupMinhashVerify]]
+    * shingle/Jaccard spellings with the self-join replaced by
+    * batch × corpus, plus the md5 exact screen. The corpus-side bucket
+    * guard keeps ≤ 100 (no `> 1` clause — a batch doc may match a
+    * singleton corpus bucket). */
+  val corpusIncremental: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+      |ch AS (SELECT md5(text) AS h, count(*) AS n_corpus FROM corpus GROUP BY 1),
+      |ex AS (SELECT b.doc_id, coalesce(ch.n_corpus, 0) AS n_exact
+      |       FROM batch b LEFT JOIN ch ON md5(b.text) = ch.h),
+      |csh AS (SELECT len(text) AS lb,
+      |               list_distinct(CASE WHEN len(lower(text)) <= 5 THEN [lower(text)]
+      |                    ELSE [substr(lower(text), i, 5) for i in range(1, len(lower(text)) - 3)] END) AS sg
+      |        FROM corpus),
+      |keep AS (SELECT lb FROM csh GROUP BY lb HAVING count(*) <= 100),
+      |csp AS (SELECT csh.* FROM csh JOIN keep USING (lb)),
+      |bsh AS (SELECT doc_id, len(text) AS lb,
+      |               list_distinct(CASE WHEN len(lower(text)) <= 5 THEN [lower(text)]
+      |                    ELSE [substr(lower(text), i, 5) for i in range(1, len(lower(text)) - 3)] END) AS sg
+      |        FROM batch),
+      |p AS (SELECT b.doc_id,
+      |             round(len(list_intersect(b.sg, c.sg))::DOUBLE /
+      |                   (len(b.sg) + len(c.sg) - len(list_intersect(b.sg, c.sg)))::DOUBLE, 4) AS j
+      |      FROM bsh b JOIN csp c USING (lb)),
+      |nr AS (SELECT doc_id, count(*) AS n_near, max(j) AS best_jaccard
+      |       FROM p WHERE j >= 0.2 GROUP BY 1)
+      |SELECT e.doc_id, e.n_exact, coalesce(nr.n_near, 0) AS n_near, nr.best_jaccard
+      |FROM ex e LEFT JOIN nr USING (doc_id)
+      |ORDER BY e.doc_id""".stripMargin
 
   /** [[Extensions.textFamiliarity]]: the [[dedupJaccardChar]] trigram
     * window chain (lowercase, ≤3-char texts shingle whole), distinct

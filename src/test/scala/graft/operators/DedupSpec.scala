@@ -116,4 +116,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 1L, 1L, 1.0), (2L, 1L, 1L, 1.0), (3L, 1L, 0L, 0.0)))
   }
+
+  test("incrementalDedup: exact twins counted, same-length near-dups verified, novel passes clean") {
+    val sameLenNear = base.replace("lazy", "cozy") // 4-char edit keeps lb
+    val corpus = Seq((1L, base), (2L, base), (3L, distinct)).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, sameLenNear),
+      (12L, "zz qq ww ee rr")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        maxBucket = 100, minJaccard = 0.2)
+      .orderBy("doc_id").as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((10L, 2L, 2L), (11L, 0L, 2L), (12L, 0L, 0L)))
+    assert(got(0)._4.contains(1.0))                  // exact copy: best jaccard 1
+    val near = got(1)._4.get
+    assert(near > 0.5 && near < 1.0, s"near $near")  // one-word edit: high but < 1
+    assert(got(2)._4.isEmpty)                        // novel doc: no candidate at all
+  }
 }
