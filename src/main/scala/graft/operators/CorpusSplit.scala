@@ -151,6 +151,28 @@ object CorpusSplit {
     sampleStratified(df, keyCol, strataCol, fractions, defaultFrac = 0.0)
   }
 
+  /** Deterministic fixed-size sample per stratum — the eval-set carving
+    * primitive ("exactly k docs per language, reproducibly"), where
+    * [[sampleStratified]] is rate-based and its realized counts vary.
+    * Selection = the k LARGEST (md5(key), id) pairs per stratum: md5
+    * imposes a fixed pseudo-random permutation, so the pick is uniform
+    * over the stratum, stable across runs/partitionings/engines, and
+    * id breaks (never-observed) hash ties deterministically.
+    *
+    * Shape at scale: the bounded-heap [[graft.functions.TopKAgg]] —
+    * map-side state is k pairs per local stratum and the shuffle
+    * carries ≤ k·strata rows, where the window-rank idiom would
+    * shuffle and sort every row of every stratum. */
+  def reservoirPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                          idCol: String, k: Int): DataFrame =
+    df.select(col(strataCol), col(idCol),
+        md5(col(keyCol).cast("string")).as("h"))
+      .groupBy(col(strataCol))
+      .agg(graft.functions.TopKAgg.topK(struct(col("h"), col(idCol)), k).as("top"))
+      .select(col(strataCol), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col(strataCol), (col("i") + 1).cast("long").as("rank"),
+        col(s"s.$idCol").as(idCol), col("s.h").as("h"))
+
   def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
                        fractions: Map[String, Double],
                        defaultFrac: Double = 1.0): DataFrame = {

@@ -420,6 +420,16 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Deterministic per-language eval reservoir
+    * ([[graft.operators.CorpusSplit.reservoirPerStratum]], k=5): exactly
+    * five docs per language, picked by the fixed md5 permutation through
+    * the bounded-heap aggregate. Oracle-checked: DuckDB reproduces the
+    * pick with a window rank over (md5 DESC, doc_id DESC). */
+  def corpusReservoir(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusSplit
+      .reservoirPerStratum(t(s, dir, "documents"), "text", "lang", "doc_id", k = 5)
+      .orderBy("lang", "rank")
+
   /** Incremental ingest screen
     * ([[graft.operators.Dedup.incrementalDedup]]): docs ≥ 400 play the
     * incoming batch, docs < 400 the existing corpus — per incoming doc,
@@ -1013,6 +1023,16 @@ object ExtensionOracles {
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
+
+  /** [[Extensions.corpusReservoir]] as the window-rank formulation the
+    * bounded heap replaces. */
+  val corpusReservoir: String =
+    """WITH h AS (SELECT lang, doc_id, md5(text) AS h FROM documents),
+      |r AS (SELECT lang, doc_id, h,
+      |             row_number() OVER (PARTITION BY lang ORDER BY h DESC, doc_id DESC) AS rank
+      |      FROM h)
+      |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h
+      |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
   /** [[Extensions.corpusIncremental]]: the [[dedupMinhashVerify]]
     * shingle/Jaccard spellings with the self-join replaced by

@@ -116,6 +116,29 @@ class CorpusSplitSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("reservoir: exactly k per stratum, window-rank equal, no Window in plan") {
+    val docs = t(spark, dir, "documents")
+    val got = CorpusSplit.reservoirPerStratum(docs, "text", "lang", "doc_id", k = 5)
+    val rows = got.select("lang", "rank", "doc_id")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows.groupBy(_._1).forall(_._2.size == 5))
+    // reference: the window-rank idiom the heap replaces
+    import org.apache.spark.sql.expressions.Window
+    val ref = docs.select($"lang", $"doc_id", md5($"text").as("h"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy($"h".desc, $"doc_id".desc)).cast("long"))
+      .filter($"rank" <= 5).select("lang", "rank", "doc_id")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows == ref)
+    // partition-independent, and the plan is heap aggregation, not a sort
+    val b = CorpusSplit.reservoirPerStratum(docs.repartition(13), "text", "lang", "doc_id", 5)
+      .select("lang", "rank", "doc_id")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(b == ref)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("sampling then splitting: strata stay proportional inside each split") {
     val docs = t(spark, dir, "documents")
     val sampled = CorpusSplit.sampleStratified(docs, "text", "lang", Map("en" -> 0.25))
