@@ -420,6 +420,19 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Learned-BPE token counts ([[graft.operators.Bpe]]): merge table
+    * trained driver-side on the deterministic 20% md5 sample (48
+    * merges), applied corpus-wide by the codegen'd kernel. Rows-only
+    * (trained-artifact family, like the IVF/PQ codebooks): the merge
+    * table is not expressible in the oracle engine, but BpeSpec pins
+    * training determinism, hand-computed merges, and the apply
+    * algorithm on fixtures. */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.operators.Bpe.train(docs, "text", sampleFrac = 0.2, nMerges = 48)
+    graft.operators.Bpe.tokenStats(docs, "doc_id", "text", merges).orderBy("doc_id")
+  }
+
   /** Deterministic per-language eval reservoir
     * ([[graft.operators.CorpusSplit.reservoirPerStratum]], k=5): exactly
     * five docs per language, picked by the fixed md5 permutation through
