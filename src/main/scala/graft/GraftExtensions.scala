@@ -105,5 +105,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("normalize_url", "normalize_url(url) - canonical URL (case/www/port/slash/tracking-param/fragment)") {
       es => NormalizeUrl(es.head)
     }
+    reg("interleave_bits", "interleave_bits(x, y) - 2-D Morton (Z-order) key over the low 16 bits") {
+      es => InterleaveBits(es.head, es(1))
+    }
+    reg("bpe_stats", "bpe_stats(text, a1, b1, a2, b2, ...) - [n_pre, n_sub] under the literal merge table") {
+      es => BpeStats(es.head, es.tail.map(strArg(_, "merge symbol")).toArray)
+    }
   }
 }

@@ -38,7 +38,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  char_shingles('abcd', 3) AS cs,
         |  spelled_digits('one cat two') AS sd,
         |  quant_stats(array(1.0d, -0.5d)).q_sum AS qsum,
-        |  cosine_i8(quantize_i8(array(1.0d, 0.0d)), quantize_i8(array(2.0d, 0.0d))) AS ci8
+        |  cosine_i8(quantize_i8(array(1.0d, 0.0d)), quantize_i8(array(2.0d, 0.0d))) AS ci8,
+        |  interleave_bits(3L, 5L) AS z,
+        |  bpe_stats('abab ab', 'a', 'b', 'ab', 'ab') AS bpe
         |""".stripMargin).collect()(0)
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[Double]("dot") == 11.0)
@@ -52,6 +54,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[String]("sd") == "1 cat 2")
     assert(row.getAs[Long]("qsum") == 127L - 63L)
     assert(row.getAs[Double]("ci8") == 1.0)   // same direction -> cosine 1 over codes
+    assert(row.getAs[Long]("z") == 39L)       // interleave(0b11, 0b101) = 0b100111
+    assert(row.getSeq[Long](row.fieldIndex("bpe")).toSeq == Seq(2L, 2L))
   }
 
   test("top_k aggregate works from SQL GROUP BY") {

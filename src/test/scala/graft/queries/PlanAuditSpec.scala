@@ -62,7 +62,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     ("domain_quota", "o_orderstatus", "o_custkey"),  // orders: keys only
     ("layout_zorder", "o_totalprice", "o_orderdate"),// orders: cluster dims only
     ("corpus_offsets", "source", "text"),            // documents: id+text only
-    ("corpus_mix", "source", "lang"))                // documents: text+lang only
+    ("corpus_mix", "source", "lang"),                // documents: text+lang only
+    ("corpus_reservoir", "source", "lang"),          // documents: id+text+lang
+    ("emb_centroid", "vec_id", "label"),             // embeddings: vec+label only
+    ("bpe_tokens", "source", "text"))                // documents: id+text only
+    // (text_familiarity's and corpus_incremental's shingle scans sit
+    //  behind localCheckpoints, invisible in the final plan — the
+    //  text_tfidf situation; q29_funnel likewise checkpoints per level)
 
   prunedScans.foreach { case (name, absent, present) =>
     test(s"$name: parquet scan prunes '$absent', reads '$present'") {
