@@ -127,6 +127,27 @@ object StreamingQueries {
       .groupBy("event_type").agg(count(lit(1)).as("n_events"))
       .orderBy("event_type")
   }
+
+  /** Stateful streaming funnel ([[graft.streaming.FunnelStream]]),
+    * drained and rolled up to the q29 report shape. Zero watermark
+    * delay means the AvailableNow drain seals and folds every event,
+    * so the drained report must equal the BATCH funnel bit-for-bit —
+    * it shares q29's oracle SQL verbatim (the decontam-bloom sharing
+    * pattern: one oracle proving two engines' paths identical). */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_funnel_${System.nanoTime()}"
+    val stages = Seq("view", "click", "purchase")
+    drainStaged(s, dir, copies = 1)(
+      graft.streaming.FunnelStream.run(s, _, name, stages))
+    drained(s, name)
+      .groupBy(col("stage_no"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("arr_us") - col("prev_us")).as("sum_lag_us"))
+      .select(concat(col("stage_no").cast("string"), lit("_"),
+          element_at(array(stages.map(lit): _*), col("stage_no").cast("int"))).as("stage"),
+        col("n_users"), col("sum_lag_us"))
+      .orderBy("stage")
+  }
 }
 
 /** DuckDB oracles for the streaming twins. */
@@ -181,4 +202,10 @@ object StreamingOracles {
   val streamDedup: String =
     """SELECT event_type, count(DISTINCT event_id) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The drained streaming funnel must equal the batch funnel exactly
+    * (zero-delay watermark seals every event during the drain), so it
+    * shares q29's oracle string — the gate proves stream ≡ batch ≡
+    * DuckDB in one check. */
+  val streamFunnel: String = Oracles.q29Funnel
 }
