@@ -160,4 +160,52 @@ class KernelFuzzSpec extends AnyFunSuite with SparkSpec {
       s"url='${r.getString(1)}' kernel='${r.getString(2)}' ref='${r.getString(3)}'")
       .mkString("\n"))
   }
+
+  test("BPE subCount matches a naive regex+fold reference over fuzzed words and merges") {
+    // naive reference: regex pre-tokenizer + an O(n³) merge fold that
+    // rescans from scratch after every single fusion
+    def refPre(s: String): Seq[String] =
+      "[a-z]+|[0-9]+|[^a-z0-9\\s]".r.findAllIn(s.toLowerCase).toSeq
+    def refSub(word: String, merges: Seq[(String, String)]): Int = {
+      val rank = merges.zipWithIndex.toMap
+      var syms = word.map(String.valueOf(_)).toVector
+      var done = false
+      while (!done && syms.length > 1) {
+        val best = syms.zip(syms.tail).flatMap(p => rank.get(p).map(r => (r, p)))
+          .sortBy(_._1).headOption
+        best match {
+          case None => done = true
+          case Some((_, (a, b))) =>
+            // fuse all occurrences left-to-right without overlap
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.result()
+        }
+      }
+      syms.length
+    }
+    val bpeAlpha = "ab01.".toSeq.map(String.valueOf(_))
+    (1 to 400).foreach { _ =>
+      // random merge table over 1-2 char symbols of the tiny alphabet
+      val syms = bpeAlpha ++ Seq("aa", "ab", "ba", "bb", "a0", "0a", "01")
+      val shuffler = new scala.util.Random(rng.nextLong())
+      val merges = shuffler.shuffle(
+        (for (a <- syms; b <- syms) yield (a, b)).toVector).take(rng.nextInt(8))
+      val flat = merges.iterator.flatMap(p => Iterator(p._1, p._2)).toArray
+      val text = (0 until rng.nextInt(20)).map(_ =>
+        bpeAlpha(rng.nextInt(bpeAlpha.size))).mkString ++ " " ++ randString()
+      val gotPre = BpeUtil.preTokens(text)
+      val refToks = refPre(text)
+      assert(gotPre.size == refToks.size, s"pretokens differ on '$text'")
+      refToks.foreach { w =>
+        assert(BpeUtil.subCount(w, flat) == refSub(w, merges),
+          s"word='$w' merges=$merges")
+      }
+    }
+  }
 }
