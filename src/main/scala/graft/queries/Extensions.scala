@@ -420,6 +420,36 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Capstone #3 — the round-11 operators composed into one curation
+    * plan: corpus-familiarity gate ([[graft.operators.TextAnalysis
+    * .familiarity]] ≥ 340 — the LM-score filter) + token-length gate →
+    * exact dedup (min-doc representative per content hash) →
+    * temperature mixture (T=2, [[graft.operators.CorpusSplit
+    * .mixtureByTemperature]] over the SURVIVING corpus — its count →
+    * sqrt-weight → threshold chain re-derives from the gated table) →
+    * deterministic 90/5/5 split → per-(split, lang) doc/token stats.
+    * The deduped frame is checkpointed once for its two consumers (the
+    * mixture's bounded counts action and the final plan). Every stage
+    * reuses its standalone oracle's arithmetic, so the six-stage
+    * pipeline hash-matches DuckDB end to end. */
+  def corpusCurate3(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fam = graft.operators.TextAnalysis.familiarity(docs, "doc_id", "text")
+    val base = docs.select(col("doc_id"), col("lang"), col("text"),
+        graft.operators.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      .join(fam.select(col("doc_id"), col("familiarity")), Seq("doc_id"))
+      .filter(col("n_tok") >= 16 && col("familiarity") >= 340.0)
+    val keep = base.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+    val uniq = base.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val mixed = graft.operators.CorpusSplit
+      .mixtureByTemperature(uniq, "text", "lang", sqrtDepth = 1)
+    graft.operators.CorpusSplit.split(mixed, "text", corpusSplitSpec)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy("split", "lang")
+  }
+
   /** Learned-BPE token counts ([[graft.operators.Bpe]]): merge table
     * trained driver-side on the deterministic 20% md5 sample (48
     * merges), applied corpus-wide by the codegen'd kernel. Rows-only
@@ -1035,6 +1065,51 @@ object ExtensionOracles {
        |FROM documents d JOIN cut ON d.lang = cut.lang
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
+  /** [[Extensions.corpusCurate3]] — familiarity gate, dedup, temperature
+    * mixture, split, stats, each stage verbatim from its standalone
+    * oracle ([[textFamiliarity]], [[dedupExact]]'s min-per-hash,
+    * [[corpusMix]]'s sqrt-weight chain over the gated CTE, the split
+    * CASE from the shared hexThresholds). */
+  val corpusCurate3: String = {
+    val spec = Extensions.corpusSplitSpec
+    val ths = graft.operators.CorpusSplit.hexThresholds(spec)
+    val whens = spec.init.zip(ths.init).map { case ((name, _), cut) =>
+      s"WHEN substr(md5(text), 1, 8) < '$cut' THEN '$name'"
+    }.mkString(" ")
+    val w = graft.operators.TextAnalysis.WsClass
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(lower(text)) <= 3 THEN [lower(text)]
+       |              ELSE [substr(lower(text), i, 3) for i in range(1, len(lower(text)) - 1)] END AS sg
+       |  FROM documents),
+       |tri AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+       |dfq AS (SELECT g, count(DISTINCT doc_id) AS doc_df FROM tri GROUP BY g),
+       |fam AS (SELECT t.doc_id,
+       |               round(CAST(sum(d.doc_df) AS DOUBLE) / count(*), 4) AS familiarity
+       |        FROM tri t JOIN dfq d ON t.g = d.g GROUP BY t.doc_id),
+       |tok AS (SELECT doc_id, lang, text,
+       |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '$w')) END AS n_tok
+       |  FROM documents),
+       |base AS (SELECT tok.* FROM tok JOIN fam USING (doc_id)
+       |         WHERE n_tok >= 16 AND familiarity >= 340.0),
+       |k AS (SELECT md5(text) AS h, min(doc_id) AS kid FROM base GROUP BY 1),
+       |uniq AS (SELECT b.* FROM base b JOIN k ON b.doc_id = k.kid),
+       |c AS (SELECT lang, count(*) AS n FROM uniq WHERE lang IS NOT NULL GROUP BY lang),
+       |wt AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 65536.0) AS BIGINT) AS w FROM c),
+       |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(sum(w) AS DOUBLE) AS wsum FROM wt),
+       |fr AS (SELECT wt.lang,
+       |              least(1.0, tt.total * CAST(wt.w AS DOUBLE) / tt.wsum / CAST(wt.n AS DOUBLE)) AS frac
+       |       FROM wt, tt),
+       |cut AS (SELECT lang, CASE WHEN frac >= 1.0 THEN 'g'
+       |                          ELSE printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT)) END AS cut
+       |        FROM fr),
+       |mixed AS (SELECT u.* FROM uniq u JOIN cut ON u.lang = cut.lang
+       |          WHERE substr(md5(u.text), 1, 8) < cut.cut),
+       |sp AS (SELECT *, CASE $whens ELSE '${spec.last._1}' END AS split FROM mixed)
+       |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+       |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
 
   /** [[Extensions.corpusReservoir]] as the window-rank formulation the

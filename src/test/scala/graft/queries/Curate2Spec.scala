@@ -46,4 +46,21 @@ class Curate2Spec extends AnyFunSuite with SparkSpec {
         assert(nContam == 0, "train rows cannot be in the eval contamination report")
     }
   }
+
+  test("capstone 3: gates remove rows, mixture flattens the dominant language") {
+    val dir01 = "/root/testdata/sf0.01"
+    val out3 = Extensions.corpusCurate3(spark, dir01)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out3.nonEmpty)
+    val total = out3.map(_._3).sum
+    val docs = t(spark, dir01, "documents").count()
+    assert(total < docs, "familiarity/length/dedup/mixture gates removed nothing")
+    // the mixture stage flattened en toward its sqrt share: its kept
+    // share must sit below its raw corpus share (~44%)
+    val enShare = out3.filter(_._2 == "en").map(_._3).sum.toDouble / total
+    assert(enShare < 0.40, s"en share $enShare not flattened")
+    // every split is populated and token sums are consistent with docs
+    assert(out3.map(_._1).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    assert(out3.forall { case (_, _, n, tok) => tok >= n * 16 })
+  }
 }
