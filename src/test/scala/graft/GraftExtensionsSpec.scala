@@ -97,6 +97,25 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(viaSql.getLong(1) == viaCol.getLong(1))
   }
 
+  test("optimizer rule strength-reduces jaccard_sim over sorted-distinct inputs") {
+    // real columns — literal arrays would constant-fold before the
+    // optimized plan can show the rewrite
+    extSession.range(2).selectExpr("concat('a b x', id) AS s1", "concat('b c x', id) AS s2")
+      .createOrReplaceTempView("jacc_t")
+    val df = extSession.sql(
+      """SELECT jaccard_sim(sort_array(array_distinct(split(s1, ' '))),
+        |                   sort_array(array_distinct(split(s2, ' ')))) AS j,
+        |       jaccard_sim(split(s1, ' '), split(s2, ' ')) AS j_raw
+        |FROM jacc_t""".stripMargin)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("jaccardsortedsim"), opt)       // canonical shape rewritten
+    assert(opt.contains("jaccardsim("), opt)            // raw shape left alone
+    // tokens {a,b,xN} vs {b,c,xN}: |∩|=2, |∪|=4 — both kernels agree
+    df.collect().foreach(r =>
+      assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 0.5))
+    extSession.catalog.dropTempView("jacc_t")
+  }
+
   test("normalize_url resolves from plain SQL") {
     val r = extSession.sql(
       "SELECT normalize_url('HTTPS://WWW.X.COM:443/a/?utm_source=s&id=1#f') AS n")
