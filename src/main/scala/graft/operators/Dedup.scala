@@ -170,11 +170,16 @@ object Dedup {
     val exact = batch.select(col(idCol), md5(col(textCol)).as("h"))
       .join(ch, Seq("h"), "left")
       .select(col(idCol), coalesce(col("n_corpus"), lit(0L)).as("n_exact"))
-    val cb = corpus.select(length(col(textCol)).cast("long").as("lb"),
-      graft.functions.Sketches.sortedDistinct(charShingles(col(textCol), 5)).as("sg_c"))
-    val keep = cb.groupBy("lb").agg(count(lit(1)).as("bsz"))
+    // prune hot buckets BEFORE shingling (the minhash-verify shape):
+    // shingle arrays are computed for bucket survivors only, never for
+    // the boilerplate buckets the guard discards
+    val cbRaw = corpus.select(length(col(textCol)).cast("long").as("lb"), col(textCol))
+    val keep = cbRaw.groupBy("lb").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket).select("lb")
-    val cbp = cb.join(broadcast(keep), Seq("lb")).localCheckpoint()
+    val cbp = cbRaw.join(broadcast(keep), Seq("lb"))
+      .select(col("lb"),
+        graft.functions.Sketches.sortedDistinct(charShingles(col(textCol), 5)).as("sg_c"))
+      .localCheckpoint()
     val bb = batch.select(col(idCol), length(col(textCol)).cast("long").as("lb"),
       graft.functions.Sketches.sortedDistinct(charShingles(col(textCol), 5)).as("sg_b"))
     val near = bb.join(cbp.hint("shuffle_hash"), Seq("lb"))
