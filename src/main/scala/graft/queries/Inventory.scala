@@ -463,6 +463,25 @@ object Inventory {
       "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
       .orderBy("stage")
 
+  /** Q30 — FULL OUTER join, completing the join family (inner Q3,
+    * anti Q2, semi Q13, cross Q17, range Q14, as-of Q22): high-balance
+    * customers against their big-order stats, keeping unmatched rows
+    * from BOTH sides (rich customers with no big orders; big orders by
+    * non-rich customers). A shuffled hash/sort-merge join on the key —
+    * full outer can't broadcast (both sides must surface unmatched
+    * rows), which is exactly why it earns its own declared plan. */
+  def q30FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), round(sum(col("o_totalprice")), 2).as("sum_big"))
+    rich.join(big, rich("c_custkey") === big("o_custkey"), "full_outer")
+      .select(coalesce(rich("c_custkey"), big("o_custkey")).as("custkey"),
+        col("acctbal"), col("n_big"), col("sum_big"))
+      .orderBy("custkey")
+  }
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

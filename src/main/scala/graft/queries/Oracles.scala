@@ -238,6 +238,17 @@ object Oracles {
       |FROM y GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
 
+  val q30FullOuter: String =
+    """WITH rich AS (SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      |              FROM customer WHERE c_acctbal > 9000),
+      |big AS (SELECT o_custkey, count(*) AS n_big,
+      |               round(sum(o_totalprice), 2) AS sum_big
+      |        FROM orders WHERE o_totalprice > 250000 GROUP BY 1)
+      |SELECT coalesce(rich.c_custkey, big.o_custkey) AS custkey,
+      |       acctbal, n_big, sum_big
+      |FROM rich FULL OUTER JOIN big ON rich.c_custkey = big.o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val q29Funnel: String =
     """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
       |           WHERE event_type = 'view' GROUP BY 1),
