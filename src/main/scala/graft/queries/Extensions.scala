@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.t
@@ -419,6 +419,52 @@ object Extensions {
       .interleaveToMixture(t(s, dir, "documents"), "text", "lang", corpusInterleaveSpec)
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
+
+  /** Split-leakage audit — the eval-integrity check every pipeline
+    * should run before training: duplicate documents falling on BOTH
+    * sides of a train/eval split leak eval content into training. The
+    * corpus is seeded with 100 synthesized twins (the synthUrls
+    * pattern), then split two ways: keyed by doc_id (the naive choice —
+    * twins draw independent buckets and straddle splits) and keyed by
+    * text ([[graft.operators.CorpusSplit.assign]]'s contract — twins
+    * share one bucket BY CONSTRUCTION). Reports, per strategy, the
+    * duplicated-content hashes and how many of them span more than one
+    * split: nonzero for by_id, exactly zero for by_text — the audit
+    * PROVES the content-keyed split is leak-free rather than asserting
+    * it. Oracle-checked end to end. */
+  def corpusLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    def leaks(key: Column, label: String): DataFrame =
+      corpus
+        .withColumn("split", graft.operators.CorpusSplit.assign(key, corpusSplitSpec))
+        .groupBy(md5(col("text")).as("h"))
+        .agg(countDistinct(col("split")).as("ns"), count(lit(1)).as("nd"))
+        .agg(count(when(col("nd") > 1, 1)).as("n_dup_hashes"),
+          count(when(col("ns") > 1, 1)).as("n_leaky_hashes"))
+        .select(lit(label).as("strategy"), col("n_dup_hashes"), col("n_leaky_hashes"))
+    leaks(col("doc_id"), "by_id").union(leaks(col("text"), "by_text"))
+      .orderBy("strategy")
+  }
+
+  /** Compression-ratio quality signal
+    * ([[graft.functions.Compress.deflateLen]]): per-doc UTF-8 byte
+    * count, DEFLATE-level-6 byte count, and their rounded ratio —
+    * repetitive/template text sits low, near-random noise near (or
+    * above) 1. Rows-only: DEFLATE output length is zlib-implementation
+    * detail no SQL engine reproduces; the spec pins determinism and
+    * the repetitive ≪ prose ≪ noise ordering instead. A pure codegen'd
+    * projection over the scan — the cheap one-pass quality filter
+    * modern corpus pipelines run alongside heuristic rules. */
+  def textCompress(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.Compress.deflateLen(col("text")).as("n_deflate"))
+      .select(col("doc_id"), col("n_bytes"), col("n_deflate"),
+        round(col("n_deflate").cast("double") / col("n_bytes"), 4).as("ratio"))
+      .orderBy("doc_id")
 
   /** Capstone #3 — the round-11 operators composed into one curation
     * plan: corpus-familiarity gate ([[graft.operators.TextAnalysis
@@ -1065,6 +1111,40 @@ object ExtensionOracles {
        |FROM documents d JOIN cut ON d.lang = cut.lang
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
+  /** [[Extensions.corpusLeakage]]: the twin synth, both split CASEs
+    * (over md5 of the id-as-string and of the text, thresholds from
+    * the shared hexThresholds), and the two-level rollup. */
+  val corpusLeakage: String = {
+    val spec = Extensions.corpusSplitSpec
+    val ths = graft.operators.CorpusSplit.hexThresholds(spec)
+    def whens(key: String): String =
+      spec.init.zip(ths.init).map { case ((name, _), cut) =>
+        s"WHEN substr(md5($key), 1, 8) < '$cut' THEN '$name'"
+      }.mkString(" ") + s" ELSE '${spec.last._1}'"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100),
+       |a AS (SELECT md5(text) AS h,
+       |             count(DISTINCT CASE ${whens("CAST(doc_id AS VARCHAR)")} END) AS ns,
+       |             count(*) AS nd
+       |      FROM corpus GROUP BY 1),
+       |b AS (SELECT md5(text) AS h,
+       |             count(DISTINCT CASE ${whens("text")} END) AS ns,
+       |             count(*) AS nd
+       |      FROM corpus GROUP BY 1)
+       |SELECT 'by_id' AS strategy,
+       |       count(CASE WHEN nd > 1 THEN 1 END) AS n_dup_hashes,
+       |       count(CASE WHEN ns > 1 THEN 1 END) AS n_leaky_hashes
+       |FROM a
+       |UNION ALL
+       |SELECT 'by_text',
+       |       count(CASE WHEN nd > 1 THEN 1 END),
+       |       count(CASE WHEN ns > 1 THEN 1 END)
+       |FROM b
+       |ORDER BY strategy""".stripMargin
   }
 
   /** [[Extensions.corpusCurate3]] — familiarity gate, dedup, temperature

@@ -139,6 +139,14 @@ class CorpusSplitSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("leakage audit: content-keyed split is leak-free, id-keyed is not") {
+    val rows = graft.queries.Extensions.corpusLeakage(spark, dir)
+      .as[(String, Long, Long)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(rows("by_id")._1 == 100 && rows("by_text")._1 == 100)   // 100 twins either way
+    assert(rows("by_id")._2 > 0, "id-keyed twins never straddled a split — fixture degenerate")
+    assert(rows("by_text")._2 == 0, "content-keyed split leaked")
+  }
+
   test("sampling then splitting: strata stay proportional inside each split") {
     val docs = t(spark, dir, "documents")
     val sampled = CorpusSplit.sampleStratified(docs, "text", "lang", Map("en" -> 0.25))

@@ -143,6 +143,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "quality", "pred_lang", "fingerprint"))
   }
 
+  test("compression ratio: repetitive << prose << noise, deterministic, codegen'd") {
+    import graft.functions.Compress
+    val rep = "spam spam spam spam " * 50
+    val prose = "the quick brown fox jumps over the lazy dog and keeps going " * 16
+    val noise = new scala.util.Random(7).alphanumeric.take(1000).mkString
+    val rows = Seq((1L, rep), (2L, prose), (3L, noise)).toDF("doc_id", "text")
+      .select($"doc_id", (Compress.deflateLen($"text").cast("double") /
+        octet_length($"text")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(rows(1L) < rows(2L) && rows(2L) < rows(3L), rows.toString)
+    assert(rows(1L) < 0.1 && rows(3L) > 0.5)
+    // stable across invocations (thread-local deflater reuse must not leak state)
+    val again = Seq((1L, rep)).toDF("doc_id", "text")
+      .select(Compress.deflateLen($"text")).as[Long].head()
+    val first = Seq((1L, rep)).toDF("doc_id", "text")
+      .select(Compress.deflateLen($"text")).as[Long].head()
+    assert(again == first)
+  }
+
   test("familiarity: exact integer df sums on a fixture; junk scores below fluent text") {
     // "abcd" trigrams: abc, bcd; "abce": abc, bce; "zq": whole-text shingle
     val docs = Seq((1L, "abcd"), (2L, "abce"), (3L, "zq")).toDF("doc_id", "text")
