@@ -65,7 +65,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     ("corpus_mix", "source", "lang"),                // documents: text+lang only
     ("corpus_reservoir", "source", "lang"),          // documents: id+text+lang
     ("emb_centroid", "vec_id", "label"),             // embeddings: vec+label only
-    ("bpe_tokens", "source", "text"))                // documents: id+text only
+    ("bpe_tokens", "source", "text"),                // documents: id+text only
+    ("text_compress", "lang", "text"),               // documents: id+text only
+    ("q30_full_outer", "c_mktsegment", "c_acctbal")) // customer: key+balance only
     // (text_familiarity's and corpus_incremental's shingle scans sit
     //  behind localCheckpoints, invisible in the final plan — the
     //  text_tfidf situation; q29_funnel likewise checkpoints per level)
