@@ -188,6 +188,33 @@ object TextAnalysis {
         round(col("df_sum").cast("double") / col("n_tri"), 4).as("familiarity"))
   }
 
+  /** Unicode-script profile — the curation filter [[langId]] can't be:
+    * stopword language-ID only knows its seeded languages, while script
+    * counting classifies ANY text (drop-by-script, mixed-script spam
+    * detection, per-script routing). Counts per literal codepoint-range
+    * class — deliberately NOT \p{Script} properties, whose definitions
+    * shift across regex engines and Unicode versions; a literal range
+    * means the same thing in every engine, which is what makes the
+    * oracle exact. Codegen'd regexp_count over the scan; dominant
+    * script via the padded-sort-key argmax (langId's trick). */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val classes = Seq(
+      "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+      "han" -> "[\\u4E00-\\u9FFF]",
+      "cyrillic" -> "[\\u0400-\\u04FF]",
+      "arabic" -> "[\\u0600-\\u06FF]")
+    val counted = classes.foldLeft(df.select(col(idCol), col(textCol))) {
+      case (acc, (name, cls)) =>
+        acc.withColumn(s"n_$name", regexp_count(col(textCol), lit(cls)).cast("long"))
+    }
+    val best = classes.map { case (name, _) =>
+      format_string("%08d|%s", col(s"n_$name"), lit(name))
+    }.reduce((a, b) => greatest(a, b))
+    counted.select(col(idCol) +: classes.map(c => col(s"n_${c._1}")) :+
+      when(substring(best, 1, 8) === "00000000", lit("none"))
+        .otherwise(substring_index(best, "|", -1)).as("script"): _*)
+  }
+
   def topTermsTfIdf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val total = df.agg(count(lit(1)).as("n_total"))
     val pairs = tfPairs(df, idCol, textCol)

@@ -420,6 +420,16 @@ object Extensions {
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** Unicode-script profile
+    * ([[graft.operators.TextAnalysis.scriptProfile]]): per-doc counts
+    * over literal codepoint-range classes + dominant script — the
+    * beyond-known-languages curation filter. Oracle-checked: literal
+    * ranges mean the same thing in Java regex and RE2, so DuckDB
+    * reproduces every count and the padded argmax exactly. */
+  def textScript(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.scriptProfile(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Split-leakage audit — the eval-integrity check every pipeline
     * should run before training: duplicate documents falling on BOTH
     * sides of a train/eval split leak eval content into training. The
@@ -1112,6 +1122,24 @@ object ExtensionOracles {
        |WHERE substr(md5(d.text), 1, 8) < cut.cut
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
+
+  /** [[Extensions.textScript]]: the same literal codepoint ranges in
+    * RE2's \x{...} spelling, dominant via the shared padded argmax. */
+  val textScript: String =
+    """WITH c AS (SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS n_latin,
+      |  len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS n_han,
+      |  len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS n_cyrillic,
+      |  len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS n_arabic
+      |  FROM documents),
+      |b AS (SELECT *, greatest(
+      |        printf('%08d|latin', n_latin), printf('%08d|han', n_han),
+      |        printf('%08d|cyrillic', n_cyrillic), printf('%08d|arabic', n_arabic)) AS best
+      |      FROM c)
+      |SELECT doc_id, n_latin, n_han, n_cyrillic, n_arabic,
+      |       CASE WHEN substr(best, 1, 8) = '00000000' THEN 'none'
+      |            ELSE split_part(best, '|', 2) END AS script
+      |FROM b ORDER BY doc_id""".stripMargin
 
   /** [[Extensions.corpusLeakage]]: the twin synth, both split CASEs
     * (over md5 of the id-as-string and of the text, thresholds from

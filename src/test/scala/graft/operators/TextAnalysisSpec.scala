@@ -143,6 +143,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "quality", "pred_lang", "fingerprint"))
   }
 
+  test("script profile: counts per range class, dominant argmax, ties break lexicographically") {
+    val docs = Seq(
+      (1L, "hello wörld"),        // latin incl. Latin-Extended ö
+      (2L, "漢字漢字 ab"),          // han dominant over 2 latin
+      (3L, "мир и abc"),          // cyrillic 4 vs latin 3
+      (4L, "مرحبا"),              // arabic only
+      (5L, "12345 !!!"),          // no script chars at all
+      (6L, "ab 漢字")              // 2 vs 2 tie → 'han' < 'latin' loses: padded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, 0L, 0L, 0L, "latin"),
+      (2L, 2L, 4L, 0L, 0L, "han"),
+      (3L, 3L, 0L, 4L, 0L, "cyrillic"),
+      (4L, 0L, 0L, 0L, 5L, "arabic"),
+      (5L, 0L, 0L, 0L, 0L, "none"),
+      (6L, 2L, 2L, 0L, 0L, "latin")), got.toString) // tie → lexicographically larger name
+  }
+
   test("compression ratio: repetitive << prose << noise, deterministic, codegen'd") {
     import graft.functions.Compress
     val rep = "spam spam spam spam " * 50
