@@ -181,7 +181,10 @@ object TextAnalysis {
       .localCheckpoint()
     val dfTab = tri.distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("doc_df"))
-    tri.join(dfTab, "g")
+    // explicit broadcast: the df table grows with the CHARSET cubed, not
+    // the corpus, so at any scale the probe join is a map-side lookup —
+    // never a shuffle of the exploded trigram stream
+    tri.join(broadcast(dfTab), "g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tri"), sum(col("doc_df")).as("df_sum"))
       .select(col(idCol), col("n_tri"), col("df_sum"),
