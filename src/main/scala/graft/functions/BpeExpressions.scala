@@ -1,13 +1,11 @@
 package graft.functions
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-pair-encoding application kernel. The merge table is TRAINED
@@ -54,16 +52,27 @@ object BpeUtil {
     out
   }
 
-  /** rank lookup keyed "a\u0000b" — built once per merge-table object
-    * (the constant pool hands every task the same array instance, so an
-    * identity-keyed cache is bounded by the number of distinct tables). */
-  private val rankCache =
-    new ConcurrentHashMap[Array[String], java.util.HashMap[String, Integer]]()
-  private def ranksFor(flat: Array[String]): java.util.HashMap[String, Integer] =
+  /** Rank lookup as a NESTED map (left symbol → right symbol → rank):
+    * symbols may themselves contain any character (a NUL mark is a
+    * legal single-code-point pre-token), so a flat "a<sep>b" string key
+    * collides for every possible separator; two-level exact-string keys
+    * cannot. Weak-keyed because codegen reference objects are
+    * deserialized per task binary — a permanent identity-keyed cache
+    * would grow for an executor's lifetime; weak keys let each table's
+    * entry die with the plan that owns it. */
+  private val rankCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[String],
+      java.util.HashMap[String, java.util.HashMap[String, Integer]]]())
+  private def ranksFor(flat: Array[String])
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] =
     rankCache.computeIfAbsent(flat, f => {
-      val m = new java.util.HashMap[String, Integer](f.length)
+      val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
       var r = 0
-      while (r * 2 + 1 < f.length) { m.put(f(r * 2) + "\u0000" + f(r * 2 + 1), r); r += 1 }
+      while (r * 2 + 1 < f.length) {
+        m.computeIfAbsent(f(r * 2), _ => new java.util.HashMap[String, Integer]())
+          .putIfAbsent(f(r * 2 + 1), r)
+        r += 1
+      }
       m
     })
 
@@ -80,8 +89,11 @@ object BpeUtil {
       var best = Int.MaxValue
       i = 0
       while (i < n - 1) {
-        val r = ranks.get(syms(i) + "\u0000" + syms(i + 1))
-        if (r != null && r < best) best = r
+        val inner = ranks.get(syms(i))
+        if (inner != null) {
+          val r = inner.get(syms(i + 1))
+          if (r != null && r < best) best = r
+        }
         i += 1
       }
       if (best == Int.MaxValue) return n
@@ -94,6 +106,7 @@ object BpeUtil {
         else { out(w) = syms(i); i += 1 }
         w += 1
       }
+      if (w == n) return n // progress guard: a selected merge must fuse
       syms = out; n = w
     }
     n
@@ -107,6 +120,29 @@ object BpeUtil {
     while (i < toks.size) { sub += subCount(toks.get(i), flat); i += 1 }
     new GenericArrayData(Array[Any](toks.size.toLong, sub))
   }
+
+  /** The pre-token list itself, for the distributed TRAIN side. */
+  def preTokenArray(text: UTF8String): ArrayData = {
+    val toks = preTokens(text.toString)
+    val out = new Array[Any](toks.size)
+    var i = 0
+    while (i < toks.size) { out(i) = UTF8String.fromString(toks.get(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** The shared pre-tokenizer as a column: `array<string>` of lowercased
+  * letter runs / digit runs / single marks. Lets [[graft.operators.Bpe
+  * .train]] build its word-frequency table with `explode` + `groupBy`
+  * instead of collecting corpus text to the driver. */
+case class BpePreTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    BpeUtil.preTokenArray(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeUtil.preTokenArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpePreTokens =
+    copy(child = newChild)
 }
 
 /** [n_pre, n_sub] per document; merge table rides the constant pool. */
@@ -127,4 +163,6 @@ object Bpes {
   def bpeStats(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeStats(ColumnBridge.expression(text),
       merges.iterator.flatMap(p => Iterator(p._1, p._2)).toArray))
+  def preTokens(text: Column): Column =
+    ColumnBridge.column(BpePreTokens(ColumnBridge.expression(text)))
 }

@@ -6,39 +6,48 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** BPE tokenizer training — the vocabulary-building step of a training
-  * pipeline, structured like the IVF codebook: TRAIN driver-side on a
-  * bounded deterministic sample, APPLY corpus-wide through a codegen'd
-  * kernel ([[graft.functions.BpeStats]]) with the merge table riding
-  * the constant pool. At 100 TB nobody trains a tokenizer on the full
+  * pipeline, structured like the IVF codebook: the merge loop runs
+  * driver-side over a DISTRIBUTED word-frequency aggregate (never raw
+  * text), APPLY runs corpus-wide through a codegen'd kernel
+  * ([[graft.functions.BpeStats]]) with the merge table riding the
+  * constant pool. At 100 TB nobody trains a tokenizer on the full
   * corpus — a fixed-fraction md5 sample is the production shape, and
   * the md5 threshold makes the sample (hence the learned merges)
   * reproducible across runs, partitionings, and cluster sizes. */
 object Bpe {
 
+  /** Vocabulary cap for the collected word-frequency table: the one
+    * driver artifact [[train]] materializes. 4M (word, count) rows is
+    * a few hundred MB worst-case — a driver artifact, not a corpus
+    * fraction. The cut keeps the MOST FREQUENT words (ties broken
+    * lexicographically, so the cut is deterministic); BPE merge counts
+    * are frequency-weighted, so dropping singleton-tail junk tokens is
+    * the standard frequency-cutoff every production tokenizer applies. */
+  val MaxTrainVocab: Int = 4 * 1000 * 1000
+
   /** Learn `nMerges` merge rules from the md5-sampled corpus slice.
-    * Eager action: the sample collect is a bounded driver artifact
-    * (sampleFrac caps it; IVF-centroid precedent). Deterministic: the
-    * sample is an md5 threshold, pair selection is totally ordered
-    * (count DESC, then lexicographically smallest pair), and merges
-    * with count < 2 stop training early. */
+    * Eager action — but the only collect is the WORD-FREQUENCY table
+    * (pre-tokenize → explode → groupBy(word).count(), capped at
+    * [[MaxTrainVocab]] by frequency), never raw text: BPE's merge loop
+    * consumes word freqs only, so the driver artifact is bounded by
+    * vocabulary size (Heaps-law sublinear) instead of scaling with the
+    * sampled bytes. Deterministic: the sample is an md5 threshold, the
+    * vocab cut and pair selection are totally ordered (count DESC, then
+    * lexicographically smallest), and merges with count < 2 stop
+    * training early. */
   def train(df: DataFrame, textCol: String, sampleFrac: Double,
             nMerges: Int): Seq[(String, String)] = {
     require(nMerges > 0 && sampleFrac > 0, "positive nMerges and sampleFrac")
     val cut = CorpusSplit.hexCut(sampleFrac)
-    val texts = df
-      .filter(substring(md5(col(textCol)), 1, 8) < lit(cut))
-      .select(col(textCol)).collect().map(_.getString(0))
-    // word frequencies over the shared pre-tokenizer
-    val wordFreq = mutable.HashMap.empty[String, Long]
-    for (t <- texts; if t != null) {
-      val toks = graft.functions.BpeUtil.preTokens(t)
-      var i = 0
-      while (i < toks.size) {
-        wordFreq.updateWith(toks.get(i))(c => Some(c.getOrElse(0L) + 1)); i += 1
-      }
-    }
+    val wordFreq: Array[(String, Long)] = df
+      .filter(col(textCol).isNotNull &&
+        substring(md5(col(textCol)), 1, 8) < lit(cut))
+      .select(explode(graft.functions.Bpes.preTokens(col(textCol))).as("w"))
+      .groupBy("w").count()
+      .orderBy(desc("count"), asc("w")).limit(MaxTrainVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     // symbol sequences, sorted for a deterministic starting order
-    var words: Array[(Array[String], Long)] = wordFreq.toArray.sortBy(_._1)
+    var words: Array[(Array[String], Long)] = wordFreq.sortBy(_._1)
       .map { case (w, f) => (w.map(String.valueOf(_)).toArray[String], f) }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var continue = true

@@ -89,9 +89,14 @@ object Extensions {
   /** Per-host quota ([[graft.operators.Dedup.domainQuota]], cap 10):
     * canonical host, URL count, and the 10 smallest kept ids per host.
     * Oracle-checked — DuckDB re-derives the canonical host with the
-    * kernel's case/`www.`/port rules and takes the same sorted prefix. */
+    * kernel's case/`www.`/port rules and takes the same sorted prefix.
+    * Declared outputs are scalar columns only (the driver's comparator
+    * can't canonicalize array cells), so the kept set rides as a
+    * `;`-joined string; the operator itself keeps the typed array. */
   def domainQuota(s: SparkSession, dir: String): DataFrame =
     Dedup.domainQuota(synthHostUrls(s, dir), "url", "o_orderkey", maxPerHost = 10)
+      .select(col("host"), col("n_urls"),
+        array_join(col("kept_ids").cast("array<string>"), ";").as("kept_ids"))
       .orderBy("host")
 
   /** Per-document duplicated-32-token-window report
@@ -981,7 +986,7 @@ object ExtensionOracles {
       |        CASE WHEN host0 LIKE '%:443' THEN substr(host0, 1, len(host0) - 4) ELSE host0 END AS host
       |      FROM h0)
       |SELECT host, count(*) AS n_urls,
-      |       list_slice(list_sort(list(o_orderkey)), 1, 10) AS kept_ids
+      |       array_to_string(list_slice(list_sort(list(o_orderkey)), 1, 10), ';') AS kept_ids
       |FROM h GROUP BY host ORDER BY host""".stripMargin
 
   val dedupJaccard: String =
@@ -1306,8 +1311,8 @@ object ExtensionOracles {
        |              ELSE len(regexp_split_to_array(trim(text), '$w')) END AS n_tok
        |  FROM documents)
        |SELECT doc_id, n_tok,
-       |       coalesce(sum(n_tok) OVER (ORDER BY doc_id
-       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+       |       CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
        |FROM tok ORDER BY doc_id""".stripMargin
   }
 

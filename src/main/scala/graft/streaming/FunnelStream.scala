@@ -29,13 +29,18 @@ object FunnelStream {
 
   def fold(userId: Long, batch: Iterator[Ev], state: GroupState[FState],
            nStages: Int): Iterator[Reach] = {
-    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    // The ms watermark is a FLOOR of the max event time: an event with
+    // a sub-ms component equal to the max would never satisfy
+    // ts <= wm*1000, leaving it pending forever at drain end. Sealing
+    // at ts < (wm+1)ms treats every event the ms watermark has passed
+    // as ready without admitting anything a later event could precede.
+    val sealUs = (state.getCurrentWatermarkMs() + 1L) * 1000L
     val prev = state.getOption.getOrElse(FState(Nil, Nil))
     val pending = prev.pending ++ batch.map(e => (e.stage_idx, e.ts_us))
     // fold events the watermark has sealed, in (ts, stage) order — the
     // held remainder is all later than every ready event, so global
     // event-time order is preserved across invocations
-    val (ready, hold) = pending.partition(_._2 <= wmUs)
+    val (ready, hold) = pending.partition(_._2 < sealUs)
     var arr = prev.arr
     val out = scala.collection.mutable.ArrayBuffer.empty[Reach]
     for ((si, ts) <- ready.sortBy(t => (t._2, t._1))) {
