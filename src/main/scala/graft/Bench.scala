@@ -29,13 +29,23 @@ object Bench {
     // after "stream_*" (measured 2.6-3.2x inflation on text_* in BENCH_r04).
     // Run every batch query first, then the drains last.
     val (drains, batch) = SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.startsWith("stream_"))
-    val results = (batch ++ drains).map { case (name, fn) =>
+    val order = batch ++ drains
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a crashed query must not masquerade as a fast pass: record -1.0
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    // Min of two full passes: a transient spike (GC, a concurrently
+    // exiting JVM, page-cache cold start) lands on at most one pass, so
+    // the min is the query's real cost. Whole-suite passes (not
+    // back-to-back reruns) so a multi-second stall can't straddle both
+    // timings of one query. Any crash keeps the sentinel.
+    val pass1 = order.map { case (name, fn) => name -> timeOnce(fn) }
+    val pass2 = order.map { case (name, fn) => name -> timeOnce(fn) }
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

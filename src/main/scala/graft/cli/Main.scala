@@ -38,10 +38,30 @@ object Main {
 
   private val usage =
     """usage: ingest <cities.txt> <categories.txt> <fixtureDir> <outDir> [scrapeDate]
-      |       etl <raw.jsonl> <site_dim.csv> <outDir>
-      |       etl-stream <rawDir> <site_dim.csv> <outDir>
+      |       etl <raw.jsonl> <site_dim.csv> <outDir> [--jdbc-url U [--jdbc-table T]]
+      |       etl-stream <rawDir> <site_dim.csv> <outDir> [--batch-size N] [--poll-seconds N]
       |       query <name> <sfDir>
       |       conform <warehouseParquet> <raw.jsonl> <outDir>""".stripMargin
+
+  /** `--key value` flags after the positionals — the reference's
+    * `--batch_size` / `--sleep_time` knobs (etl_process.py:247-248)
+    * mapped to the streaming trigger. Unknown flags throw with usage. */
+  private def parseFlags(rest: List[String],
+                         allowed: Set[String]): (Map[String, String], List[String]) =
+    rest match {
+      case k :: v :: t if k.startsWith("--") =>
+        val key = k.drop(2)
+        if (!allowed(key))
+          throw new IllegalArgumentException(s"unknown flag $k\n$usage")
+        val (flags, pos) = parseFlags(t, allowed)
+        (flags + (key -> v), pos)
+      case k :: Nil if k.startsWith("--") =>
+        throw new IllegalArgumentException(s"flag $k needs a value\n$usage")
+      case a :: t =>
+        val (flags, pos) = parseFlags(t, allowed)
+        (flags, a :: pos)
+      case Nil => (Map.empty, Nil)
+    }
 
   /** Dispatch one subcommand on a caller-owned session (testable: does
     * not stop the session or exit the JVM — bad args throw). */
@@ -63,17 +83,36 @@ object Main {
       raw.write.mode("overwrite").text(s"$outDir/raw")
       println(s"ingest: ads=${spark.read.text(s"$outDir/raw").count()}")
 
-    case "etl" :: rawPath :: dimPath :: outDir :: Nil =>
-      val raw = Pipeline.dedupIngest(Pipeline.parseRaw(spark.read.text(rawPath)), None)
-      val res = Pipeline.enrich(Pipeline.cleanData(raw), Pipeline.siteDim(spark, dimPath))
-      // (state, post_month)-partitioned layout via the one shared writer
-      // (SURVEY §2.1 warehouse-sink mapping): geography predicates prune
-      // whole directories at scale, and the month key keeps the batch and
-      // streaming paths layout-identical so either can append later
-      graft.streaming.EtlStream.warehouseOverwrite(res.warehouse, s"$outDir/warehouse")
-      res.quarantine.write.mode("overwrite").parquet(s"$outDir/quarantine")
-      println(s"etl: warehouse=${spark.read.parquet(s"$outDir/warehouse").count()} " +
-        s"quarantine=${spark.read.parquet(s"$outDir/quarantine").count()}")
+    case "etl" :: rest0 =>
+      val (flags, rest) = parseFlags(rest0, Set("jdbc-url", "jdbc-table"))
+      rest match {
+        case rawPath :: dimPath :: outDir :: Nil =>
+          val raw = Pipeline.dedupIngest(Pipeline.parseRaw(spark.read.text(rawPath)), None)
+          val res = Pipeline.enrich(Pipeline.cleanData(raw), Pipeline.siteDim(spark, dimPath))
+          val whCount = flags.get("jdbc-url") match {
+            case Some(url) =>
+              // the reference's actual storage layer (etl_process.py:271-289):
+              // dedup-append into the JDBC warehouse instead of parquet
+              val table = flags.getOrElse("jdbc-table", "warehouse")
+              try graft.sources.JdbcWarehouse.appendDedup(res.warehouse, url, table, "uniq_id")
+              catch { case _: Exception =>       // first run: table absent
+                graft.sources.JdbcWarehouse.write(res.warehouse, url, table)
+              }
+              graft.sources.JdbcWarehouse.read(spark, url, table).count()
+            case None =>
+              // (state, post_month)-partitioned layout via the one shared
+              // writer (SURVEY §2.1 warehouse-sink mapping): geography
+              // predicates prune whole directories at scale, and the month
+              // key keeps the batch and streaming paths layout-identical
+              // so either can append later
+              graft.streaming.EtlStream.warehouseOverwrite(res.warehouse, s"$outDir/warehouse")
+              spark.read.parquet(s"$outDir/warehouse").count()
+          }
+          res.quarantine.write.mode("overwrite").parquet(s"$outDir/quarantine")
+          println(s"etl: warehouse=$whCount " +
+            s"quarantine=${spark.read.parquet(s"$outDir/quarantine").count()}")
+        case _ => throw new IllegalArgumentException(usage)
+      }
 
     case "query" :: name :: sfDir :: Nil =>
       SparkEntry.queries.get(name) match {
@@ -83,10 +122,16 @@ object Main {
             SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
       }
 
-    case "etl-stream" :: rawDir :: dimPath :: outDir :: Nil =>
-      graft.streaming.EtlStream.run(spark, rawDir, dimPath,
-        s"$outDir/warehouse", s"$outDir/quarantine", s"$outDir/checkpoint")
-      println(s"etl-stream: warehouse=${spark.read.parquet(s"$outDir/warehouse").count()}")
+    case "etl-stream" :: rest =>
+      parseFlags(rest, Set("batch-size", "poll-seconds")) match {
+        case (flags, rawDir :: dimPath :: outDir :: Nil) =>
+          graft.streaming.EtlStream.run(spark, rawDir, dimPath,
+            s"$outDir/warehouse", s"$outDir/quarantine", s"$outDir/checkpoint",
+            maxFilesPerTrigger = flags.getOrElse("batch-size", "50").toInt,
+            pollSeconds = flags.getOrElse("poll-seconds", "600").toInt)
+          println(s"etl-stream: warehouse=${spark.read.parquet(s"$outDir/warehouse").count()}")
+        case _ => throw new IllegalArgumentException(usage)
+      }
 
     case "conform" :: warehousePath :: rawPath :: outDir :: Nil =>
       val wh = spark.read.parquet(warehousePath)

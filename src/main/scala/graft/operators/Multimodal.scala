@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample plumbing.
   *
-  * The decode step is STUBBED (no media libraries in this environment):
-  * [[StubDecoder]] produces deterministic fake metadata from a hash of
-  * the bytes. Everything Spark-side — schemas, the mapPartitions batch
-  * shape, partitioning, the frame-sample generator — is real and tested,
-  * so swapping in a real codec is a one-class change behind
-  * [[MediaDecoder]].
+  * Three decoders share the [[MediaDecoder]] seam: [[StubDecoder]]
+  * (deterministic fake metadata from a byte hash — CI without any
+  * codec), [[HeaderDecoder]] (real container-header parse, the right
+  * cost for a metadata pass over 100 TB), and [[ImageIoDecoder]] (real
+  * PIXEL decode via the JDK's javax.imageio for PNG/JPEG/GIF/BMP).
+  * Everything Spark-side — schemas, the mapPartitions batch shape,
+  * partitioning, the frame-sample generator — is identical across the
+  * three, so heavier codecs (video, audio samples) remain a one-class
+  * change.
   *
   * Scale notes: media blobs dominate row size, so media tables should be
   * written with small `maxRecordsPerFile`/row-group targets and metadata
@@ -128,6 +131,59 @@ object Multimodal {
       }
       MediaMeta("unknown", 0, 0, 0, 0)
     }
+  }
+
+  /** REAL pixel decode through the JDK's `javax.imageio` (PNG/JPEG/GIF/
+    * BMP — the platform readers, no native libraries, headless-safe).
+    * Dimensions come from the DECODED raster, not the header walk; the
+    * container kind still comes from [[HeaderDecoder]] so kind strings
+    * stay consistent across decoders. Non-image containers (wav) and
+    * undecodable blobs fall back to the header walk — same
+    * corrupt-blob-never-kills-a-task contract. Per the [[MediaDecoder]]
+    * seam this is instantiated once per task and streams the batch;
+    * ImageIO reader instances are created per call (they are not
+    * thread-safe to share across tasks). */
+  object ImageIoDecoder extends MediaDecoder {
+    private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      val header = HeaderDecoder.decode(bytes)
+      readImage(bytes) match {
+        case Some(img) =>
+          val kind = if (header.kind == "unknown") "image" else header.kind
+          MediaMeta(kind, img.getWidth, img.getHeight, 1, 0)
+        case None => header
+      }
+    }
+
+    /** CRC32 over the row-major ARGB raster — a deterministic
+      * pixel-level fingerprint (spec assertions, exact content dedup
+      * across re-encodes of the same pixels). −1 when undecodable. */
+    def pixelChecksum(bytes: Array[Byte]): Long =
+      readImage(bytes).map { img =>
+        val crc = new java.util.zip.CRC32
+        val w = img.getWidth
+        val row = new Array[Int](w)
+        val rowBytes = new Array[Byte](w * 4)
+        var y = 0
+        while (y < img.getHeight) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            rowBytes(x * 4) = (p >>> 24).toByte
+            rowBytes(x * 4 + 1) = (p >>> 16).toByte
+            rowBytes(x * 4 + 2) = (p >>> 8).toByte
+            rowBytes(x * 4 + 3) = p.toByte
+            x += 1
+          }
+          crc.update(rowBytes, 0, w * 4)
+          y += 1
+        }
+        crc.getValue
+      }.getOrElse(-1L)
   }
 
   /** Deterministic, BYTE-VALID media fixtures: real container headers

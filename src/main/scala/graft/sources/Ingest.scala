@@ -52,12 +52,15 @@ object Ingest {
   /** Production HTTP fetcher with the reference's retry/backoff/re-dial
     * contract (scraper.py:27-40,76-81): bounded retries with exponential
     * backoff on 5xx/connection failure, an `onRetry` hook — the seam
-    * where the reference re-dials its Tor circuit — and an optional
-    * HTTP proxy (the reference routes via a local SOCKS proxy; HTTP
-    * CONNECT is the JDK-native equivalent seam). 2xx–4xx responses are
-    * returned as-is (the raw envelope records the code, as the
-    * reference's does); exhausted retries → None, dropping the ad like
-    * the reference's error path.
+    * where the reference re-dials its Tor circuit — and both proxy
+    * shapes: `proxy` is an HTTP CONNECT proxy (JDK HttpClient), and
+    * `socksProxy` is a SOCKS5 proxy — the reference's actual Tor path
+    * (scraper.py:32-40, socks5h://localhost:9050) — routed through
+    * `HttpURLConnection.openConnection(Proxy(SOCKS, …))`, the JDK layer
+    * that speaks SOCKS natively (HttpClient does not). 2xx–4xx
+    * responses are returned as-is (the raw envelope records the code,
+    * as the reference's does); exhausted retries → None, dropping the
+    * ad like the reference's error path.
     *
     * One client per task: the case class is Serializable, the client is
     * `@transient lazy` — each executor partition builds its own on
@@ -69,6 +72,7 @@ object Ingest {
       maxRetries: Int = 3,
       backoffMs: Long = 500,
       proxy: Option[(String, Int)] = None,
+      socksProxy: Option[(String, Int)] = None,
       onRetry: Int => Unit = _ => ()) extends PageFetcher {
 
     @transient private lazy val client: java.net.http.HttpClient = {
@@ -81,21 +85,46 @@ object Ingest {
       b.build()
     }
 
+    /** One attempt via HttpClient (direct or HTTP CONNECT proxy). */
+    private def sendHttp(req: java.net.http.HttpRequest): Option[FetchedPage] = {
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() < 500) Some(FetchedPage(resp.statusCode(), resp.body()))
+      else None                                     // 5xx → retry
+    }
+
+    /** One attempt tunneled through the SOCKS5 proxy. */
+    private def sendSocks(url: java.net.URL, host: String, port: Int): Option[FetchedPage] = {
+      val px = new java.net.Proxy(java.net.Proxy.Type.SOCKS,
+        new java.net.InetSocketAddress(host, port))
+      val conn = url.openConnection(px).asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setInstanceFollowRedirects(true)
+      try {
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = if (is == null) ""
+          else try new String(is.readAllBytes(), "UTF-8") finally is.close()
+        if (code < 500) Some(FetchedPage(code, body)) else None
+      } finally conn.disconnect()
+    }
+
     def fetch(url: String): Option[FetchedPage] = {
       // non-retryable up front: a malformed URL never improves with backoff
-      val req =
-        try java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-          .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
-          .GET().build()
-        catch { case _: IllegalArgumentException => return None }
+      val (req, parsedUrl) =
+        try {
+          val uri = java.net.URI.create(url)
+          (java.net.http.HttpRequest.newBuilder(uri)
+            .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+            .GET().build(), uri.toURL)
+        } catch { case _: IllegalArgumentException | _: java.net.MalformedURLException =>
+          return None }
       var attempt = 0
       while (attempt <= maxRetries) {
         val got =
-          try {
-            val resp = client.send(req,
-              java.net.http.HttpResponse.BodyHandlers.ofString())
-            if (resp.statusCode() < 500) Some(FetchedPage(resp.statusCode(), resp.body()))
-            else None                               // 5xx → retry
+          try socksProxy match {
+            case Some((h, p)) => sendSocks(parsedUrl, h, p)
+            case None         => sendHttp(req)
           } catch {
             // task cancellation must win immediately: restore the
             // interrupt flag and stop — burning retries + sleeps here

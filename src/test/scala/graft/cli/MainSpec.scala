@@ -68,6 +68,35 @@ class MainSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$out/warehouse_conformed").count() == 0)
   }
 
+  test("etl-stream accepts the reference's batch-size/poll-seconds knobs; unknown flags throw") {
+    val out = Files.createTempDirectory("graft_cli_k").toString
+    val rawDir = s"$out/rawdir"
+    Files.createDirectories(Paths.get(rawDir))
+    Files.copy(Paths.get(fixture("raw_ads.jsonl")), Paths.get(s"$rawDir/batch1.jsonl"))
+    // batch-size 1 = maxFilesPerTrigger 1: same drained result, knob wired
+    Main.run(List("etl-stream", rawDir, fixture("site_dim.csv"), out,
+      "--batch-size", "1", "--poll-seconds", "60"), spark)
+    assert(spark.read.parquet(s"$out/warehouse").count() == 5)
+    intercept[IllegalArgumentException](Main.run(
+      List("etl-stream", rawDir, fixture("site_dim.csv"), out, "--bogus", "1"), spark))
+    intercept[IllegalArgumentException](Main.run(
+      List("etl-stream", rawDir, fixture("site_dim.csv"), out, "--batch-size"), spark))
+  }
+
+  test("etl --jdbc-url lands the warehouse in an embedded Derby database") {
+    val out = Files.createTempDirectory("graft_cli_j").toString
+    val url = s"jdbc:derby:memory:graftcli${System.nanoTime()};create=true"
+    Main.run(List("etl", fixture("raw_ads.jsonl"), fixture("site_dim.csv"), out,
+      "--jdbc-url", url, "--jdbc-table", "warehouse"), spark)
+    val wh = graft.sources.JdbcWarehouse.read(spark, url, "warehouse")
+    assert(wh.count() == 5)
+    assert(wh.select("uniq_id").distinct().count() == 5)
+    // replay of the same raw batch appends nothing (dedup insert)
+    Main.run(List("etl", fixture("raw_ads.jsonl"), fixture("site_dim.csv"), out,
+      "--jdbc-url", url), spark)
+    assert(graft.sources.JdbcWarehouse.read(spark, url, "warehouse").count() == 5)
+  }
+
   test("query subcommand runs a declared query") {
     Main.run(List("query", "q5_groupby_agg", "/root/testdata/sf0.001"), spark)
   }

@@ -88,6 +88,61 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.HeaderDecoder.decode("GIF89a".getBytes).kind == "unknown")
   }
 
+  test("ImageIoDecoder really decodes pixels: dimensions match the header walk, checksum matches the source raster") {
+    import Multimodal.{HeaderDecoder, ImageIoDecoder}
+    // paint a deterministic gradient, encode through the JDK's own
+    // writers, then decode through the seam — dimensions must agree
+    // with the independent header walk and the pixel checksum with a
+    // CRC computed straight off the source raster
+    def painted(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, 0xff000000 | ((x * 7) % 256 << 16) | ((y * 13) % 256 << 8) | ((x + y) % 256))
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    def rasterCrc(img: java.awt.image.BufferedImage): Long = {
+      val crc = new java.util.zip.CRC32
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        crc.update(Array[Byte]((p >>> 24).toByte, (p >>> 16).toByte,
+          (p >>> 8).toByte, p.toByte), 0, 4)
+      }
+      crc.getValue
+    }
+    val src = painted(37, 21)
+    val pngBytes = enc(src, "png")
+    val m = ImageIoDecoder.decode(pngBytes)
+    val hdr = HeaderDecoder.decode(pngBytes)
+    assert((m.kind, m.width, m.height) == (("png", 37, 21)))
+    assert((hdr.width, hdr.height) == ((m.width, m.height)),
+      "pixel decode and header walk must agree on dimensions")
+    // PNG is lossless: the decoded raster is the painted raster
+    assert(ImageIoDecoder.pixelChecksum(pngBytes) == rasterCrc(src))
+    // GIF re-quantizes the palette, JPEG is lossy — still must decode
+    // to the right geometry with a stable checksum per encoding
+    val gifBytes = enc(painted(16, 9), "gif")
+    val g = ImageIoDecoder.decode(gifBytes)
+    assert((g.kind, g.width, g.height) == (("gif", 16, 9)))
+    assert(ImageIoDecoder.pixelChecksum(gifBytes) == ImageIoDecoder.pixelChecksum(gifBytes))
+    // non-image and corrupt inputs fall back to the header walk
+    assert(ImageIoDecoder.decode(Multimodal.MediaFixtures.wav(8000)).kind == "wav")
+    assert(ImageIoDecoder.decode("junk".getBytes).kind == "unknown")
+    assert(ImageIoDecoder.pixelChecksum("junk".getBytes) == -1L)
+    // and the seam accepts it like any decoder: distributed decode over
+    // real blobs yields the true dimensions
+    implicit val enc2 = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val blobs = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, pngBytes), Multimodal.MediaRow(2L, gifBytes)))
+    val out = Multimodal.decode(blobs, ImageIoDecoder).collect().sortBy(_.media_id)
+    assert(out.map(d => (d.media_id, d.kind, d.width, d.height)).toSeq ==
+      Seq((1L, "png", 37, 21), (2L, "gif", 16, 9)))
+  }
+
   test("resize plan preserves aspect ratio and caps the long side") {
     val plan = Multimodal.resizePlan(Multimodal.decode(media), maxSide = 256)
       .collect()

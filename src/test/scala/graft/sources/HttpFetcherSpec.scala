@@ -80,6 +80,55 @@ class HttpFetcherSpec extends AnyFunSuite with SparkSpec {
     assert(retries.get() == 2)
   }
 
+  test("SOCKS5 proxy: the fetcher completes a real SOCKS handshake and reads through the tunnel") {
+    // a minimal in-process SOCKS5 server: no-auth greeting, CONNECT
+    // reply, then it plays the origin HTTP server on the same socket —
+    // so a 200 here proves the JDK client actually spoke SOCKS5
+    val ss = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val served = new AtomicInteger(0)
+    val server = new Thread(() => {
+      try while (!ss.isClosed) {
+        val s = ss.accept()
+        try {
+          val in = s.getInputStream; val out = s.getOutputStream
+          val ver = in.read(); val nMethods = in.read()
+          in.readNBytes(nMethods)
+          if (ver == 5) {
+            out.write(Array[Byte](5, 0)); out.flush()       // no-auth accepted
+            val hdr = in.readNBytes(4)                       // VER CMD RSV ATYP
+            hdr(3) match {
+              case 1 => in.readNBytes(6)                     // IPv4 + port
+              case 3 => val l = in.read(); in.readNBytes(l + 2)
+              case _ => in.readNBytes(18)                    // IPv6 + port
+            }
+            out.write(Array[Byte](5, 0, 0, 1, 0, 0, 0, 0, 0, 0)); out.flush()
+            // tunnel established — now answer the HTTP request
+            var last4 = ""
+            var c = in.read()
+            while (c != -1 && last4 != "\r\n\r\n") {
+              last4 = (last4 + c.toChar).takeRight(4); c = if (last4 == "\r\n\r\n") -1 else in.read()
+            }
+            val body = "via-socks"
+            out.write(("HTTP/1.1 200 OK\r\nContent-Length: " + body.length +
+              "\r\nConnection: close\r\n\r\n" + body).getBytes("UTF-8"))
+            out.flush()
+            served.incrementAndGet()
+          }
+        } catch { case _: Exception => () } finally s.close()
+      } catch { case _: Exception => () }
+    })
+    server.setDaemon(true); server.start()
+    try {
+      val f = HttpPageFetcher(timeoutMs = 5000, backoffMs = 1,
+        socksProxy = Some(("127.0.0.1", ss.getLocalPort)))
+      // the target (port 1, nothing listening) is reachable only if the
+      // request really rides the SOCKS tunnel
+      val got = f.fetch("http://127.0.0.1:1/anything")
+      assert(got.contains(Ingest.FetchedPage(200, "via-socks")))
+      assert(served.get() == 1)
+    } finally ss.close()
+  }
+
   test("end-to-end: scanListings + fetchAds over real HTTP") {
     def listing(urls: Seq[String], sentinel: Boolean) = {
       val items = urls.map(u => s"""<div class="cat3"><a href="$u">ad</a></div>""").mkString
