@@ -239,6 +239,41 @@ object TextAnalysis {
         floor(col("s.score")).cast("long").as("score_ppm"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021 §A1.1 — the public
+    * format/repetition ruleset modern corpus pipelines start from) in
+    * engine-portable EXACT INTEGER form: per-document counts plus the
+    * gate itself, with every ratio threshold cross-multiplied into an
+    * integer predicate (3 ≤ mean word len ≤ 10 → `3n ≤ Σlen ≤ 10n`,
+    * symbol ratio < 0.1 → `10·(n_hash+n_ellipsis) < n`, ≥ 80% alpha
+    * words → `5·n_alpha ≥ 4n`, ≥ 2 distinct stop words) — no float
+    * division anywhere, so the gate bit is identical in any engine.
+    * Row-local codegen projection, no shuffle. */
+  def gopherSignals(text: Column): Column = {
+    val tokens = split(lower(trim(text)), WsClass)
+    val lines = split(text, "\n")
+    val stop8 = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val n = size(tokens).cast("long")
+    val sumLen = Sketches.sumStrLen(tokens)
+    val nAlpha = size(filter(tokens, t => t.rlike("[a-z]"))).cast("long")
+    val nStop = size(array_intersect(array_distinct(tokens),
+      array(stop8.map(lit): _*))).cast("long")
+    val nHash = regexp_count(text, lit("#")).cast("long")
+    val nEll = regexp_count(text, lit("\\.\\.\\.")).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long")
+    val nEllLine = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("long")
+    val pass = (n >= 50) && (n <= 100000) &&
+      (lit(3L) * n <= sumLen) && (sumLen <= lit(10L) * n) &&
+      (lit(10L) * (nHash + nEll) < n) &&
+      (lit(5L) * nAlpha >= lit(4L) * n) && (nStop >= 2)
+    struct(
+      n.as("n_tokens"), sumLen.as("sum_token_len"),
+      nAlpha.as("n_alpha_words"), nStop.as("n_stop_distinct"),
+      nHash.as("n_hash"), nEll.as("n_ellipsis"),
+      nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
+      nEllLine.as("n_ellipsis_lines"), pass.cast("long").as("pass"))
+  }
+
   /** One-stop analysis projection over a documents table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier URL filtering — the pre-fetch screen of a web-scale
+  * ingest pipeline. The reference crawls a fixed site list
+  * (scraper.py:163-166) so it never needs one; a 100 TB crawl filters
+  * its frontier BEFORE any fetch: scheme allowlist, static-asset
+  * extension blocklist, path-depth and query-param caps (link-farm /
+  * calendar-trap signatures). Pure codegen'd regexp projection over the
+  * frontier scan — no shuffle, no UDFs — and the keep gate is integer
+  * predicates only, so it is engine-portable bit for bit.
+  *
+  * Complements [[Dedup.urlDedup]] (canonicalize what you keep) and
+  * [[Dedup.domainQuota]] (cap per host): filter → canonicalize → quota
+  * is the standard frontier chain.
+  */
+object UrlFilter {
+
+  /** Static-asset extensions a text-corpus crawl never fetches. */
+  val BlockedExts: Seq[String] = Seq(
+    "jpg", "jpeg", "png", "gif", "webp", "ico", "svg",
+    "css", "js", "woff", "woff2", "ttf",
+    "mp3", "mp4", "avi", "mov", "webm",
+    "zip", "gz", "tar", "exe", "dmg")
+
+  /** Scheme / extension / path-depth / query-param signals of one URL. */
+  def signals(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val ext = lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
+    val depth = size(filter(split(path, "/"), s => s =!= "")).cast("long")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val nParams = when(query === "", lit(0L))
+      .otherwise(size(split(query, "&")).cast("long"))
+    struct(scheme.as("scheme"), ext.as("ext"),
+      depth.as("path_depth"), nParams.as("n_params"))
+  }
+
+  /** Per-URL filter report: signals plus the keep gate (0/1). */
+  def crawlFilter(df: DataFrame, idCol: String, urlCol: String,
+                  maxDepth: Int = 8, maxParams: Int = 8): DataFrame = {
+    val s = signals(col(urlCol))
+    df.select(col(idCol), col(urlCol),
+        s.getField("scheme").as("scheme"), s.getField("ext").as("ext"),
+        s.getField("path_depth").as("path_depth"),
+        s.getField("n_params").as("n_params"))
+      .withColumn("keep",
+        (col("scheme").isin("http", "https") &&
+          !col("ext").isin(BlockedExts: _*) &&
+          col("path_depth") <= maxDepth &&
+          col("n_params") <= maxParams).cast("long"))
+  }
+}

@@ -790,6 +790,47 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Gopher quality rules ([[TextAnalysis.gopherSignals]]): exact
+    * integer counts plus the cross-multiplied integer gate —
+    * oracle-checked including the pass bit itself. */
+  def textGopher(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.gopherSignals(col("text")).as("g"))
+      .select(col("doc_id"),
+        col("g.n_tokens").as("n_tokens"),
+        col("g.sum_token_len").as("sum_token_len"),
+        col("g.n_alpha_words").as("n_alpha_words"),
+        col("g.n_stop_distinct").as("n_stop_distinct"),
+        col("g.n_hash").as("n_hash"),
+        col("g.n_ellipsis").as("n_ellipsis"),
+        col("g.n_lines").as("n_lines"),
+        col("g.n_bullet_lines").as("n_bullet_lines"),
+        col("g.n_ellipsis_lines").as("n_ellipsis_lines"),
+        col("g.pass").as("pass"))
+      .orderBy("doc_id")
+
+  /** Crawl-frontier URL filter ([[graft.operators.UrlFilter]]) over a
+    * synthetic frontier with deliberate scheme / extension / depth /
+    * param-count variety keyed off orders — oracle-checked including
+    * the keep gate. */
+  def synthFrontierUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      concat(
+        when(col("o_orderkey") % 13 === 0, lit("ftp://")).otherwise(lit("https://")),
+        lit("h"), (col("o_custkey") % 17).cast("string"), lit(".example.org"),
+        expr("repeat(concat('/s', cast(o_orderkey % 3 as string)), cast(o_custkey % 12 as int))"),
+        lit("/page"), col("o_orderkey").cast("string"),
+        element_at(array(Seq("", ".html", ".jpg", ".css", ".pdf", ".php", ".js")
+          .map(lit): _*), ((col("o_orderkey") % 7) + 1).cast("int")),
+        when(col("o_orderkey") % 5 === 0,
+          concat(lit("?q=1"), expr("repeat('&p=2', cast(o_custkey % 10 as int))")))
+          .otherwise(lit(""))).as("url"))
+
+  def urlFilter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UrlFilter.crawlFilter(
+        synthFrontierUrls(s, dir), "o_orderkey", "url")
+      .orderBy("o_orderkey")
+
   /** Heuristic language ID (stopword argmax; accuracy bound in tests). */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1611,6 +1652,72 @@ object ExtensionOracles {
       |       (len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::BIGINT AS n_punct,
       |       len(text)::BIGINT AS n_chars_measured
       |FROM tok ORDER BY doc_id""".stripMargin
+
+  /** [[Extensions.textGopher]]: the same counts from DuckDB's list
+    * lambdas, the same cross-multiplied integer gate — the pass bit is
+    * part of the hash. */
+  val textGopher: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, text,
+       |         regexp_split_to_array(lower(trim(text)), '$ws') AS tk,
+       |         string_split(text, chr(10)) AS ln
+       |  FROM documents),
+      |c AS (SELECT doc_id,
+      |  len(tk)::BIGINT AS n_tokens,
+      |  list_sum(list_transform(tk, t -> len(t)))::BIGINT AS sum_token_len,
+      |  len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::BIGINT AS n_alpha_words,
+      |  len(list_intersect(list_distinct(tk),
+      |      ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stop_distinct,
+      |  len(regexp_extract_all(text, '#'))::BIGINT AS n_hash,
+      |  len(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS n_ellipsis,
+      |  len(ln)::BIGINT AS n_lines,
+      |  len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]')))::BIGINT AS n_bullet_lines,
+      |  len(list_filter(ln, l -> regexp_matches(trim(l), '\\.\\.\\.$$')))::BIGINT AS n_ellipsis_lines
+      |  FROM t0)
+      |SELECT doc_id, n_tokens, sum_token_len, n_alpha_words, n_stop_distinct,
+      |       n_hash, n_ellipsis, n_lines, n_bullet_lines, n_ellipsis_lines,
+      |       CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+      |             AND 3*n_tokens <= sum_token_len AND sum_token_len <= 10*n_tokens
+      |             AND 10*(n_hash + n_ellipsis) < n_tokens
+      |             AND 5*n_alpha_words >= 4*n_tokens
+      |             AND n_stop_distinct >= 2
+      |            THEN 1 ELSE 0 END::BIGINT AS pass
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** [[Extensions.urlFilter]]: rebuild the synthetic frontier, re-derive
+    * scheme/ext/depth/params with the same regexes, and apply the same
+    * integer keep gate. */
+  val urlFilter: String =
+    """WITH raw AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN 'ftp://' ELSE 'https://' END ||
+      |    'h' || (o_custkey % 17) || '.example.org' ||
+      |    repeat('/s' || (o_orderkey % 3), CAST(o_custkey % 12 AS INT)) ||
+      |    '/page' || o_orderkey ||
+      |    ['', '.html', '.jpg', '.css', '.pdf', '.php', '.js'][CAST(o_orderkey % 7 AS INT) + 1] ||
+      |    CASE WHEN o_orderkey % 5 = 0 THEN '?q=1' || repeat('&p=2', CAST(o_custkey % 10 AS INT)) ELSE '' END AS url
+      |  FROM orders),
+      |s AS (
+      |  SELECT o_orderkey, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS q
+      |  FROM raw),
+      |e AS (
+      |  SELECT o_orderkey, url, scheme,
+      |    lower(regexp_extract(path, '\.([A-Za-z0-9]+)$', 1)) AS ext,
+      |    len(list_filter(string_split(path, '/'), x -> x <> ''))::BIGINT AS path_depth,
+      |    (CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END)::BIGINT AS n_params
+      |  FROM s)
+      |SELECT o_orderkey, url, scheme, ext, path_depth, n_params,
+      |  (CASE WHEN scheme IN ('http','https')
+      |         AND ext NOT IN ('jpg','jpeg','png','gif','webp','ico','svg',
+      |                         'css','js','woff','woff2','ttf',
+      |                         'mp3','mp4','avi','mov','webm',
+      |                         'zip','gz','tar','exe','dmg')
+      |         AND path_depth <= 8 AND n_params <= 8
+      |        THEN 1 ELSE 0 END)::BIGINT AS keep
+      |FROM e ORDER BY o_orderkey""".stripMargin
 
   /** Language-ID argmax as a padded sort key: DuckDB's greatest() can't
     * compare structs, so (score, code) rides in '%08d|code' strings —

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the Gopher quality gate and the
+  * crawl-frontier URL filter — every count and both gates pinned
+  * against values worked out by hand, independent of the DuckDB oracle.
+  */
+class GopherUrlSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def gopher(text: String): Map[String, Long] = {
+    val row = Seq((1L, text)).toDF("id", "text")
+      .select(col("id"), TextAnalysis.gopherSignals(col("text")).as("g"))
+      .select(col("g.*")).collect().head
+    row.schema.fieldNames.map(f => f -> row.getAs[Long](f)).toMap
+  }
+
+  test("a fluent paragraph passes the gate with the expected counts") {
+    // 52 words, all alphabetic, 5 of the 8 stop words present (the,
+    // have, with, and, that), mean word length 252/52 in [3, 10], no
+    // symbols
+    val words = Seq("the", "quick", "brown", "foxes", "have", "been",
+      "running", "with", "great", "speed", "over", "those", "green",
+      "hills", "and", "valleys", "that", "stretch", "far", "beyond",
+      "every", "horizon", "while", "many", "birds", "keep")
+    val text = (words ++ words).mkString(" ")   // 52 tokens
+    val g = gopher(text)
+    assert(g("n_tokens") == 52)
+    assert(g("n_alpha_words") == 52)
+    assert(g("n_stop_distinct") == 5)
+    assert(g("sum_token_len") == 252)
+    assert(g("n_hash") == 0 && g("n_ellipsis") == 0)
+    assert(g("pass") == 1)
+  }
+
+  test("short, symbol-heavy, and alpha-poor documents fail the gate") {
+    assert(gopher("too few words here")("pass") == 0)           // n < 50
+    val hashy = (1 to 60).map(i => s"#tag$i").mkString(" ")     // 60 hashes / 60 words
+    assert(gopher(hashy)("n_hash") == 60)
+    assert(gopher(hashy)("pass") == 0)                          // symbol ratio
+    val numbers = (1 to 60).map(_.toString).mkString(" ")       // zero alpha words
+    assert(gopher(numbers)("n_alpha_words") == 0)
+    assert(gopher(numbers)("pass") == 0)
+    val longwords = (1 to 60).map(_ => "pneumonoultramicroscopic").mkString(" ")
+    assert(gopher(longwords)("pass") == 0)                      // mean len > 10
+  }
+
+  test("line signals: bullets and ellipsis lines are counted per line") {
+    val text = "intro line\n- first bullet\n* second bullet\nto be continued...\nnormal end"
+    val g = gopher(text)
+    assert(g("n_lines") == 5)
+    assert(g("n_bullet_lines") == 2)
+    assert(g("n_ellipsis_lines") == 1)
+    assert(g("n_ellipsis") == 1)
+  }
+
+  test("URL filter signals and gate, case by case") {
+    val cases = Seq(
+      // url, scheme, ext, depth, n_params, keep
+      ("https://ex.com/a/b/page.html", "https", "html", 3L, 0L, 1L),
+      ("https://ex.com/img/photo.JPG", "https", "jpg", 2L, 0L, 0L),   // blocked ext, case-folded
+      ("ftp://ex.com/page", "ftp", "", 1L, 0L, 0L),                   // scheme
+      ("https://ex.com/a/b/c/d/e/f/g/h/i", "https", "", 9L, 0L, 0L),  // depth > 8
+      ("https://ex.com/p?a=1&b=2&c=3", "https", "", 1L, 3L, 1L),
+      ("https://ex.com/p?" + (1 to 9).map(i => s"k$i=v").mkString("&"),
+        "https", "", 1L, 9L, 0L),                                     // params > 8
+      ("https://ex.com/", "https", "", 0L, 0L, 1L),
+      ("https://ex.com/style.css?v=3", "https", "css", 1L, 1L, 0L))   // ext wins over params
+    val df = cases.zipWithIndex.map { case (c, i) => (i.toLong, c._1) }.toDF("id", "url")
+    val got = UrlFilter.crawlFilter(df, "id", "url").orderBy("id").collect()
+    cases.zip(got).foreach { case ((url, sch, ext, d, p, k), row) =>
+      assert(row.getAs[String]("scheme") == sch, url)
+      assert(row.getAs[String]("ext") == ext, url)
+      assert(row.getAs[Long]("path_depth") == d, url)
+      assert(row.getAs[Long]("n_params") == p, url)
+      assert(row.getAs[Long]("keep") == k, url)
+    }
+  }
+
+  test("declared queries run with the expected shape on sf0.001") {
+    val g = graft.queries.Extensions.textGopher(spark, "/root/testdata/sf0.001")
+    assert(g.count() > 0)
+    assert(g.columns.toSeq == Seq("doc_id", "n_tokens", "sum_token_len",
+      "n_alpha_words", "n_stop_distinct", "n_hash", "n_ellipsis",
+      "n_lines", "n_bullet_lines", "n_ellipsis_lines", "pass"))
+    val u = graft.queries.Extensions.urlFilter(spark, "/root/testdata/sf0.001")
+    val rows = u.collect()
+    assert(rows.nonEmpty)
+    // the synthetic frontier must exercise BOTH gate outcomes
+    assert(rows.exists(_.getAs[Long]("keep") == 1L))
+    assert(rows.exists(_.getAs[Long]("keep") == 0L))
+    // and more than one rejection reason
+    assert(rows.exists(r => r.getAs[String]("scheme") == "ftp"))
+    assert(rows.exists(r => r.getAs[Long]("path_depth") > 8))
+  }
+}

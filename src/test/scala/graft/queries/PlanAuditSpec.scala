@@ -67,6 +67,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     ("emb_centroid", "vec_id", "label"),             // embeddings: vec+label only
     ("bpe_tokens", "source", "text"),                // documents: id+text only
     ("text_compress", "lang", "text"),               // documents: id+text only
+    ("text_gopher", "source", "text"),               // documents: id+text only
+    ("url_filter", "o_orderstatus", "o_custkey"),    // orders: keys only
     ("q30_full_outer", "c_mktsegment", "c_acctbal")) // customer: key+balance only
     // (text_familiarity's and corpus_incremental's shingle scans sit
     //  behind localCheckpoints, invisible in the final plan — the
