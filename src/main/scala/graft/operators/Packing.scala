@@ -101,6 +101,28 @@ object Packing {
       .select(col(idCol), col(weightCol), col("offset"))
   }
 
+  /** Token-balanced contiguous output sharding — the corpus-writer
+    * layout step: shard k holds the documents whose global token
+    * offset falls in the k-th equal span of the total token stream, so
+    * every shard carries ~total/n TOKENS regardless of how document
+    * sizes are distributed (hash-mod sharding balances document
+    * COUNTS, which heavy-tailed documents skew into lopsided files).
+    * Built on [[assignOffsets]]' two-phase scan — no single-partition
+    * stage; one extra map-side-combined aggregate for the total (a
+    * one-row driver artifact); the shard id is a pure integer function
+    * of (id, weight) — `offset div (total div n + 1)` — so it is
+    * stable across runs, partitionings, and engines. */
+  def shardByTokens(df: DataFrame, idCol: String, weightCol: String,
+                    nShards: Int, buckets: Int = 256): DataFrame = {
+    require(nShards > 0, "positive shard count required")
+    // eager action: one-row total (exact long sum, map-side combined)
+    val total = Option(df.agg(sum(col(weightCol))).head.get(0))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val width = total / nShards + 1
+    assignOffsets(df, idCol, weightCol, buckets)
+      .withColumn("shard", expr(s"offset div $width"))
+  }
+
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
                   window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,

@@ -597,6 +597,22 @@ object Extensions {
       "doc_id", "n_tok")
       .orderBy("doc_id")
 
+  /** Token-balanced contiguous sharding
+    * ([[graft.operators.Packing.shardByTokens]], 8 shards) rolled up to
+    * per-shard totals — the measurable form of the balance claim: every
+    * shard's token sum lands within one document of total/8.
+    * Oracle-checked: DuckDB re-derives shard = offset div (total div
+    * 8 + 1) from the naive global window. */
+  def corpusShard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.shardByTokens(
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok")),
+      "doc_id", "n_tok", nShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
+      .orderBy("shard")
+
   /** Temperature-weighted mixture sampling
     * ([[graft.operators.CorpusSplit.mixtureByTemperature]], T=2):
     * per-language kept counts after flattening the language
@@ -1355,6 +1371,26 @@ object ExtensionOracles {
        |       CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
        |FROM tok ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[Extensions.corpusShard]]: the window form of the offsets, the
+    * same integer shard arithmetic, per-shard rollup. */
+  val corpusShard: String = {
+    val w = graft.operators.TextAnalysis.WsClass
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '$w')) END AS n_tok
+       |  FROM documents),
+       |o AS (SELECT doc_id, n_tok,
+       |        CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |      FROM tok),
+       |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM tok)
+       |SELECT CAST(o.off // (t.total // 8 + 1) AS BIGINT) AS shard,
+       |       count(*) AS n_docs, CAST(sum(o.n_tok) AS BIGINT) AS sum_tokens,
+       |       min(o.off) AS min_offset, max(o.off) AS max_offset
+       |FROM o, t GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** [[Extensions.corpusMix]]'s chain with the temperature-weight

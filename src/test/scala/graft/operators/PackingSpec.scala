@@ -124,6 +124,33 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("hashpartitioning(_b"), plan.take(2000))
   }
 
+  test("shardByTokens: contiguous spans, token balance within one doc of total/n") {
+    val docs = t(spark, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokenCountWs($"text").cast("long").as("n_tok"))
+    val n = 8
+    val sharded = Packing.shardByTokens(docs, "doc_id", "n_tok", nShards = n)
+    val rows = sharded.select("doc_id", "n_tok", "offset", "shard")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val total = rows.map(_._2).sum
+    val width = total / n + 1
+    // every shard id is the integer-span function of the offset
+    rows.foreach { case (id, _, off, sh) =>
+      assert(sh == off / width, s"doc $id") }
+    // shards are contiguous in doc order (offset order = id order)
+    val shardSeq = rows.map(_._4)
+    assert(shardSeq.zip(shardSeq.tail).forall { case (a, b) => a <= b })
+    // token balance: each shard's span is `width` tokens, so its sum
+    // can exceed width only by the tail of one straddling document
+    val perShard = rows.groupBy(_._4).view.mapValues(_.map(_._2).sum)
+    val maxDoc = rows.map(_._2).max
+    perShard.foreach { case (sh, sum) =>
+      assert(sum <= width + maxDoc, s"shard $sh overfull: $sum > $width + $maxDoc") }
+    // determinism under repartitioning
+    val again = Packing.shardByTokens(docs.repartition(13), "doc_id", "n_tok", n)
+      .select("doc_id", "shard").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == rows.map(r => (r._1, r._4)).toSeq)
+  }
+
   test("offsets: empty input yields an empty result, not a crash") {
     val docs = t(spark, dir, "documents")
       .select($"doc_id", $"n_chars").filter(lit(false))
