@@ -43,6 +43,38 @@ object UrlFilter {
       depth.as("path_depth"), nParams.as("n_params"))
   }
 
+  /** Robots-rules screen — the other half of the frontier gate: apply
+    * per-host (path_prefix, allow) rules with LONGEST-MATCHING-PREFIX
+    * precedence and allow-wins-ties (the documented robots.txt
+    * evaluation order; wildcard patterns out of scope). A URL whose
+    * host has no matching rule is allowed — the crawler default.
+    *
+    * Shape at scale: the rules table is bounded by hosts × a few rules
+    * (a parsed robots corpus is dimension-sized), so it BROADCASTS;
+    * the match is a host equi-join plus a prefix filter, never URL ×
+    * all-rules; the per-URL argmax rides one groupBy with map-side
+    * combine over ≤ rules-per-host candidates. The winner is picked
+    * through a padded `(len, allow, prefix)` sort key — the langId
+    * argmax trick — so tie-breaks are total and engine-portable. */
+  def robotsFilter(df: DataFrame, idCol: String, urlCol: String,
+                   rules: DataFrame): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    val path = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val withHp = df.select(col(idCol), col(urlCol),
+      host.as("host"), path.as("path"))
+    val best = withHp.join(broadcast(rules), Seq("host"))
+      .filter(col("path").startsWith(col("path_prefix")))
+      .groupBy(col(idCol))
+      .agg(max(format_string("%04d|%d|%s",
+        length(col("path_prefix")), col("allow"), col("path_prefix"))).as("_k"))
+    withHp.join(best, Seq(idCol), "left")
+      .select(col(idCol), col(urlCol), col("host"),
+        coalesce(split(col("_k"), "\\|").getItem(2), lit("")).as("matched_prefix"),
+        coalesce(split(col("_k"), "\\|").getItem(1).cast("long"), lit(1L)).as("allowed"))
+  }
+
   /** Per-URL filter report: signals plus the keep gate (0/1). */
   def crawlFilter(df: DataFrame, idCol: String, urlCol: String,
                   maxDepth: Int = 8, maxParams: Int = 8): DataFrame = {

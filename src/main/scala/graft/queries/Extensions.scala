@@ -847,6 +847,30 @@ object Extensions {
         synthFrontierUrls(s, dir), "o_orderkey", "url")
       .orderBy("o_orderkey")
 
+  /** Deterministic per-host robots rules over the 17 synthetic hosts:
+    * a root rule (deny on every 5th host), an /s0 rule alternating by
+    * host parity, a longer /s0/s0 override on every 3rd, and a /page
+    * deny on every 7th — so longest-match precedence, allow-wins-ties,
+    * and the no-rule default all occur in the data. */
+  def synthRobotsRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until 17).flatMap { k =>
+      val host = s"h$k.example.org"
+      Seq((host, "/", if (k % 5 == 0) 0L else 1L),
+        (host, "/s0", (k % 2).toLong)) ++
+        (if (k % 3 == 0) Seq((host, "/s0/s0", 1L)) else Nil) ++
+        (if (k % 7 == 0) Seq((host, "/page", 0L)) else Nil)
+    }.toDF("host", "path_prefix", "allow")
+  }
+
+  /** Robots screen ([[graft.operators.UrlFilter.robotsFilter]]) over the
+    * synthetic frontier — oracle-checked including the longest-match
+    * winner and the allowed bit. */
+  def urlRobots(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UrlFilter.robotsFilter(
+        synthFrontierUrls(s, dir), "o_orderkey", "url", synthRobotsRules(s))
+      .orderBy("o_orderkey")
+
   /** Heuristic language ID (stopword argmax; accuracy bound in tests). */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1754,6 +1778,41 @@ object ExtensionOracles {
       |         AND path_depth <= 8 AND n_params <= 8
       |        THEN 1 ELSE 0 END)::BIGINT AS keep
       |FROM e ORDER BY o_orderkey""".stripMargin
+
+  /** [[Extensions.urlRobots]]: rebuild frontier and rules, re-derive the
+    * longest-match winner with the same padded (len, allow, prefix)
+    * argmax key. */
+  val urlRobots: String =
+    """WITH kk AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 17)),
+      |rules AS (
+      |  SELECT 'h'||k||'.example.org' AS host, '/' AS path_prefix,
+      |         CASE WHEN k % 5 = 0 THEN 0 ELSE 1 END AS allow FROM kk
+      |  UNION ALL SELECT 'h'||k||'.example.org', '/s0', k % 2 FROM kk
+      |  UNION ALL SELECT 'h'||k||'.example.org', '/s0/s0', 1 FROM kk WHERE k % 3 = 0
+      |  UNION ALL SELECT 'h'||k||'.example.org', '/page', 0 FROM kk WHERE k % 7 = 0),
+      |raw AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN 'ftp://' ELSE 'https://' END ||
+      |    'h' || (o_custkey % 17) || '.example.org' ||
+      |    repeat('/s' || (o_orderkey % 3), CAST(o_custkey % 12 AS INT)) ||
+      |    '/page' || o_orderkey ||
+      |    ['', '.html', '.jpg', '.css', '.pdf', '.php', '.js'][CAST(o_orderkey % 7 AS INT) + 1] ||
+      |    CASE WHEN o_orderkey % 5 = 0 THEN '?q=1' || repeat('&p=2', CAST(o_custkey % 10 AS INT)) ELSE '' END AS url
+      |  FROM orders),
+      |hp AS (
+      |  SELECT o_orderkey, url,
+      |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      |  FROM raw),
+      |m AS (
+      |  SELECT hp.o_orderkey,
+      |         max(printf('%04d|%d|%s', len(r.path_prefix), r.allow, r.path_prefix)) AS mk
+      |  FROM hp JOIN rules r ON hp.host = r.host AND starts_with(hp.path, r.path_prefix)
+      |  GROUP BY 1)
+      |SELECT hp.o_orderkey, hp.url, hp.host,
+      |       coalesce(split_part(m.mk, '|', 3), '') AS matched_prefix,
+      |       coalesce(CAST(split_part(m.mk, '|', 2) AS BIGINT), 1) AS allowed
+      |FROM hp LEFT JOIN m USING (o_orderkey) ORDER BY hp.o_orderkey""".stripMargin
 
   /** Language-ID argmax as a padded sort key: DuckDB's greatest() can't
     * compare structs, so (score, code) rides in '%08d|code' strings —

@@ -81,6 +81,37 @@ class GopherUrlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("robots: longest prefix wins, allow wins ties, no rule defaults to allow") {
+    val rules = Seq(
+      ("a.com", "/", 1L),
+      ("a.com", "/private", 0L),
+      ("a.com", "/private/ok", 1L),     // longer override re-allows
+      ("b.com", "/x", 0L),
+      ("b.com", "/x", 1L)               // same length: allow wins
+    ).toDF("host", "path_prefix", "allow")
+    val urls = Seq(
+      (1L, "https://a.com/public/page"),        // root rule → allow
+      (2L, "https://a.com/private/doc"),        // /private → deny
+      (3L, "https://a.com/private/ok/doc"),     // /private/ok → allow
+      (4L, "https://b.com/x/1"),                // tie → allow
+      (5L, "https://c.com/anything")            // no rules → default allow
+    ).toDF("id", "url")
+    val got = UrlFilter.robotsFilter(urls, "id", "url", rules)
+      .orderBy("id")
+      .select("id", "matched_prefix", "allowed")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "/", 1L), (2L, "/private", 0L), (3L, "/private/ok", 1L),
+      (4L, "/x", 1L), (5L, "", 1L)))
+  }
+
+  test("robots rules broadcast; no cartesian in the plan") {
+    val plan = graft.queries.Extensions.urlRobots(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("declared queries run with the expected shape on sf0.001") {
     val g = graft.queries.Extensions.textGopher(spark, "/root/testdata/sf0.001")
     assert(g.count() > 0)
