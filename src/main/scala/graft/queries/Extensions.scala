@@ -511,6 +511,44 @@ object Extensions {
       .orderBy("split", "lang")
   }
 
+  /** Capstone #4, composing the round-12 operators in one plan: Gopher
+    * quality gate ([[TextAnalysis.gopherSignals]]' integer ruleset) →
+    * exact dedup (min doc_id per content hash) → token-balanced
+    * contiguous sharding ([[graft.operators.Packing.shardByTokens]],
+    * 4 shards) → per-shard rollup. The gated projection is
+    * checkpointed once for its two consumers (dedup aggregate +
+    * semi-join probe); the shard step reuses the two-phase offsets, so
+    * there is no single-partition stage anywhere. Oracle-checked:
+    * gopher counts, min-id dedup, the offsets window, and the shard
+    * arithmetic each reuse their standalone oracle's arithmetic. */
+  def corpusCurate4(s: SparkSession, dir: String): DataFrame = {
+    // the gate is gopherSignals' rule set with the stop-word threshold
+    // tuned to ≥1 for THIS corpus (the synthetic vocabulary carries a
+    // single stopword class, so the paper's ≥2 would empty it — exactly
+    // the per-corpus threshold tuning a curation run does); the strict
+    // gate stays in text_gopher
+    val g = TextAnalysis.gopherSignals(col("text"))
+    val gated = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        g.getField("n_tokens").as("n"), g.getField("sum_token_len").as("sl"),
+        g.getField("n_alpha_words").as("na"), g.getField("n_stop_distinct").as("ns"),
+        g.getField("n_hash").as("nh"), g.getField("n_ellipsis").as("ne"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      .filter(col("n") >= 50 && col("n") <= 100000 &&
+        lit(3L) * col("n") <= col("sl") && col("sl") <= lit(10L) * col("n") &&
+        lit(10L) * (col("nh") + col("ne")) < col("n") &&
+        lit(5L) * col("na") >= lit(4L) * col("n") && col("ns") >= 1L)
+      .select(col("doc_id"), col("text"), col("n_tok"))
+      .localCheckpoint()
+    val keep = gated.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+    val surv = gated.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tok"))
+    graft.operators.Packing.shardByTokens(surv, "doc_id", "n_tok", nShards = 4)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
+      .orderBy("shard")
+  }
+
   /** Learned-BPE token counts ([[graft.operators.Bpe]]): merge table
     * trained driver-side on the deterministic 20% md5 sample (48
     * merges), applied corpus-wide by the codegen'd kernel. Rows-only
@@ -1415,6 +1453,42 @@ object ExtensionOracles {
        |       count(*) AS n_docs, CAST(sum(o.n_tok) AS BIGINT) AS sum_tokens,
        |       min(o.off) AS min_offset, max(o.off) AS max_offset
        |FROM o, t GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** [[Extensions.corpusCurate4]]: gopher gate → min-id dedup → window
+    * offsets over survivors → shard math → rollup, each stage its
+    * standalone oracle's arithmetic. */
+  val corpusCurate4: String = {
+    val w = graft.operators.TextAnalysis.WsClass
+    s"""WITH t0 AS (
+       |  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '$w') AS tk
+       |  FROM documents),
+      |c AS (SELECT doc_id, text,
+      |        len(tk) AS n,
+      |        list_sum(list_transform(tk, t -> len(t))) AS sl,
+      |        len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS na,
+      |        len(list_intersect(list_distinct(tk),
+      |            ['the','be','to','of','and','that','have','with'])) AS ns,
+      |        len(regexp_extract_all(text, '#')) AS nh,
+      |        len(regexp_extract_all(text, '\\.\\.\\.')) AS ne
+      |      FROM t0),
+      |g AS (SELECT doc_id, text,
+      |        CASE WHEN len(trim(text)) = 0 THEN 0
+      |             ELSE len(regexp_split_to_array(trim(text), '$w')) END AS n_tok
+      |      FROM c
+      |      WHERE n >= 50 AND n <= 100000 AND 3*n <= sl AND sl <= 10*n
+      |        AND 10*(nh + ne) < n AND 5*na >= 4*n AND ns >= 1),
+      |ded AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM g GROUP BY 1),
+      |surv AS (SELECT g.doc_id, g.n_tok FROM g JOIN ded ON g.doc_id = ded.keep_id),
+      |o AS (SELECT doc_id, n_tok,
+      |        CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |      FROM surv),
+      |tt AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM surv)
+      |SELECT CAST(o.off // (tt.total // 4 + 1) AS BIGINT) AS shard,
+      |       count(*) AS n_docs, CAST(sum(o.n_tok) AS BIGINT) AS sum_tokens,
+      |       min(o.off) AS min_offset, max(o.off) AS max_offset
+      |FROM o, tt GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** [[Extensions.corpusMix]]'s chain with the temperature-weight
