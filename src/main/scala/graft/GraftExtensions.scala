@@ -111,6 +111,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("bpe_stats", "bpe_stats(text, a1, b1, a2, b2, ...) - [n_pre, n_sub] under the literal merge table") {
       es => BpeStats(es.head, es.tail.map(strArg(_, "merge symbol")).toArray)
     }
+    reg("bpe_pre_tokens", "bpe_pre_tokens(text) - BPE pre-token array (letter runs, digit runs, single marks)") {
+      es => BpePreTokens(es.head)
+    }
     // optimizer rule: jaccard_sim over provably sorted-distinct inputs
     // strength-reduces to the zero-allocation merge-walk kernel
     ext.injectOptimizerRule(_ => graft.plans.JaccardStrengthReduction)

@@ -40,7 +40,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  quant_stats(array(1.0d, -0.5d)).q_sum AS qsum,
         |  cosine_i8(quantize_i8(array(1.0d, 0.0d)), quantize_i8(array(2.0d, 0.0d))) AS ci8,
         |  interleave_bits(3L, 5L) AS z,
-        |  bpe_stats('abab ab', 'a', 'b', 'ab', 'ab') AS bpe
+        |  bpe_stats('abab ab', 'a', 'b', 'ab', 'ab') AS bpe,
+        |  bpe_pre_tokens('Ab1 c-d') AS pre
         |""".stripMargin).collect()(0)
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[Double]("dot") == 11.0)
@@ -56,6 +57,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Double]("ci8") == 1.0)   // same direction -> cosine 1 over codes
     assert(row.getAs[Long]("z") == 39L)       // interleave(0b11, 0b101) = 0b100111
     assert(row.getSeq[Long](row.fieldIndex("bpe")).toSeq == Seq(2L, 2L))
+    assert(row.getSeq[String](row.fieldIndex("pre")).toSeq ==
+      Seq("ab", "1", "c", "-", "d"))
   }
 
   test("top_k aggregate works from SQL GROUP BY") {
