@@ -92,12 +92,17 @@ object Main {
           val whCount = flags.get("jdbc-url") match {
             case Some(url) =>
               // the reference's actual storage layer (etl_process.py:271-289):
-              // dedup-append into the JDBC warehouse instead of parquet
+              // dedup-append into the JDBC warehouse instead of parquet.
+              // Probe existence FIRST — catching appendDedup's own errors
+              // would turn a transient DB failure into a destructive
+              // overwrite of the warehouse table.
               val table = flags.getOrElse("jdbc-table", "warehouse")
-              try graft.sources.JdbcWarehouse.appendDedup(res.warehouse, url, table, "uniq_id")
-              catch { case _: Exception =>       // first run: table absent
-                graft.sources.JdbcWarehouse.write(res.warehouse, url, table)
-              }
+              val exists =
+                try { graft.sources.JdbcWarehouse.read(spark, url, table).limit(1).count(); true }
+                catch { case _: Exception => false }
+              if (exists)
+                graft.sources.JdbcWarehouse.appendDedup(res.warehouse, url, table, "uniq_id")
+              else graft.sources.JdbcWarehouse.write(res.warehouse, url, table)
               graft.sources.JdbcWarehouse.read(spark, url, table).count()
             case None =>
               // (state, post_month)-partitioned layout via the one shared

@@ -144,6 +144,10 @@ object Multimodal {
     * ImageIO reader instances are created per call (they are not
     * thread-safe to share across tasks). */
   object ImageIoDecoder extends MediaDecoder {
+    // ImageIO's default stream cache spools to TEMP FILES — per-decode
+    // disk I/O and file churn on executors; the input is already an
+    // in-memory byte array, so force the memory-backed stream
+    javax.imageio.ImageIO.setUseCache(false)
     private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
