@@ -62,8 +62,13 @@ object UrlFilter {
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
     val path = regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // materialize: the host/path projection feeds BOTH the match
+    // aggregate and the final left side — without the lineage cut the
+    // frontier scan and regex extraction run once per consumer (the
+    // topTermsTfIdf two-consumer shape)
     val withHp = df.select(col(idCol), col(urlCol),
       host.as("host"), path.as("path"))
+      .localCheckpoint()
     val best = withHp.join(broadcast(rules), Seq("host"))
       .filter(col("path").startsWith(col("path_prefix")))
       .groupBy(col(idCol))
