@@ -38,6 +38,20 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(BpeUtil.subCount("x", flat) == 1)
   }
 
+  test("NUL-containing symbols cannot collide rank keys or hang the merge loop") {
+    // Table where a flat "a<NUL>b" rank key would collide:
+    // ("a\u0000","b") and ("a","\u0000b") both flatten to a\0\0b, and
+    // the overwritten rank points at a pair that is NOT adjacent after
+    // ("a","\u0000") fuses — the old kernel then rewrote nothing and
+    // spun forever. The nested map resolves the true pair: a\0 + b.
+    val flat = Array("a", "\u0000", "\u0000", "b", "a\u0000", "b", "a", "\u0000b")
+    assert(BpeUtil.subCount("a\u0000b", flat) == 1)
+    // and through the full stats path (NUL is a single-mark pre-token)
+    assert(BpeUtil.bpeStats(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x \u0000 y"),
+      flat).toLongArray().toSeq == Seq(3L, 3L))
+  }
+
   test("tokenStats: counts on a fixture; codegen kernel matches subCount") {
     val docs = Seq((1L, "abab ab"), (2L, "zzz")).toDF("doc_id", "text")
     val merges = Seq(("a", "b"), ("ab", "ab"))
