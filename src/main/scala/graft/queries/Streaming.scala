@@ -128,6 +128,26 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming per-day top-3 events by value through the bounded-heap
+    * [[graft.functions.TopKAgg]] ([[graft.streaming.EtlStream
+    * .eventTopK]]), drained in complete mode and unnested to (day,
+    * rank, event_id, value) rows. The struct ordering (value DESC,
+    * event_id DESC — the heap keeps the LARGEST structs) is total, so
+    * the drained report is deterministic and oracle-checked against
+    * DuckDB's window-rank formulation — proving the UDAF's serialized
+    * heap state merges correctly across micro-batches. */
+  def streamTopK(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_topk_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1)(
+      graft.streaming.EtlStream.eventTopK(s, _, name, k = 3))
+    drained(s, name)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("day"), (col("i") + 1).cast("long").as("rank"),
+        col("t.event_id").as("event_id"), round(col("t.value"), 2).as("value"))
+      .orderBy("day", "rank")
+  }
+
   /** Stateful streaming funnel ([[graft.streaming.FunnelStream]]),
     * drained and rolled up to the q29 report shape. Zero watermark
     * delay means the AvailableNow drain seals and folds every event,
@@ -202,6 +222,17 @@ object StreamingOracles {
   val streamDedup: String =
     """SELECT event_type, count(DISTINCT event_id) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The q25 window-rank formulation of the drained streaming top-k:
+    * same (value DESC, event_id DESC) total order, same rounding. */
+  val streamTopK: String =
+    """WITH e AS (SELECT date_trunc('day', ts) AS d, event_id, value FROM events),
+      |r AS (SELECT d, event_id, value,
+      |        row_number() OVER (PARTITION BY d ORDER BY value DESC, event_id DESC) AS rank
+      |      FROM e)
+      |SELECT strftime(d, '%Y-%m-%d') AS day, CAST(rank AS BIGINT) AS rank,
+      |       event_id, round(value, 2) AS value
+      |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin
 
   /** The drained streaming funnel must equal the batch funnel exactly
     * (zero-delay watermark seals every event during the drain), so it

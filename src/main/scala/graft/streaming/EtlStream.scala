@@ -166,4 +166,33 @@ object EtlStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming per-day top-k events by value through the custom
+    * bounded-heap [[graft.functions.TopKAgg]] — the UDAF surviving a
+    * state-store round trip: the TypedImperativeAggregate's serialized
+    * heap IS the streaming state, merged incrementally per micro-batch,
+    * so per-window state stays O(k) instead of buffering every event.
+    * Same complete-mode drain contract as [[eventWindowCounts]]. */
+  def eventTopK(spark: SparkSession, eventsDir: String, outputTable: String,
+                k: Int) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("value"), col("event_id")), k).as("top"))
+      .select(col("window.start").as("day"), col("top"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(outputTable)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

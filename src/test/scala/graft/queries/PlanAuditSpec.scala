@@ -69,7 +69,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     ("text_compress", "lang", "text"),               // documents: id+text only
     ("text_gopher", "source", "text"),               // documents: id+text only
     ("url_filter", "o_orderstatus", "o_custkey"),    // orders: keys only
-    ("url_robots", "o_orderstatus", "o_custkey"),    // orders: keys only
+    // (url_robots' frontier scan sits behind its localCheckpoint,
+    //  invisible in the final plan — the text_tfidf situation; its
+    //  pre-checkpoint projection is url_filter's shape)
     ("corpus_shard", "source", "text"),              // documents: id+text only
     ("q30_full_outer", "c_mktsegment", "c_acctbal")) // customer: key+balance only
     // (text_familiarity's and corpus_incremental's shingle scans sit
