@@ -53,7 +53,11 @@ object SessionStream {
       state.update(s)
       // Spark rejects a timeout at or before the current watermark
       val floor = state.getCurrentWatermarkMs() + 1
-      state.setTimeoutTimestamp(math.max(s.last_us / 1000 + gapUs / 1000, floor)) // ms epoch
+      // expiry is STRICTLY AFTER last + gap in ms: flooring each term
+      // separately could fire ~2 ms early, closing the session while a
+      // sub-ms event at the inclusive gap boundary (ts <= last + gap)
+      // is still same-session — the funnel seal bug's sibling
+      state.setTimeoutTimestamp(math.max((s.last_us + gapUs) / 1000 + 1, floor)) // ms epoch
     }
     closed.iterator
   }
