@@ -33,7 +33,9 @@ object StreamJoin {
 
   /** Start the attribution join over a parquet event stream directory,
     * writing (purchase_id, view_id, user_id, lag_us) pairs to an
-    * in-memory sink named `outputTable`.
+    * in-memory sink named `outputTable`. The window interval is built
+    * in MICROSECONDS — dividing down to whole seconds would silently
+    * shrink a sub-second window vs the batch/oracle predicate.
     */
   def attributionJoin(spark: SparkSession, eventsDir: String, outputTable: String,
                       windowUs: Long = 3600L * 1000 * 1000) = {
@@ -48,7 +50,7 @@ object StreamJoin {
     purchases.join(views,
         col("p_user") === col("v_user") &&
           col("v_ts") <= col("p_ts") &&
-          col("v_ts") >= col("p_ts") - expr(s"INTERVAL ${windowUs / 1000000} SECOND"))
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowUs MICROSECOND"))
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
       .writeStream
@@ -69,7 +71,7 @@ object StreamJoin {
     purchases.join(views,
         col("p_user") === col("v_user") &&
           col("v_ts") <= col("p_ts") &&
-          col("v_ts") >= col("p_ts") - expr(s"INTERVAL ${windowUs / 1000000} SECOND"))
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowUs MICROSECOND"))
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
   }
