@@ -924,6 +924,23 @@ object Extensions {
     TextAnalysis.topTermsTfIdf(t(s, dir, "documents"), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Winnowing-family content fingerprint, ORACLE-CHECKED: min and max
+    * md5 over the char-8-gram shingle set — the single-permutation
+    * MinHash bound pair, robust to within-document reordering, exactly
+    * reproducible in any engine with md5 (unlike the codegen'd rolling
+    * FNV of [[textFingerprint]], which stays rows-only by design). A
+    * row-local fold (array_min over transformed shingles) — no explode,
+    * no shuffle: at corpus scale the reduction happens inside the scan
+    * projection. */
+  def textWinnow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.Sketches.charShingles(col("text"), 8).as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_grams"),
+        array_min(transform(col("sh"), g => md5(g))).as("min_md5"),
+        array_max(transform(col("sh"), g => md5(g))).as("max_md5"))
+      .orderBy("doc_id")
+
   /** Rolling-hash fingerprint (custom expression; determinism in tests). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1145,6 +1162,19 @@ object ExtensionOracles {
       |       round(list_cosine_similarity(x,
       |             list_transform(qi, e -> e * maxabs / 127.0)), 4) AS recon_cos
       |FROM q ORDER BY vec_id""".stripMargin
+
+  /** [[Extensions.textWinnow]]: the char-8-gram reconstruction (the
+    * dedupJaccardChar pattern at n=8) with list-folded md5 bounds. */
+  val textWinnow: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(lower(text)) <= 8 THEN [lower(text)]
+      |              ELSE [substr(lower(text), i, 8) for i in range(1, len(lower(text)) - 6)] END AS sg
+      |  FROM documents)
+      |SELECT doc_id, len(sg)::BIGINT AS n_grams,
+      |       list_min(list_transform(sg, g -> md5(g))) AS min_md5,
+      |       list_max(list_transform(sg, g -> md5(g))) AS max_md5
+      |FROM sh ORDER BY doc_id""".stripMargin
 
   val dedupJaccardChar: String =
     """WITH sh AS (

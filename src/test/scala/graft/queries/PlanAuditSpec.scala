@@ -73,6 +73,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     //  invisible in the final plan — the text_tfidf situation; its
     //  pre-checkpoint projection is url_filter's shape)
     ("corpus_shard", "source", "text"),              // documents: id+text only
+    ("text_winnow", "lang", "text"),                 // documents: id+text only
     ("q30_full_outer", "c_mktsegment", "c_acctbal")) // customer: key+balance only
     // (text_familiarity's and corpus_incremental's shingle scans sit
     //  behind localCheckpoints, invisible in the final plan — the
