@@ -63,18 +63,31 @@ object BpeUtil {
   private val rankCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[Array[String],
       java.util.HashMap[String, java.util.HashMap[String, Integer]]]())
+  // ranksFor runs PER PRE-TOKEN: a synchronized lookup there is a lock
+  // convoy across executor threads. Each thread memoizes the last
+  // (table → map) pair, so the mutex is taken once per table per
+  // thread, then lookups are thread-local. The memo strongly holds at
+  // most ONE table per thread — bounded, and the weak cache still
+  // reclaims tables no thread is using.
+  private val lastRanks = new ThreadLocal[
+    (Array[String], java.util.HashMap[String, java.util.HashMap[String, Integer]])]()
   private def ranksFor(flat: Array[String])
-      : java.util.HashMap[String, java.util.HashMap[String, Integer]] =
-    rankCache.computeIfAbsent(flat, f => {
-      val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val memo = lastRanks.get()
+    if (memo != null && (memo._1 eq flat)) return memo._2
+    val m = rankCache.computeIfAbsent(flat, f => {
+      val built = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
       var r = 0
       while (r * 2 + 1 < f.length) {
-        m.computeIfAbsent(f(r * 2), _ => new java.util.HashMap[String, Integer]())
+        built.computeIfAbsent(f(r * 2), _ => new java.util.HashMap[String, Integer]())
           .putIfAbsent(f(r * 2 + 1), r)
         r += 1
       }
-      m
+      built
     })
+    lastRanks.set((flat, m))
+    m
+  }
 
   /** Subword count of one pre-token under the merge table. */
   def subCount(word: String, flat: Array[String]): Int = {
