@@ -250,18 +250,31 @@ object TextAnalysis {
     * Row-local codegen projection, no shuffle. */
   def gopherSignals(text: Column): Column = {
     val tokens = split(lower(trim(text)), WsClass)
-    val lines = split(text, "\n")
     val stop8 = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val n = size(tokens).cast("long")
     val sumLen = Sketches.sumStrLen(tokens)
-    val nAlpha = size(filter(tokens, t => t.rlike("[a-z]"))).cast("long")
-    val nStop = size(array_intersect(array_distinct(tokens),
-      array(stop8.map(lit): _*))).cast("long")
+    // every count below is a codegen'd regexp_count / array_contains —
+    // no higher-order filter (CodegenFallback + per-row allocations)
+    // anywhere in this per-document hot path. A token containing a
+    // letter is exactly a start-or-separator followed by a non-ws run
+    // reaching an [a-z]; WsClass spelled out so the separator set is
+    // the tokenizer's, not the regex engine's \s.
+    val lower0 = lower(trim(text))
+    val nAlpha = regexp_count(lower0,
+      lit("(^|[ \\t\\n\\f\\r])[^ \\t\\n\\f\\r]*[a-z]")).cast("long")
+    val nStop = stop8.map(w => array_contains(tokens, w).cast("long"))
+      .reduce(_ + _)
     val nHash = regexp_count(text, lit("#")).cast("long")
     val nEll = regexp_count(text, lit("\\.\\.\\.")).cast("long")
-    val nLines = size(lines).cast("long")
-    val nBullet = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long")
-    val nEllLine = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("long")
+    // lines = newline count + 1; a bullet line starts with -, * or •
+    // after leading SPACES (trim() in both engines strips spaces only,
+    // so the line classes must too); an ellipsis line ends with ...
+    // before trailing spaces and EOL/EOS
+    val nLines = (regexp_count(text, lit("\n")) + 1).cast("long")
+    val nBullet = regexp_count(text,
+      lit("(^|\\n) *[-*•]")).cast("long")
+    val nEllLine = regexp_count(text,
+      lit("\\.\\.\\. *(\\n|$)")).cast("long")
     val pass = (n >= 50) && (n <= 100000) &&
       (lit(3L) * n <= sumLen) && (sumLen <= lit(10L) * n) &&
       (lit(10L) * (nHash + nEll) < n) &&
