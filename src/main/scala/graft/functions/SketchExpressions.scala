@@ -201,6 +201,68 @@ object SketchUtil {
     new GenericArrayData(out)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hex32(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** (n_grams, min_md5, max_md5) over char n-gram shingles in ONE pass:
+    * no shingle array, no per-gram hex strings — md5 bytes compared
+    * unsigned (hex encoding preserves byte order), hex-encoded once at
+    * the end. Shingle semantics identical to [[charShingles]]
+    * (lowercased, codepoint windows, ≤ n chars shingles whole), md5
+    * identical to both engines' md5(gram). */
+  def shingleMd5Bounds(text: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val md = md5Local.get()
+    val s = text.toLowerCase.toString
+    val len = s.codePointCount(0, s.length)
+    var min: Array[Byte] = null
+    var max: Array[Byte] = null
+    var count = 0L
+    def feed(sub: String): Unit = {
+      md.reset()
+      val d = md.digest(sub.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (min == null || unsignedLess(d, min)) min = d
+      if (max == null || unsignedLess(max, d)) max = d
+      count += 1
+    }
+    if (len <= n) feed(s)
+    else {
+      var start = 0
+      var w = 0
+      while (w <= len - n) {
+        val end = s.offsetByCodePoints(start, n)
+        feed(s.substring(start, end))
+        start = s.offsetByCodePoints(start, 1)
+        w += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](count, UTF8String.fromString(hex32(min)), UTF8String.fromString(hex32(max))))
+  }
+
   private val digitWords = Array(
     "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
     "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
@@ -315,6 +377,21 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** shingle_md5_bounds(text, n) →
+  * struct<n_grams: long, min_md5: string, max_md5: string>. */
+case class ShingleMd5Bounds(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("min_md5", StringType, nullable = false),
+    StructField("max_md5", StringType, nullable = false)))
+  override def nullSafeEval(text: Any): Any =
+    SketchUtil.shingleMd5Bounds(text.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchUtil.shingleMd5Bounds($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5Bounds =
+    copy(child = newChild)
+}
+
 /** spelled_digits(string) → string with zero..nine replaced by 0..9. */
 case class SpelledDigits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -404,6 +481,8 @@ object Sketches {
     ColumnBridge.column(SpelledDigits(ColumnBridge.expression(s)))
   def charShingles(text: Column, n: Int): Column =
     ColumnBridge.column(CharShingles(ColumnBridge.expression(text), n))
+  def shingleMd5Bounds(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleMd5Bounds(ColumnBridge.expression(text), n))
 
   /** Bloom-filter aggregate over a LONG hash column → filter bytes.
     * Spark's own `BloomFilterAggregate` (the sketch behind runtime

@@ -929,16 +929,16 @@ object Extensions {
     * MinHash bound pair, robust to within-document reordering, exactly
     * reproducible in any engine with md5 (unlike the codegen'd rolling
     * FNV of [[textFingerprint]], which stays rows-only by design). A
-    * row-local fold (array_min over transformed shingles) — no explode,
-    * no shuffle: at corpus scale the reduction happens inside the scan
-    * projection. */
+    * one-pass codegen kernel ([[graft.functions.ShingleMd5Bounds]]):
+    * no shingle array, no per-gram strings, no explode, no shuffle —
+    * the reduction happens inside the scan projection. */
   def textWinnow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.Sketches.charShingles(col("text"), 8).as("sh"))
+        graft.functions.Sketches.shingleMd5Bounds(col("text"), 8).as("b"))
       .select(col("doc_id"),
-        size(col("sh")).cast("long").as("n_grams"),
-        array_min(transform(col("sh"), g => md5(g))).as("min_md5"),
-        array_max(transform(col("sh"), g => md5(g))).as("max_md5"))
+        col("b.n_grams").as("n_grams"),
+        col("b.min_md5").as("min_md5"),
+        col("b.max_md5").as("max_md5"))
       .orderBy("doc_id")
 
   /** Rolling-hash fingerprint (custom expression; determinism in tests). */

@@ -119,6 +119,29 @@ class KernelFuzzSpec extends AnyFunSuite with SparkSpec {
     assert(out.getString(1) == "He said \"hi\\there\"")
   }
 
+  test("shingleMd5Bounds equals min/max over md5'd charShingles on fuzzed input") {
+    val got = cases.toDF("id", "text")
+      .select(col("id"), Sketches.shingleMd5Bounds(col("text"), 8).as("b"))
+      .select(col("id"), col("b.n_grams"), col("b.min_md5"), col("b.max_md5"))
+      .as[(Long, Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // independent formulation: the declarative shingle array + HOF fold
+    val ref = cases.toDF("id", "text")
+      .select(col("id"), Sketches.charShingles(col("text"), 8).as("sh"))
+      .select(col("id"), size(col("sh")).cast("long"),
+        array_min(transform(col("sh"), g => md5(g))),
+        array_max(transform(col("sh"), g => md5(g))))
+      .as[(Long, Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    cases.foreach { case (id, text) =>
+      assert(got(id) == ref(id), s"id=$id text=${text.take(40)}") }
+    // empty text: one whole-text shingle, md5('')
+    val e = Seq((0L, "")).toDF("id", "text")
+      .select(Sketches.shingleMd5Bounds(col("text"), 8).as("b"))
+      .select(col("b.n_grams"), col("b.min_md5")).as[(Long, String)].head()
+    assert(e == ((1L, "d41d8cd98f00b204e9800998ecf8427e")))
+  }
+
   test("countInSet and sumStrLen match references over fuzzed tokens") {
     val words = Set("the", "a", "0", "xyz", "é")
     val got = cases.toDF("id", "text")
