@@ -87,6 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("char_shingles", "char_shingles(text, n) - character n-gram shingles") {
       es => CharShingles(es.head, intArg(es(1), "n"))
     }
+    reg("shingle_md5_bounds", "shingle_md5_bounds(text, n) - (n_grams, min_md5, max_md5) over char n-gram shingles") {
+      es => ShingleMd5Bounds(es.head, intArg(es(1), "n"))
+    }
     reg("spelled_digits", "spelled_digits(s) - replace spelled zero..nine with digits") {
       es => SpelledDigits(es.head)
     }

@@ -41,7 +41,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  cosine_i8(quantize_i8(array(1.0d, 0.0d)), quantize_i8(array(2.0d, 0.0d))) AS ci8,
         |  interleave_bits(3L, 5L) AS z,
         |  bpe_stats('abab ab', 'a', 'b', 'ab', 'ab') AS bpe,
-        |  bpe_pre_tokens('Ab1 c-d') AS pre
+        |  bpe_pre_tokens('Ab1 c-d') AS pre,
+        |  shingle_md5_bounds('abcd', 3).n_grams AS shb
         |""".stripMargin).collect()(0)
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[Double]("dot") == 11.0)
@@ -59,6 +60,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getSeq[Long](row.fieldIndex("bpe")).toSeq == Seq(2L, 2L))
     assert(row.getSeq[String](row.fieldIndex("pre")).toSeq ==
       Seq("ab", "1", "c", "-", "d"))
+    assert(row.getAs[Long]("shb") == 2L)    // "abc", "bcd"
   }
 
   test("top_k aggregate works from SQL GROUP BY") {
