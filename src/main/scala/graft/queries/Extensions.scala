@@ -1030,6 +1030,32 @@ object Extensions {
       .orderBy("media_id")
   }
 
+  /** Aspect-preserving resize plan ([[Multimodal.resizePlan]], max side
+    * 256) over the SAME synthesized containers as [[mmDecode]], decoded
+    * through the real header codec — the metadata half of the resize
+    * step (the pixel transform lives behind the [[Multimodal
+    * .MediaDecoder]] seam). Oracle-checked: the scale chain
+    * `round(dim · least(1, 256/max(w,h)))` is correctly-rounded IEEE
+    * mul/div plus half-away rounding in both engines, so the planned
+    * geometry matches bit-for-bit. */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (320 + id % 1601).toInt
+        val h = (240 + id % 1081).toInt
+        Multimodal.MediaRow(id,
+          if (id % 2 == 0) Multimodal.MediaFixtures.png(w, h)
+          else Multimodal.MediaFixtures.jpeg(w, h))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.resizePlan(Multimodal.decode(media, Multimodal.HeaderDecoder),
+        maxSide = 256)
+      .orderBy("media_id")
+  }
+
   /** Frame-sampling generator over deterministic multi-frame metadata:
     * n_frames = 1 + doc_id % 3000 (so single-frame rows are excluded by
     * the generator's own filter), every 30th frame sampled, per-media
@@ -1958,6 +1984,18 @@ object ExtensionOracles {
       |       CAST(320 + doc_id % 1601 AS INT) AS width,
       |       CAST(240 + doc_id % 1081 AS INT) AS height
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** [[Extensions.mmResize]]: the synthesized geometry re-derived, the
+    * same least/greatest/round scale chain. */
+  val mmResize: String =
+    """WITH d AS (SELECT doc_id AS media_id,
+      |             CAST(320 + doc_id % 1601 AS INT) AS width,
+      |             CAST(240 + doc_id % 1081 AS INT) AS height
+      |           FROM documents)
+      |SELECT media_id, width, height,
+      |  CAST(round(width * least(1.0, 256.0 / greatest(width, height))) AS INT) AS out_width,
+      |  CAST(round(height * least(1.0, 256.0 / greatest(width, height))) AS INT) AS out_height
+      |FROM d ORDER BY media_id""".stripMargin
 
   /** The shingle kernel's unigram/bigram semantics in SQL: kernel
     * whitespace class, empty-filtered tokens, zero tokens → one empty
