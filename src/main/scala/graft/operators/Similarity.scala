@@ -138,6 +138,27 @@ object Similarity {
       k)
   }
 
+  /** Radius (threshold) search over int8 codes: every (query, corpus)
+    * pair with cosine ≥ tau — the near-duplicate-screen shape (a fixed
+    * similarity bar) as opposed to top-k's fixed result count. Same
+    * integer-dot-product scoring as [[bruteForceTopKQ8]], but the
+    * threshold is a scan-level filter: unlike top-k there is NO
+    * aggregate and NO shuffle — the whole operator is a broadcast
+    * projection + filter over the corpus scan, embarrassingly parallel
+    * at any corpus size (IVF/LSH probe pruning composes in front of it
+    * exactly as for top-k when the query batch is large). */
+  def rangeSearchQ8(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    qidCol: String, vecCol: String, tau: Double): DataFrame = {
+    import graft.functions.Vecs.{cosineI8, quantizeI8}
+    val c = corpus.select(col(idCol).as("id"),
+      quantizeI8(col(vecCol).cast("array<double>")).as("qc"))
+    val q = queries.select(col(qidCol).as("qid"),
+      quantizeI8(col(vecCol).cast("array<double>")).as("qq"))
+    c.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), cosineI8(col("qc"), col("qq")).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   /** Materialize the corpus IVF-partitioned: one storage partition per
     * list_id. This is the 100 TB shape the in-memory [[ivfTopK]] plan
     * stands in for — with the corpus laid out by coarse cluster, a

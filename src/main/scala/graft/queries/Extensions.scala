@@ -347,6 +347,19 @@ object Extensions {
       .orderBy("qid", "rank")
   }
 
+  /** Radius search over int8 codes ([[Similarity.rangeSearchQ8]],
+    * tau = 0.25): every pair at or above the similarity bar — the
+    * dedup-screen shape. Oracle-checked: scoring is the annQ8 integer
+    * chain, and the threshold compares IDENTICAL IEEE doubles on both
+    * sides, so the boundary cannot disagree. */
+  def annQ8Range(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.rangeSearchQ8(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "vec_id", "embedding", tau = 0.25)
+      .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "id")
+  }
+
   /** Int8 quantization of the embedding column: per-vector quantized
     * checksum + reconstruction cosine — the storage-compression op of
     * an embedding pipeline, oracle-checked (trunc-based scheme is
@@ -1228,6 +1241,24 @@ object ExtensionOracles {
     * dependent. The generated embeddings table contains none (unit norm
     * by construction); a production corpus should drop zero vectors
     * before ANN, where they are meaningless anyway. */
+  /** [[Extensions.annQ8Range]]: the annQ8 scoring chain with the tau
+    * filter instead of the rank window. */
+  val annQ8Range: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      |m AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS maxabs FROM v),
+      |q AS (SELECT vec_id,
+      |             CASE WHEN maxabs > 0
+      |                  THEN list_transform(x, e -> trunc(e * 127.0 / maxabs))
+      |                  ELSE list_transform(x, e -> 0.0) END AS qi FROM m),
+      |c AS (SELECT vec_id AS id, qi AS qc FROM q),
+      |qs AS (SELECT vec_id AS qid, qi AS qq FROM q WHERE vec_id < 5),
+      |sc AS (SELECT qid, id,
+      |              list_dot_product(qc, qq) / sqrt(list_dot_product(qc, qc))
+      |                                       / sqrt(list_dot_product(qq, qq)) AS sim
+      |       FROM c, qs)
+      |SELECT qid, id, round(sim, 4) AS sim
+      |FROM sc WHERE sim >= 0.25 ORDER BY qid, id""".stripMargin
+
   val annQ8: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
       |m AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS maxabs FROM v),

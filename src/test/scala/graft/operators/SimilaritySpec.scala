@@ -69,6 +69,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"quantized recall ${overlap.toDouble / exact.size}")
   }
 
+  test("radius search: self-pairs at sim 1, every hit >= tau, no shuffle in the plan") {
+    val tau = 0.25
+    val got = Similarity.rangeSearchQ8(emb, queries, "vec_id", "vec_id", "embedding", tau)
+    val rows = got.select("qid", "id", "sim").as[(Long, Long, Double)].collect()
+    assert(rows.forall(_._3 >= tau))
+    val selfs = rows.filter(r => r._1 == r._2)
+    assert(selfs.length == queries.count())
+    assert(selfs.forall(r => math.abs(r._3 - 1.0) < 1e-9))
+    // threshold is a scan filter: no aggregate, no exchange beyond the
+    // tiny query broadcast
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
+
   test("kmeansRefine converges to planted cluster centers") {
     // two tight blobs around (0,...,0)+1 and (0,...,0)+9; seed centroids off-center
     val blobA = (0 until 20).map(i => (i.toLong, Array.fill(4)(1.0f + (i % 3) * 0.01f)))

@@ -25,6 +25,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "dedup_jaccard",        // 1-row query document
     "dedup_jaccard_char",   // 1-row query document (char shingles)
     "ann_q8_topk",          // 5-row quantized query set
+    "ann_q8_range",         // 5-row quantized query set (radius variant)
     "text_tfidf")           // 1-row corpus-size aggregate (scalar-subquery shape)
 
   graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
