@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native vector kernels, called from generated code (static forwarders).
   *
@@ -164,6 +165,40 @@ object VecUtil {
       i += 1
     }
     dab.toDouble / math.sqrt(daa.toDouble) / math.sqrt(dbb.toDouble)
+  }
+
+  /** Nearest integer-centroid LABEL for one int8-quantized vector.
+    * For each label l with n_l members and per-dimension code sums
+    * S_l: D_l = Σ_p (n_l·x_p − S_lp)² — exact int64 (no float
+    * accumulation, so summation order cannot matter), then
+    * score_l = D_l / n_l² as one correctly-rounded double division —
+    * identical in any engine — and argmin on (score, label asc).
+    * Centroid tables ride the constant pool (labels × dims longs, the
+    * IVF-codebook pattern). */
+  def nearestLabelQ8(qi: ArrayData, labels: Array[Long], ns: Array[Long],
+                     sums: Array[Long]): Long = {
+    val nl = labels.length
+    if (nl == 0) return -1L
+    val dims = sums.length / nl
+    var bestScore = Double.PositiveInfinity
+    var best = Long.MaxValue
+    var l = 0
+    while (l < nl) {
+      val n = ns(l)
+      var dd = 0L
+      var p = 0
+      while (p < dims) {
+        val diff = n * qi.getByte(p) - sums(l * dims + p)
+        dd += diff * diff
+        p += 1
+      }
+      val score = dd.toDouble / (n * n).toDouble
+      if (score < bestScore || (score == bestScore && labels(l) < best)) {
+        bestScore = score; best = labels(l)
+      }
+      l += 1
+    }
+    best
   }
 
   /** The `nprobe` nearest centroid ids by (squaredDist, cid) — ordering
@@ -429,6 +464,26 @@ case class NearestLists(child: Expression, cids: Array[Long],
     copy(child = newChild)
 }
 
+/** nearest_label_q8(array<tinyint>) → bigint: nearest integer-centroid
+  * label; the (labels, counts, sums) centroid table rides the constant
+  * pool like the IVF codebook. Ties break on the smaller label. */
+case class NearestLabelQ8(child: Expression, labels: Array[Long],
+                          ns: Array[Long], sums: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(qi: Any): Any =
+    VecUtil.nearestLabelQ8(qi.asInstanceOf[ArrayData], labels, ns, sums)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("nlLabels", labels, "long[]")
+    val nRef = ctx.addReferenceObj("nlNs", ns, "long[]")
+    val sRef = ctx.addReferenceObj("nlSums", sums, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecUtil.nearestLabelQ8($c, $lRef, $nRef, $sRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestLabelQ8 =
+    copy(child = newChild)
+}
+
 /** minhash_sig(array<long>) → array<long> signature. Coefficients are
   * derived on the driver from (numHashes, seed) and shipped inside the
   * expression; codegen references them as a constant pool object.
@@ -528,6 +583,9 @@ object Vecs {
     ColumnBridge.column(QuantizeI8(ColumnBridge.expression(vec)))
   def cosineI8(a: Column, b: Column): Column =
     ColumnBridge.column(CosineI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def nearestLabelQ8(qi: Column, labels: Array[Long], ns: Array[Long],
+                     sums: Array[Long]): Column =
+    ColumnBridge.column(NearestLabelQ8(ColumnBridge.expression(qi), labels, ns, sums))
   def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), books))
   def pqLut(vec: Column, books: Array[Array[Array[Double]]]): Column =

@@ -395,6 +395,41 @@ object Extensions {
         round(col("q_sum").cast("double") / col("n"), 4).as("c"))
       .orderBy("label", "pos")
 
+  /** Nearest-centroid labeling over int8 embeddings — the weak-label /
+    * drift-detection primitive on top of [[embCentroid]]: per-label
+    * integer code sums collected as a bounded driver artifact
+    * (labels × dims, the IVF-codebook pattern), assignment by the
+    * codegen'd [[graft.functions.NearestLabelQ8]] kernel with exact
+    * int64 distances (D = Σ(n·x − S)², order-free; score = D/n² is ONE
+    * correctly-rounded double division, identical in any engine; ties
+    * break on label), report = confusion counts. No shuffle beyond the
+    * final labels×labels aggregate. Oracle-checked including the
+    * argmin. */
+  def embClassify(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "embeddings").select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      graft.functions.Vecs.quantizeI8(col("embedding").cast("array<double>")).as("qi"))
+    // eager action: the centroid table, bounded by labels × dims
+    val centRows = q.select(col("label"), posexplode(col("qi")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("s"))
+      .collect()
+    val labels = centRows.map(_.getLong(0)).distinct.sorted
+    val dims = centRows.map(_.getInt(1)).max + 1
+    val li = labels.zipWithIndex.toMap
+    val ns = new Array[Long](labels.length)
+    val sums = new Array[Long](labels.length * dims)
+    centRows.foreach { r =>
+      val i = li(r.getLong(0))
+      ns(i) = r.getLong(2)
+      sums(i * dims + r.getInt(1)) = r.getLong(3)
+    }
+    q.select(col("label"),
+        graft.functions.Vecs.nearestLabelQ8(col("qi"), labels, ns, sums).as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+  }
+
   /** Deterministic 90/5/5 corpus split by content hash (split counts).
     * Oracle-checked: the md5-hex bucket ([[graft.operators.CorpusSplit]])
     * is reproducible in any engine; proportions and partition-
@@ -1190,6 +1225,30 @@ object ExtensionOracles {
       |       round(CAST(sum(qi[i]) AS DOUBLE) / count(*), 4) AS c
       |FROM q, unnest(generate_series(1, len(qi))) AS u(i)
       |GROUP BY label, i ORDER BY label, i""".stripMargin
+
+  /** [[Extensions.embClassify]]: centroid sums via the embCentroid
+    * chain, exact integer distances, the same D/n² double argmin. */
+  val embClassify: String =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      |m AS (SELECT vec_id, label, x, list_max(list_transform(x, e -> abs(e))) AS maxabs FROM v),
+      |q AS (SELECT vec_id, label,
+      |             CASE WHEN maxabs > 0
+      |                  THEN list_transform(x, e -> trunc(e * 127.0 / maxabs))
+      |                  ELSE list_transform(x, e -> 0.0) END AS qi FROM m),
+      |cent AS (SELECT label AS c_label, i AS pos, count(*) AS n,
+      |                CAST(sum(qi[i]) AS BIGINT) AS s
+      |         FROM q, unnest(generate_series(1, len(qi))) u(i) GROUP BY 1, 2),
+      |d AS (SELECT q.vec_id, q.label, c.c_label, max(c.n) AS n,
+      |             CAST(sum((c.n * CAST(qi[c.pos] AS BIGINT) - c.s)
+      |                    * (c.n * CAST(qi[c.pos] AS BIGINT) - c.s)) AS BIGINT) AS dd
+      |      FROM q JOIN cent c ON true
+      |      GROUP BY 1, 2, 3),
+      |r AS (SELECT vec_id, label, c_label,
+      |             row_number() OVER (PARTITION BY vec_id
+      |               ORDER BY CAST(dd AS DOUBLE) / (n * n), c_label) AS rk
+      |      FROM d)
+      |SELECT label, c_label AS pred, count(*) AS n
+      |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
 
   val embQuantize: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),

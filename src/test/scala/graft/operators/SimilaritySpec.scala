@@ -83,6 +83,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
 
+  test("nearestLabelQ8 classifies planted clusters; ties break on the smaller label") {
+    import graft.functions.{VecUtil, Vecs}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // two planted labels: codes near (100,0) vs (0,100)
+    def arr(bytes: Byte*) = new GenericArrayData(bytes.toArray)
+    val labels = Array(1L, 2L)
+    val ns = Array(2L, 2L)
+    // label 1 sums: (200, 0); label 2 sums: (0, 200)
+    val sums = Array(200L, 0L, 0L, 200L)
+    assert(VecUtil.nearestLabelQ8(arr(90, 5), labels, ns, sums) == 1L)
+    assert(VecUtil.nearestLabelQ8(arr(5, 90), labels, ns, sums) == 2L)
+    // exact tie: equidistant point → smaller label wins
+    assert(VecUtil.nearestLabelQ8(arr(50, 50), labels, ns, sums) == 1L)
+    // through the Column API over a frame, on real data: every pred is
+    // an observed label
+    val q = emb.select(col("label").cast("long").as("label"),
+      Vecs.quantizeI8(col("embedding").cast("array<double>")).as("qi"))
+    val obs = q.select("label").distinct().as[Long].collect().toSet
+    val some = q.limit(20).select(
+      Vecs.nearestLabelQ8(col("qi"), obs.toArray.sorted, obs.toArray.map(_ => 1L),
+        obs.toArray.flatMap(_ => Array.fill(64)(0L))).as("p"))
+      .as[Long].collect()
+    assert(some.forall(obs.contains))
+  }
+
   test("kmeansRefine converges to planted cluster centers") {
     // two tight blobs around (0,...,0)+1 and (0,...,0)+9; seed centroids off-center
     val blobA = (0 until 20).map(i => (i.toLong, Array.fill(4)(1.0f + (i % 3) * 0.01f)))
