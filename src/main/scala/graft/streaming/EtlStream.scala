@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -111,10 +109,20 @@ object EtlStream {
     df.withColumn("post_month", postMonth(col("post_date")))
       .write.mode("overwrite").partitionBy("state", "post_month").parquet(warehouseDir)
 
+  /** Existence through the warehouse path's OWN filesystem (Hadoop
+    * FileSystem API): a java.nio check only sees the local disk, so on
+    * HDFS/S3 — where a production warehouse actually lives — it would
+    * report "absent", and landedKeys would silently skip the dedup
+    * screen and admit duplicates. */
+  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** None when the warehouse doesn't exist yet; otherwise whether its
     * layout carries the post_month partition column. */
   def hasMonthLayout(spark: SparkSession, dir: String): Option[Boolean] =
-    if (!Files.exists(java.nio.file.Paths.get(dir))) None
+    if (!pathExists(spark, dir)) None
     else Some(spark.read.parquet(dir).columns.contains("post_month"))
 
   /** Already-landed uniq_ids an incoming row could collide with: the
@@ -129,7 +137,7 @@ object EtlStream {
     */
   def landedKeys(spark: SparkSession, warehouseDir: String,
                  months: Seq[String]): Option[DataFrame] =
-    if (!Files.exists(java.nio.file.Paths.get(warehouseDir))) None
+    if (!pathExists(spark, warehouseDir)) None
     else {
       val wh = spark.read.parquet(warehouseDir)
       val pruned =
