@@ -863,6 +863,41 @@ object Extensions {
       .orderBy("split")
   }
 
+  /** Corpus length census: document token counts binned into
+    * power-of-two buckets — the first diagnostic run on any new corpus
+    * (tail inspection, truncation planning, packing-budget choice).
+    * The bucket is floor(log2(n))+1 computed EXACTLY as the binary
+    * digit count `length(bin(n))` — no libm log2, whose last-ulp
+    * rounding differs across engines right at the power-of-two bucket
+    * edges. One map-side-combined aggregate; oracle-checked. */
+  def corpusHist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") === 0, lit(0L))
+          .otherwise(length(bin(col("n_tok"))).cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"), sum(col("n_tok")).as("sum_tok"))
+      .orderBy("bucket")
+
+  /** The one-row corpus card: doc/token/byte totals, language count,
+    * and the exact-duplicate fraction numerator — the summary block
+    * every dataset datasheet leads with. All exact integers (the dup
+    * count reuses dedup_exact's md5 grouping); one pass plus the
+    * distinct-hash aggregate. Oracle-checked. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("text"), TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(md5(col("text"))).as("n_uniq_texts"),
+      min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+  }
+
   /** Token counting (whitespace + BPE-ish regex), oracle-checked. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -1921,6 +1956,38 @@ object ExtensionOracles {
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
        |       CAST(floor(s) AS BIGINT) AS score_ppm
        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** [[Extensions.corpusHist]]: the same guarded tokenizer, the same
+    * binary-digit-count bucket. */
+  val corpusHist: String = {
+    val w = graft.operators.TextAnalysis.WsClass
+    s"""WITH tok AS (
+       |  SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '$w')) END AS n_tok
+       |  FROM documents)
+      |SELECT (CASE WHEN n_tok = 0 THEN 0 ELSE len(bin(n_tok)) END)::BIGINT AS bucket,
+      |       count(*) AS n_docs, min(n_tok)::BIGINT AS min_tok,
+      |       max(n_tok)::BIGINT AS max_tok, CAST(sum(n_tok) AS BIGINT) AS sum_tok
+      |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** [[Extensions.corpusStats]]: the same guarded tokenizer and the
+    * same exact aggregates. */
+  val corpusStats: String = {
+    val w = graft.operators.TextAnalysis.WsClass
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, text,
+       |         CASE WHEN len(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '$w')) END AS n_tok
+       |  FROM documents)
+      |SELECT count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+      |       count(DISTINCT lang) AS n_langs,
+      |       count(DISTINCT md5(text)) AS n_uniq_texts,
+      |       min(n_tok)::BIGINT AS min_tok, max(n_tok)::BIGINT AS max_tok
+      |FROM tok""".stripMargin
+  }
 
   val textQuality: String =
     s"""WITH tok AS (
