@@ -414,6 +414,12 @@ object Extensions {
       .groupBy("label", "pos")
       .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("s"))
       .collect()
+    // empty corpus: no centroids to score against — empty report, not
+    // a crash on max() of nothing
+    if (centRows.isEmpty)
+      return q.sparkSession.emptyDataFrame
+        .select(lit(0L).as("label"), lit(0L).as("pred"), lit(0L).as("n"))
+        .limit(0)
     val labels = centRows.map(_.getLong(0)).distinct.sorted
     val dims = centRows.map(_.getInt(1)).max + 1
     val li = labels.zipWithIndex.toMap
