@@ -142,6 +142,62 @@ class KernelFuzzSpec extends AnyFunSuite with SparkSpec {
     assert(e == ((1L, "d41d8cd98f00b204e9800998ecf8427e")))
   }
 
+  test("gopherSignals matches a plain-Scala reference over fuzzed text") {
+    import org.apache.spark.sql.Row
+    // alphabet biased toward the signal characters: bullets, ellipsis
+    // dots, hashes, newlines, mixed whitespace, stop words
+    val gAlphabet = Vector("a", "b", "the", "and", "1", "#", ".", "-", "*", "•",
+      "\n", " ", "\t", "é", "漢", "...", "to ", "of\n", "- x\n", "c... \n")
+    def randText(): String = {
+      val n = rng.nextInt(30)
+      (0 until n).map(_ => gAlphabet(rng.nextInt(gAlphabet.size))).mkString
+    }
+    val texts = (0 until 300).map(i => (i.toLong, randText()))
+    val stop8 = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    def countSub(s: String, sub: String): Long = {
+      var c = 0L; var i = s.indexOf(sub)
+      while (i >= 0) { c += 1; i = s.indexOf(sub, i + sub.length) }
+      c
+    }
+    // Spark's trim strips SPACES only — Scala's .trim strips every
+    // char <= 0x20 and would disagree on tab/newline-padded text
+    def sparkTrim(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    def ref(text: String): Seq[Long] = {
+      val tokens = sparkTrim(text).toLowerCase.split("[ \t\n\f\r]+", -1).toSeq
+      val n = tokens.length.toLong
+      val sumLen = tokens.map(t => t.codePointCount(0, t.length).toLong).sum
+      val nAlpha = tokens.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nStop = stop8.count(tokens.contains).toLong
+      val nHash = text.count(_ == '#').toLong
+      val nEll = countSub(text, "...")
+      val lines = text.split("\n", -1).toSeq
+      val nLines = lines.length.toLong
+      val nBullet = lines.count { l =>
+        val t = l.dropWhile(_ == ' ')
+        t.nonEmpty && "-*•".contains(t.head)
+      }.toLong
+      val nEllLine = lines.count(_.reverse.dropWhile(_ == ' ').startsWith("...")).toLong
+      val pass = if (n >= 50 && n <= 100000 && 3 * n <= sumLen && sumLen <= 10 * n &&
+        10 * (nHash + nEll) < n && 5 * nAlpha >= 4 * n && nStop >= 2) 1L else 0L
+      Seq(n, sumLen, nAlpha, nStop, nHash, nEll, nLines, nBullet, nEllLine, pass)
+    }
+    val got = texts.toDF("id", "text")
+      .select(col("id"), graft.operators.TextAnalysis.gopherSignals(col("text")).as("g"))
+      .select(col("id"), col("g.*")).collect()
+      .map(r => r.getLong(0) -> (1 to 10).map(i => r.getLong(i)).toSeq).toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id) == ref(text),
+        s"id=$id text=${text.replace("\n", "\\n").take(60)}\n got=${got(id)}\n ref=${ref(text)}")
+    }
+    // pin the trim subtlety directly: trim keeps the leading tab, the
+    // class split then yields a LEADING EMPTY token — n = 2, not 1
+    val Row(hardN: Long) = texts.toDF("id", "text").limit(1)
+      .select(graft.operators.TextAnalysis.gopherSignals(lit("\tx")).getField("n_tokens"))
+      .collect()(0)
+    assert(hardN == 2L)
+  }
+
   test("countInSet and sumStrLen match references over fuzzed tokens") {
     val words = Set("the", "a", "0", "xyz", "é")
     val got = cases.toDF("id", "text")
