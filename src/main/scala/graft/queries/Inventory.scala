@@ -482,6 +482,25 @@ object Inventory {
       .orderBy("custkey")
   }
 
+  /** Q31 — correlated scalar subqueries, submitted as SQL so Catalyst's
+    * DECORRELATION is the thing under test: the per-customer count and
+    * max-price subqueries must rewrite to aggregates + joins (the plan
+    * audit asserts no nested-loop re-execution survives) instead of
+    * re-running per outer row, which is the difference between a plan
+    * that works at 100 TB and one that never finishes. */
+  def q31Correlated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_q31_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_q31_orders")
+    s.sql("""
+      SELECT c_custkey,
+             (SELECT count(*) FROM graft_q31_orders o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders,
+             (SELECT round(coalesce(max(o_totalprice), 0), 2) FROM graft_q31_orders o
+              WHERE o.o_custkey = c.c_custkey) AS max_price
+      FROM graft_q31_customer c
+      ORDER BY c_custkey""")
+  }
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

@@ -249,6 +249,17 @@ object Oracles {
       |FROM rich FULL OUTER JOIN big ON rich.c_custkey = big.o_custkey
       |ORDER BY custkey""".stripMargin
 
+  /** Q31's correlated subqueries verbatim — DuckDB decorrelates the
+    * same shape, so the two optimizers must land on identical values. */
+  val q31Correlated: String =
+    """SELECT c_custkey,
+      |       (SELECT count(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |       (SELECT round(coalesce(max(o_totalprice), 0), 2) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c
+      |ORDER BY c_custkey""".stripMargin
+
   val q29Funnel: String =
     """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
       |           WHERE event_type = 'view' GROUP BY 1),
