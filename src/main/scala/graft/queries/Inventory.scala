@@ -501,6 +501,25 @@ object Inventory {
       ORDER BY c_custkey""")
   }
 
+  /** Q32 — recursive CTE (Spark 4's WITH RECURSIVE): the ancestor walk
+    * `key → key div 2 → … → 1` over customer keys, rolled up to chain
+    * length per start key. Each recursion level is one distributed
+    * self-union step — depth is log2(max key), so the iteration count
+    * is bounded by KEY WIDTH (≤ 63), never by row count; the level
+    * frontier stays the full key set but each step is a narrow
+    * projection, no join. DuckDB runs the identical recursion for the
+    * oracle. */
+  def q32Recursive(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_q32_customer")
+    s.sql("""
+      WITH RECURSIVE anc(start_key, cur, depth) AS (
+        SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM graft_q32_customer
+        UNION ALL
+        SELECT start_key, cur div 2, depth + 1 FROM anc WHERE cur > 1)
+      SELECT start_key AS c_custkey, max(depth) AS chain_len, count(*) AS n_nodes
+      FROM anc GROUP BY start_key ORDER BY c_custkey""")
+  }
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

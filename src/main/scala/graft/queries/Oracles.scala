@@ -260,6 +260,15 @@ object Oracles {
       |FROM customer c
       |ORDER BY c_custkey""".stripMargin
 
+  /** Q32's recursion verbatim (DuckDB `//` = Spark `div`). */
+  val q32Recursive: String =
+    """WITH RECURSIVE anc(start_key, cur, depth) AS (
+      |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+      |  UNION ALL
+      |  SELECT start_key, cur // 2, depth + 1 FROM anc WHERE cur > 1)
+      |SELECT start_key AS c_custkey, max(depth) AS chain_len, count(*) AS n_nodes
+      |FROM anc GROUP BY start_key ORDER BY c_custkey""".stripMargin
+
   val q29Funnel: String =
     """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
       |           WHERE event_type = 'view' GROUP BY 1),
