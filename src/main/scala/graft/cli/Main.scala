@@ -93,13 +93,25 @@ object Main {
             case Some(url) =>
               // the reference's actual storage layer (etl_process.py:271-289):
               // dedup-append into the JDBC warehouse instead of parquet.
-              // Probe existence FIRST — catching appendDedup's own errors
-              // would turn a transient DB failure into a destructive
-              // overwrite of the warehouse table.
+              // Probe existence FIRST, via connection metadata — a
+              // read-and-catch probe would classify a transient
+              // connection/auth failure as 'table absent' and fall
+              // through to a destructive overwrite; here connection
+              // errors propagate and only a genuine metadata miss
+              // selects the create path.
               val table = flags.getOrElse("jdbc-table", "warehouse")
-              val exists =
-                try { graft.sources.JdbcWarehouse.read(spark, url, table).limit(1).count(); true }
-                catch { case _: Exception => false }
+              val exists = {
+                val conn = java.sql.DriverManager.getConnection(url)
+                try {
+                  def probe(name: String) = {
+                    val rs = conn.getMetaData.getTables(null, null, name, null)
+                    try rs.next() finally rs.close()
+                  }
+                  // unquoted DDL folds case DB-specifically (Derby/H2 up,
+                  // Postgres down) — probe stored-case candidates
+                  probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+                } finally conn.close()
+              }
               if (exists)
                 graft.sources.JdbcWarehouse.appendDedup(res.warehouse, url, table, "uniq_id")
               else graft.sources.JdbcWarehouse.write(res.warehouse, url, table)

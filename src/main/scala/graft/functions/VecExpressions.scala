@@ -470,6 +470,13 @@ case class NearestLists(child: Expression, cids: Array[Long],
 case class NearestLabelQ8(child: Expression, labels: Array[Long],
                           ns: Array[Long], sums: Array[Long])
     extends UnaryExpression {
+  // an n=0 label scores 0/0 = NaN and is silently never selectable
+  // (and n*n overflows Long past ~3e9 members) — reject the degenerate
+  // centroid table at the kernel boundary instead of returning a
+  // quietly wrong argmin (embClassify can never produce n=0, so this
+  // costs nothing on the real path)
+  require(ns.forall(n => n > 0 && n <= 3_000_000_000L),
+    "NearestLabelQ8: every label needs 0 < n <= 3e9 members")
   override def dataType: DataType = LongType
   override def nullSafeEval(qi: Any): Any =
     VecUtil.nearestLabelQ8(qi.asInstanceOf[ArrayData], labels, ns, sums)

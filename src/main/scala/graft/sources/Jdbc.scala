@@ -58,14 +58,14 @@ object JdbcWarehouse {
   def appendDedup(df: DataFrame, url: String, table: String,
                   keyCol: String): Long = {
     val existing = read(df.sparkSession, url, table).select(keyCol)
-    val fresh = df.join(existing, Seq(keyCol), "left_anti")
-    // one materialization: cache-count-write, so the count reported is
-    // exactly what was appended
-    fresh.persist()
-    try {
-      val n = fresh.count()
-      if (n > 0) write(fresh, url, table, SaveMode.Append)
-      n
-    } finally { fresh.unpersist(); () }
+    // DURABLY materialize the anti-joined batch before touching the
+    // destination: a persist()ed partition evicted mid-write would be
+    // RECOMPUTED against the mutated destination (now holding part of
+    // this batch) and silently drop rows. localCheckpoint severs the
+    // lineage, so the appended set is fixed at screen time.
+    val fresh = df.join(existing, Seq(keyCol), "left_anti").localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) write(fresh, url, table, SaveMode.Append)
+    n
   }
 }
