@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample plumbing.
   *
-  * Three decoders share the [[MediaDecoder]] seam: [[StubDecoder]]
+  * Four decoders share the [[MediaDecoder]] seam: [[StubDecoder]]
   * (deterministic fake metadata from a byte hash — CI without any
   * codec), [[HeaderDecoder]] (real container-header parse, the right
-  * cost for a metadata pass over 100 TB), and [[ImageIoDecoder]] (real
-  * PIXEL decode via the JDK's javax.imageio for PNG/JPEG/GIF/BMP).
-  * Everything Spark-side — schemas, the mapPartitions batch shape,
-  * partitioning, the frame-sample generator — is identical across the
-  * three, so heavier codecs (video, audio samples) remain a one-class
-  * change.
+  * cost for a metadata pass over 100 TB), [[ImageIoDecoder]] (real
+  * PIXEL decode via the JDK's javax.imageio for PNG/JPEG/GIF/BMP), and
+  * [[PcmDecoder]] (real AUDIO SAMPLE decode via the JDK's
+  * javax.sound.sampled for WAV/PCM). Everything Spark-side — schemas,
+  * the mapPartitions batch shape, partitioning, the frame-sample
+  * generator — is identical across the four, so heavier codecs (video
+  * frames) remain a one-class change.
   *
   * Scale notes: media blobs dominate row size, so media tables should be
   * written with small `maxRecordsPerFile`/row-group targets and metadata
@@ -33,6 +34,13 @@ object Multimodal {
   final case class MediaRow(media_id: Long, bytes: Array[Byte])
   final case class DecodedRow(media_id: Long, kind: String, width: Int,
                               height: Int, n_frames: Int, sample_rate_hz: Int)
+  /** Decoded-sample stats: linear (`sum`) and position-weighted
+    * (`wsum`, Σ(i+1)·sᵢ) checksums over the PCM16 stream — the weighted
+    * form is order-sensitive, so a decode that permutes or drops
+    * samples cannot checksum-match. */
+  final case class PcmRow(media_id: Long, sample_rate_hz: Int,
+                          n_samples: Long, sum_samples: Long,
+                          wsum_samples: Long)
 
   /** Decoder interface — the seam where a real image/audio/video library
     * would plug in (per-partition instantiation, batch iteration). */
@@ -62,8 +70,9 @@ object Multimodal {
     * logical screen descriptor, WAV fmt chunk. Pure byte arithmetic
     * with no native libraries, which is exactly what a metadata pass
     * over 100 TB of media blobs should be: the expensive pixel/sample
-    * decode stays behind the same [[MediaDecoder]] seam ([[StubDecoder]]
-    * stands in for it in CI). Unrecognized containers → ("unknown", 0s)
+    * decode stays behind the same [[MediaDecoder]] seam
+    * ([[ImageIoDecoder]] and [[PcmDecoder]] are the real
+    * implementations). Unrecognized containers → ("unknown", 0s)
     * rather than an exception: one corrupt blob must not kill a task.
     */
   object HeaderDecoder extends MediaDecoder {
@@ -190,6 +199,59 @@ object Multimodal {
       }.getOrElse(-1L)
   }
 
+  /** REAL audio sample decode through the JDK's `javax.sound.sampled`
+    * (the platform WAV reader — no native libraries): the audio twin of
+    * [[ImageIoDecoder]]. `decode` recovers the sample rate and frame
+    * count from the DECODED stream, not the header walk; [[samples]]
+    * yields the actual PCM16 sample values (normalizing whatever the
+    * container carries to signed 16-bit little-endian via the JDK's
+    * format converter). Non-audio containers and undecodable blobs fall
+    * back to [[HeaderDecoder]] — same corrupt-blob-never-kills-a-task
+    * contract. Instantiated once per task through the [[MediaDecoder]]
+    * seam; stream objects are created per call (not thread-safe to
+    * share). */
+  object PcmDecoder extends MediaDecoder {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    private def open(bytes: Array[Byte]): AudioInputStream =
+      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      val header = HeaderDecoder.decode(bytes)
+      try {
+        val ais = open(bytes)
+        try {
+          val fmt = ais.getFormat
+          val kind = if (header.kind == "unknown") "audio" else header.kind
+          MediaMeta(kind, 0, 0, ais.getFrameLength.toInt,
+            math.round(fmt.getSampleRate))
+        } finally ais.close()
+      } catch { case _: Exception => header }
+    }
+
+    /** Decoded PCM16 samples (channel-interleaved frame order), or None
+      * when the blob is not decodable audio. */
+    def samples(bytes: Array[Byte]): Option[Array[Short]] =
+      try {
+        val raw = open(bytes)
+        try {
+          val rf = raw.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            rf.getSampleRate, 16, rf.getChannels, rf.getChannels * 2,
+            rf.getSampleRate, false)
+          val ais = AudioSystem.getAudioInputStream(target, raw)
+          val buf = ais.readAllBytes()
+          val out = new Array[Short](buf.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = (((buf(2 * i + 1) & 0xff) << 8) | (buf(2 * i) & 0xff)).toShort
+            i += 1
+          }
+          Some(out)
+        } finally raw.close()
+      } catch { case _: Exception => None }
+  }
+
   /** Deterministic, BYTE-VALID media fixtures: real container headers
     * (PNG signature + IHDR with a correct CRC32, JPEG SOI + APP0 + SOF0,
     * GIF screen descriptor, RIFF/WAVE fmt chunk) so [[HeaderDecoder]] is
@@ -232,6 +294,22 @@ object Multimodal {
         "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
         le32(sampleRateHz) ++ le32(sampleRateHz * 2) ++ le16(2) ++ le16(16) ++
         "data".getBytes ++ le32(0)
+
+    /** PCM16 mono WAV carrying actual sample data — the fixture
+      * [[PcmDecoder]] decodes back to the exact `samples` array. */
+    def wavPcm(sampleRateHz: Int, samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = samples(i).toByte
+        data(2 * i + 1) = (samples(i) >> 8).toByte
+        i += 1
+      }
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(sampleRateHz) ++ le32(sampleRateHz * 2) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
   }
 
   /** Wrap a string column as the opaque binary media column (test-data
@@ -251,6 +329,26 @@ object Multimodal {
       it.map { r =>
         val m = decoder.decode(r.bytes)
         DecodedRow(r.media_id, m.kind, m.width, m.height, m.nFrames, m.sampleRateHz)
+      }
+    }
+  }
+
+  /** Distributed PCM sample decode: real `javax.sound.sampled` decode
+    * per blob ([[PcmDecoder]]), reduced in-task to (rate, count, sum,
+    * weighted-sum) — the raw sample arrays never enter the shuffle, so
+    * a 100 TB audio sweep moves four longs per blob, not the audio.
+    * Undecodable blobs report n_samples = 0 with the header-walk rate. */
+  def decodePcm(media: Dataset[MediaRow]): Dataset[PcmRow] = {
+    implicit val enc = Encoders.product[PcmRow]
+    media.mapPartitions { it =>
+      it.map { r =>
+        val meta = PcmDecoder.decode(r.bytes)
+        val ss = PcmDecoder.samples(r.bytes).getOrElse(Array.empty[Short])
+        var sum = 0L; var wsum = 0L; var i = 0
+        while (i < ss.length) {
+          sum += ss(i); wsum += (i + 1L) * ss(i); i += 1
+        }
+        PcmRow(r.media_id, meta.sampleRateHz, ss.length, sum, wsum)
       }
     }
   }

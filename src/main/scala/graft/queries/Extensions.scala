@@ -1119,6 +1119,34 @@ object Extensions {
       .orderBy("media_id")
   }
 
+  /** REAL PCM sample decode ([[Multimodal.PcmDecoder]], the JDK's
+    * javax.sound.sampled): per-row PCM16 mono WAVs carrying 100–256
+    * deterministic samples sᵢ = (doc_id·31 + i·17) mod 65536 − 32768
+    * are synthesized from doc_id, the decoder recovers the actual
+    * sample values from the container bytes, and (rate, count, Σsᵢ,
+    * Σ(i+1)·sᵢ) are oracle-checked against the closed form — the
+    * position-weighted checksum makes a decode that permutes, drops,
+    * or sign-flips samples unable to match. Exact integer arithmetic
+    * end to end, so the comparison is bit-for-bit. */
+  def mmPcm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (100 + id % 157).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31 + i * 17) % 65536 - 32768).toShort)
+        Multimodal.MediaRow(id,
+          Multimodal.MediaFixtures.wavPcm((8000 + id % 40000).toInt, samples))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.decodePcm(media).toDF()
+      .select(col("media_id"), col("sample_rate_hz").cast("long").as("sample_rate_hz"),
+        col("n_samples"), col("sum_samples"), col("wsum_samples"))
+      .orderBy("media_id")
+  }
+
   /** Aspect-preserving resize plan ([[Multimodal.resizePlan]], max side
     * 256) over the SAME synthesized containers as [[mmDecode]], decoded
     * through the real header codec — the metadata half of the resize
@@ -2208,4 +2236,20 @@ object ExtensionOracles {
     """SELECT doc_id AS media_id, 'wav' AS kind,
       |       CAST(8000 + doc_id % 40000 AS INT) AS sample_rate_hz
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** The PCM fixture's closed form, re-summed per sample index (a
+    * constant 0..255 series filtered to each row's n — DuckDB's
+    * generate_series takes no lateral column args) — [[Extensions
+    * .mmPcm]]'s decoder has to recover the identical integers from the
+    * actual WAV data chunk. */
+  val mmPcm: String =
+    """SELECT d.doc_id AS media_id,
+      |       CAST(8000 + d.doc_id % 40000 AS BIGINT) AS sample_rate_hz,
+      |       CAST(100 + d.doc_id % 157 AS BIGINT) AS n_samples,
+      |       CAST(sum((d.doc_id * 31 + g.i * 17) % 65536 - 32768) AS BIGINT) AS sum_samples,
+      |       CAST(sum((g.i + 1) * ((d.doc_id * 31 + g.i * 17) % 65536 - 32768)) AS BIGINT) AS wsum_samples
+      |FROM documents d JOIN generate_series(0, 255) AS g(i)
+      |  ON g.i < 100 + d.doc_id % 157
+      |GROUP BY d.doc_id
+      |ORDER BY media_id""".stripMargin
 }
