@@ -93,6 +93,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bucketed_join: zero Exchange — the shuffle was paid at write time") {
+    // force the shuffled-join regime (sf0.001 would otherwise broadcast,
+    // which has no exchange trivially): the bucketed layout must carry
+    // the co-partitioning, so the sort-merge join plans with NO Exchange
+    // anywhere — join AND final aggregation ride the bucket partitioning
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.SparkEntry.queries("bucketed_join")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join re-shuffles — bucket partitioning lost:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q14_range_join: shuffle key is (user_id, hour_bucket), never bare user_id") {
     // at sf0.001 the tiny side broadcasts (fine); what must hold at any
     // plan choice is the equi-key arity — (user_id, hour_bucket), so a
