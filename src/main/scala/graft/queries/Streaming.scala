@@ -130,12 +130,18 @@ object StreamingQueries {
 
   /** Streaming per-day top-3 events by value through the bounded-heap
     * [[graft.functions.TopKAgg]] ([[graft.streaming.EtlStream
-    * .eventTopK]]), drained in complete mode and unnested to (day,
-    * rank, event_id, value) rows. The struct ordering (value DESC,
-    * event_id DESC — the heap keeps the LARGEST structs) is total, so
-    * the drained report is deterministic and oracle-checked against
-    * DuckDB's window-rank formulation — proving the UDAF's serialized
-    * heap state merges correctly across micro-batches. */
+    * .eventTopK]]), drained in APPEND mode — each day arrives exactly
+    * once, when the watermark passes its end, and leaves the state
+    * store (the unbounded-stream shape; complete mode would grow state
+    * and re-emission with stream lifetime). Unnested to (day, rank,
+    * event_id, value) rows; the final, never-sealed day is absent by
+    * watermark semantics, and the oracle applies the same deterministic
+    * cutoff (day end + 1 h delay ≤ max event ts). The struct ordering
+    * (value DESC, event_id DESC — the heap keeps the LARGEST structs)
+    * is total, so the report is deterministic and oracle-checked
+    * against DuckDB's window-rank formulation — proving the UDAF's
+    * serialized heap state merges and EVICTS correctly across
+    * micro-batches. */
   def streamTopK(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_topk_${System.nanoTime()}"
     drainStaged(s, dir, copies = 1)(
@@ -224,15 +230,19 @@ object StreamingOracles {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** The q25 window-rank formulation of the drained streaming top-k:
-    * same (value DESC, event_id DESC) total order, same rounding. */
+    * same (value DESC, event_id DESC) total order, same rounding,
+    * restricted to days the 1-hour-delay watermark SEALED (day end +
+    * 1 h ≤ max event ts) — the append-mode drain's exact output. */
   val streamTopK: String =
-    """WITH e AS (SELECT date_trunc('day', ts) AS d, event_id, value FROM events),
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |e AS (SELECT date_trunc('day', ts) AS d, event_id, value FROM events),
       |r AS (SELECT d, event_id, value,
       |        row_number() OVER (PARTITION BY d ORDER BY value DESC, event_id DESC) AS rank
       |      FROM e)
       |SELECT strftime(d, '%Y-%m-%d') AS day, CAST(rank AS BIGINT) AS rank,
       |       event_id, round(value, 2) AS value
-      |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin
+      |FROM r, m WHERE rank <= 3 AND d + INTERVAL 1 DAY + INTERVAL 1 HOUR <= m.mx
+      |ORDER BY day, rank""".stripMargin
 
   /** The drained streaming funnel must equal the batch funnel exactly
     * (zero-delay watermark seals every event during the drain), so it

@@ -180,7 +180,17 @@ object EtlStream {
     * state-store round trip: the TypedImperativeAggregate's serialized
     * heap IS the streaming state, merged incrementally per micro-batch,
     * so per-window state stays O(k) instead of buffering every event.
-    * Same complete-mode drain contract as [[eventWindowCounts]]. */
+    *
+    * APPEND mode with watermark eviction — the unbounded-stream shape:
+    * a day is emitted exactly once, when the watermark passes its end,
+    * and its heap leaves the state store; state holds only OPEN days
+    * regardless of stream lifetime (complete mode would re-emit every
+    * day each micro-batch and keep all of them in state forever). A
+    * static drain still flushes every closed day: the watermark
+    * advances after the data batch and the engine runs one no-data
+    * batch to evict what it passed. Days the watermark never passes
+    * (the stream's final day) stay open — deterministic, so the oracle
+    * applies the same cutoff. */
   def eventTopK(spark: SparkSession, eventsDir: String, outputTable: String,
                 k: Int) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -198,7 +208,7 @@ object EtlStream {
       .agg(graft.functions.TopKAgg.topK(
         struct(col("value"), col("event_id")), k).as("top"))
       .select(col("window.start").as("day"), col("top"))
-      .writeStream.outputMode("complete")
+      .writeStream.outputMode("append")
       .format("memory").queryName(outputTable)
       .trigger(Trigger.AvailableNow())
       .start()

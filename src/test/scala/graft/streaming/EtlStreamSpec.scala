@@ -120,4 +120,33 @@ class EtlStreamSpec extends AnyFunSuite with SparkSpec {
     val batch = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "events").count()
     assert(streamed == batch)
   }
+
+  test("append-mode topK: each sealed day emitted exactly once, state holds only open days") {
+    import org.apache.spark.sql.functions._
+    val evDir = tmp()
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$evDir/events.parquet"))
+    val q = EtlStream.eventTopK(spark, evDir, "ev_topk_append", k = 3)
+    q.awaitTermination()
+    val drained = spark.table("ev_topk_append")
+    // exactly-once per day: append mode emits a window only when the
+    // watermark passes it — a duplicate day would mean re-emission
+    val dup = drained.groupBy("day").count().filter(col("count") > 1).count()
+    assert(dup == 0, "a day was emitted more than once")
+    // the emitted set is exactly the watermark-sealed days: day end +
+    // 1 h delay <= max event ts; the stream's final day stays open
+    val ev = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val nSealed = ev.select(date_trunc("day", col("ts")).as("d")).distinct()
+      .filter(unix_millis(col("d")) + (24 + 1) * 3600 * 1000L <= mx)
+      .count()
+    val allDays = ev.select(date_trunc("day", col("ts"))).distinct().count()
+    assert(drained.count() == nSealed, s"drained ${drained.count()} != sealed $nSealed")
+    assert(nSealed < allDays, "fixture must leave at least one day open")
+    // eviction: after the drain the state store holds only open days
+    // (the sealed heaps left with their emission)
+    val lastState = q.recentProgress.flatMap(_.stateOperators).last
+    assert(lastState.numRowsTotal <= allDays - nSealed,
+      s"state holds ${lastState.numRowsTotal} rows; open days = ${allDays - nSealed}")
+  }
 }
