@@ -674,6 +674,55 @@ object Extensions {
       .orderBy("zbucket")
   }
 
+  /** One stored z-ordered orders layout per source dir per JVM — the
+    * partitioned write is layout cost paid once ([[bucketedTables]]'
+    * reasoning applied to the z-curve); directories are temp-rooted and
+    * cleaned by the shared shutdown hook. */
+  private val zStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def zorderStore(s: SparkSession, dir: String): String =
+    zStores.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_zorder_q")
+      ivfTmpRoots.add(root)
+      val st = root.toString + "/orders_z"
+      val x = (col("o_custkey") % 1024).cast("long")
+      val y = (datediff(to_date(col("o_orderdate")), lit("1970-01-01")) % 1024).cast("long")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), x.as("x"), y.as("y"),
+          shiftright(graft.functions.Layout.interleave16(x, y), 12).as("zbucket"))
+        .repartition(col("zbucket"))   // cluster each bucket's rows, not 256 slivers per task
+        .write.partitionBy("zbucket").mode("overwrite").parquet(st)
+      st
+    })
+
+  /** The z-order pruning argument EXECUTED against storage
+    * ([[layoutZorder]] reports the spans; this reads a table laid out
+    * by them): orders live `partitionBy(zbucket)` (top 8 Morton bits),
+    * and a 128-wide range filter on x alone reaches the scan as a
+    * STATIC partition filter — the candidate bucket set is pure integer
+    * arithmetic on the driver (the even bits of a bucket ARE x₉..x₆, so
+    * x ∈ [256, 383] ⇒ x>>6 ∈ {4,5} ⇒ 32 of 256 directories listed,
+    * never a data scan). This is [[annIvfStored]]'s scan-cost-scales-
+    * with-selectivity property for plain relational range predicates;
+    * PlanAuditSpec asserts the PartitionFilters line and the 32-of-256
+    * listing. Oracle is the plain unstored scan — layout-invariance at
+    * the correctness gate. */
+  def layoutZorderStored(s: SparkSession, dir: String): DataFrame = {
+    val stored = s.read.parquet(zorderStore(s, dir))
+    val (lo, hi) = (256L, 383L)
+    // zbucket bits (z>>12, 8 wide): even positions carry x9..x6, odd
+    // carry y9..y6 — compact the even bits to recover x>>6
+    val buckets = (0 until 256).filter { zb =>
+      val xh = (zb & 1) | ((zb >> 1) & 2) | ((zb >> 2) & 4) | ((zb >> 3) & 8)
+      xh >= (lo >> 6) && xh <= (hi >> 6)
+    }.map(_.toLong)
+    stored
+      .filter(col("zbucket").isin(buckets: _*) && col("x").between(lo, hi))
+      .groupBy("x")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sum_y"))
+      .orderBy("x")
+  }
+
   /** Global token-offset assignment
     * ([[graft.operators.Packing.assignOffsets]]): each document's
     * exclusive prefix sum of whitespace-token counts in doc_id order —
@@ -1700,6 +1749,18 @@ object ExtensionOracles {
       |SELECT CAST(z >> 12 AS BIGINT) AS zbucket, count(*) AS n,
       |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** [[Extensions.layoutZorderStored]]'s answer from the PLAIN table —
+    * the stored z-layout and its partition pruning must be
+    * answer-invisible. */
+  val layoutZorderStored: String =
+    """WITH o AS (
+      |  SELECT o_custkey % 1024 AS x,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
+      |  FROM orders)
+      |SELECT x, count(*) AS n, CAST(sum(y) AS BIGINT) AS sum_y
+      |FROM o WHERE x BETWEEN 256 AND 383
+      |GROUP BY x ORDER BY x""".stripMargin
 
   /** [[Extensions.corpusOffsets]] as the single-window formulation the
     * two-phase operator replaces — the oracle IS the semantic spec:

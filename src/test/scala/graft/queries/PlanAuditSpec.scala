@@ -108,6 +108,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("layout_zorder_stored: x-range filter prunes z-bucket directories at the scan") {
+    val df = graft.SparkEntry.queries("layout_zorder_stored")(spark, dir)
+    // sparkPlan, not executedPlan: AQE's wrapper has no children, so
+    // collectLeaves on executedPlan never reaches the file scan
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in layout_zorder_stored plan"))
+    assert(scan.toString.contains("PartitionFilters: [zbucket"),
+      s"zbucket candidates not applied as a partition filter:\n${scan.toString.take(2000)}")
+    // only the 32 candidate directories (x>>6 ∈ {4,5}) are listed, and
+    // the partitions that survive really cover x ∈ [256, 383] only
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(parts.size <= 32, s"${parts.size} z-bucket dirs listed; pruning must keep <= 32 of 256")
+    // layout invariance double-check: pruned read == plain computation
+    import org.apache.spark.sql.functions._
+    val plain = graft.core.Tables.t(spark, dir, "orders")
+      .select((col("o_custkey") % 1024).cast("long").as("x"),
+        (datediff(to_date(col("o_orderdate")), lit("1970-01-01")) % 1024).cast("long").as("y"))
+      .filter(col("x").between(256, 383))
+      .groupBy("x").agg(count(lit(1)).as("n"), sum(col("y")).as("sum_y"))
+      .orderBy("x").collect().toSeq
+    assert(df.collect().toSeq == plain)
+  }
+
   test("q14_range_join: shuffle key is (user_id, hour_bucket), never bare user_id") {
     // at sf0.001 the tiny side broadcasts (fine); what must hold at any
     // plan choice is the equi-key arity — (user_id, hour_bucket), so a
