@@ -44,18 +44,24 @@ object UrlFilter {
   }
 
   /** Robots-rules screen — the other half of the frontier gate: apply
-    * per-host (path_prefix, allow) rules with LONGEST-MATCHING-PREFIX
-    * precedence and allow-wins-ties (the documented robots.txt
-    * evaluation order; wildcard patterns out of scope). A URL whose
-    * host has no matching rule is allowed — the crawler default.
+    * per-host (path_prefix, allow) rules with MOST-SPECIFIC-MATCH
+    * precedence (longest pattern) and allow-wins-ties — RFC 9309's
+    * evaluation order, including its `*` (any sequence) and trailing
+    * `$` (end anchor) wildcards. A plain rule is a prefix match; a
+    * wildcard rule is matched through an RE2-safe regex translated
+    * from the pattern (specials quoted, `*` → `.*`, trailing `$` →
+    * end anchor). A URL whose host has no matching rule is allowed —
+    * the crawler default.
     *
     * Shape at scale: the rules table is bounded by hosts × a few rules
-    * (a parsed robots corpus is dimension-sized), so it BROADCASTS;
-    * the match is a host equi-join plus a prefix filter, never URL ×
-    * all-rules; the per-URL argmax rides one groupBy with map-side
-    * combine over ≤ rules-per-host candidates. The winner is picked
-    * through a padded `(len, allow, prefix)` sort key — the langId
-    * argmax trick — so tie-breaks are total and engine-portable. */
+    * (a parsed robots corpus is dimension-sized), so it BROADCASTS —
+    * and the regex translation is computed ONCE per rule on that
+    * dimension side, never per (url, rule) pair; the match is a host
+    * equi-join plus the pattern predicate, never URL × all-rules; the
+    * per-URL argmax rides one `max_by` groupBy with map-side combine
+    * over ≤ rules-per-host candidates, ordered by the
+    * (len, allow, pattern) struct — a total, engine-portable order
+    * with no padded-string key to overflow or collide on delimiters. */
   def robotsFilter(df: DataFrame, idCol: String, urlCol: String,
                    rules: DataFrame): DataFrame = {
     val host = lower(regexp_extract(col(urlCol),
@@ -69,15 +75,31 @@ object UrlFilter {
     val withHp = df.select(col(idCol), col(urlCol),
       host.as("host"), path.as("path"))
       .localCheckpoint()
-    val best = withHp.join(broadcast(rules), Seq("host"))
-      .filter(col("path").startsWith(col("path_prefix")))
+    // pattern → RE2-safe regex, computed on the dimension side: strip a
+    // trailing '$' (the RFC's end anchor), quote every regex special
+    // EXCEPT '*', then turn '*' into '.*' and re-anchor
+    val endAnchor = col("path_prefix").endsWith("$")
+    val core = when(endAnchor,
+      expr("substring(path_prefix, 1, length(path_prefix) - 1)"))
+      .otherwise(col("path_prefix"))
+    val rx = concat(lit("^"),
+      regexp_replace(regexp_replace(core,
+        "[.^$+?(){}\\[\\]|\\\\]", "\\\\$0"), "\\*", ".*"),
+      when(endAnchor, lit("$")).otherwise(lit("")))
+    val compiled = rules.select(col("host"), col("path_prefix"), col("allow"),
+      col("path_prefix").contains("*").or(endAnchor).as("_wild"), rx.as("_rx"))
+    val best = withHp.join(broadcast(compiled), Seq("host"))
+      .filter(when(col("_wild"), regexp_like(col("path"), col("_rx")))
+        .otherwise(col("path").startsWith(col("path_prefix"))))
       .groupBy(col(idCol))
-      .agg(max(format_string("%04d|%d|%s",
-        length(col("path_prefix")), col("allow"), col("path_prefix"))).as("_k"))
+      .agg(max_by(
+        struct(col("path_prefix").as("p"), col("allow").as("a")),
+        struct(length(col("path_prefix")).as("l"), col("allow").as("a"),
+          col("path_prefix").as("p"))).as("_w"))
     withHp.join(best, Seq(idCol), "left")
       .select(col(idCol), col(urlCol), col("host"),
-        coalesce(split(col("_k"), "\\|").getItem(2), lit("")).as("matched_prefix"),
-        coalesce(split(col("_k"), "\\|").getItem(1).cast("long"), lit(1L)).as("allowed"))
+        coalesce(col("_w.p"), lit("")).as("matched_prefix"),
+        coalesce(col("_w.a").cast("long"), lit(1L)).as("allowed"))
   }
 
   /** Per-URL filter report: signals plus the keep gate (0/1). */

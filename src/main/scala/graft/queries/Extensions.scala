@@ -1035,7 +1035,12 @@ object Extensions {
       Seq((host, "/", if (k % 5 == 0) 0L else 1L),
         (host, "/s0", (k % 2).toLong)) ++
         (if (k % 3 == 0) Seq((host, "/s0/s0", 1L)) else Nil) ++
-        (if (k % 7 == 0) Seq((host, "/page", 0L)) else Nil)
+        (if (k % 7 == 0) Seq((host, "/page", 0L)) else Nil) ++
+        // RFC 9309 wildcards: a '*.jpg$' block and a '*'-infix allow —
+        // both LONGER than every plain rule, so the most-specific-match
+        // order decides real winners on the synthetic frontier
+        (if (k % 4 == 0) Seq((host, "/*.jpg$", 0L)) else Nil) ++
+        (if (k % 6 == 0) Seq((host, "/s1*page", 1L)) else Nil)
     }.toDF("host", "path_prefix", "allow")
   }
 
@@ -2229,9 +2234,14 @@ object ExtensionOracles {
       |        THEN 1 ELSE 0 END)::BIGINT AS keep
       |FROM e ORDER BY o_orderkey""".stripMargin
 
-  /** [[Extensions.urlRobots]]: rebuild frontier and rules, re-derive the
-    * longest-match winner with the same padded (len, allow, prefix)
-    * argmax key. */
+  /** [[Extensions.urlRobots]]: rebuild frontier and rules (incl. the
+    * RFC 9309 wildcard rules), translate each pattern to the same
+    * RE2-safe regex ('.'-escape suffices: the synthesized patterns'
+    * only regex special besides '*' and the trailing '$' anchor), and
+    * re-derive the most-specific-match winner with a padded
+    * (len, allow, pattern) argmax key — lexicographically identical to
+    * the operator's (len, allow, pattern) struct order on this
+    * ruleset. */
   val urlRobots: String =
     """WITH kk AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 17)),
       |rules AS (
@@ -2239,7 +2249,17 @@ object ExtensionOracles {
       |         CASE WHEN k % 5 = 0 THEN 0 ELSE 1 END AS allow FROM kk
       |  UNION ALL SELECT 'h'||k||'.example.org', '/s0', k % 2 FROM kk
       |  UNION ALL SELECT 'h'||k||'.example.org', '/s0/s0', 1 FROM kk WHERE k % 3 = 0
-      |  UNION ALL SELECT 'h'||k||'.example.org', '/page', 0 FROM kk WHERE k % 7 = 0),
+      |  UNION ALL SELECT 'h'||k||'.example.org', '/page', 0 FROM kk WHERE k % 7 = 0
+      |  UNION ALL SELECT 'h'||k||'.example.org', '/*.jpg$', 0 FROM kk WHERE k % 4 = 0
+      |  UNION ALL SELECT 'h'||k||'.example.org', '/s1*page', 1 FROM kk WHERE k % 6 = 0),
+      |rx AS (
+      |  SELECT host, path_prefix, allow,
+      |         (contains(path_prefix, '*') OR path_prefix LIKE '%$') AS wild,
+      |         '^' || replace(replace(CASE WHEN path_prefix LIKE '%$'
+      |                    THEN left(path_prefix, len(path_prefix) - 1)
+      |                    ELSE path_prefix END, '.', '\.'), '*', '.*') ||
+      |           CASE WHEN path_prefix LIKE '%$' THEN '$' ELSE '' END AS pat
+      |  FROM rules),
       |raw AS (
       |  SELECT o_orderkey,
       |    CASE WHEN o_orderkey % 13 = 0 THEN 'ftp://' ELSE 'https://' END ||
@@ -2257,7 +2277,9 @@ object ExtensionOracles {
       |m AS (
       |  SELECT hp.o_orderkey,
       |         max(printf('%04d|%d|%s', len(r.path_prefix), r.allow, r.path_prefix)) AS mk
-      |  FROM hp JOIN rules r ON hp.host = r.host AND starts_with(hp.path, r.path_prefix)
+      |  FROM hp JOIN rx r ON hp.host = r.host
+      |   AND (CASE WHEN r.wild THEN regexp_matches(hp.path, r.pat)
+      |             ELSE starts_with(hp.path, r.path_prefix) END)
       |  GROUP BY 1)
       |SELECT hp.o_orderkey, hp.url, hp.host,
       |       coalesce(split_part(m.mk, '|', 3), '') AS matched_prefix,

@@ -105,6 +105,48 @@ class GopherUrlSpec extends AnyFunSuite with SparkSpec {
       (4L, "/x", 1L), (5L, "", 1L)))
   }
 
+  test("robots wildcards: * and $ patterns, most-specific wins, allow wins wildcard ties") {
+    val rules = Seq(
+      ("a.com", "/", 1L),
+      ("a.com", "/*.pdf$", 0L),       // len 7: block pdfs anywhere
+      ("a.com", "/docs*", 1L),        // len 6
+      ("a.com", "/d*s", 0L),          // len 4
+      ("b.com", "/x*y", 0L),
+      ("b.com", "/x*y", 1L),          // same pattern: allow wins the tie
+      ("c.com", "/a$", 0L)            // end anchor: exact path only
+    ).toDF("host", "path_prefix", "allow")
+    val urls = Seq(
+      (1L, "https://a.com/docs/manual.pdf"),  // /*.pdf$ (7) beats /docs* (6) → deny
+      (2L, "https://a.com/docs/manual.html"), // /docs* (6) beats /d*s (4) → allow
+      (3L, "https://b.com/xzzy"),             // wildcard tie → allow
+      (4L, "https://c.com/a"),                // anchored exact match → deny
+      (5L, "https://c.com/ab")                // anchor misses → crawler default
+    ).toDF("id", "url")
+    val got = UrlFilter.robotsFilter(urls, "id", "url", rules)
+      .orderBy("id")
+      .select("id", "matched_prefix", "allowed")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "/*.pdf$", 0L), (2L, "/docs*", 1L), (3L, "/x*y", 1L),
+      (4L, "/a$", 0L), (5L, "", 1L)))
+    // regex specials stay LITERAL: in a plain rule they never reach a
+    // regex engine, and in a wildcard rule they must be quoted —
+    // an unquoted '(' would be an invalid (or wrong) pattern
+    val weird = Seq(
+      ("d.com", "/p(1)+x", 0L),       // plain, specials literal
+      ("d.com", "/p(1)*z$", 1L),      // wildcard with quoted specials
+      ("d.com", "/", 1L)
+    ).toDF("host", "path_prefix", "allow")
+    val wUrls = Seq(
+      (1L, "https://d.com/p(1)+x?q=2"),  // path '/p(1)+x': plain rule wins
+      (2L, "https://d.com/p(1)+xz")      // '/p(1)*z$' (8) beats '/p(1)+x' (7)
+    ).toDF("id", "url")
+    val w = UrlFilter.robotsFilter(wUrls, "id", "url", weird)
+      .orderBy("id").select("id", "matched_prefix", "allowed")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(w == Seq((1L, "/p(1)+x", 0L), (2L, "/p(1)*z$", 1L)))
+  }
+
   test("robots rules broadcast; no cartesian in the plan") {
     val plan = graft.queries.Extensions.urlRobots(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
