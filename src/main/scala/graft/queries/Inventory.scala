@@ -508,7 +508,16 @@ object Inventory {
     * is bounded by KEY WIDTH (≤ 63), never by row count; the level
     * frontier stays the full key set but each step is a narrow
     * projection, no join. DuckDB runs the identical recursion for the
-    * oracle. */
+    * oracle.
+    *
+    * SCALE CAVEAT — the frontier here is NON-SHRINKING by design:
+    * `WHERE cur > 1` sheds a row only when its chain terminates, so the
+    * recursion does ~log2(maxKey) near-full-table passes. That is the
+    * right shape for this arithmetic walk (each pass is a shuffle-free
+    * narrow projection) but the WRONG shape for a production walk over
+    * a graph table, where each level must be a frontier ⋈ edges JOIN so
+    * per-level cost tracks the LIVE frontier, not the start set —
+    * [[q33GraphWalk]] exercises exactly that shrinking-frontier shape. */
   def q32Recursive(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("graft_q32_customer")
     s.sql("""
@@ -518,6 +527,34 @@ object Inventory {
         SELECT start_key, cur div 2, depth + 1 FROM anc WHERE cur > 1)
       SELECT start_key AS c_custkey, max(depth) AS chain_len, count(*) AS n_nodes
       FROM anc GROUP BY start_key ORDER BY c_custkey""")
+  }
+
+  /** Q33 — recursive graph walk with a SHRINKING frontier: the
+    * production counterpart of [[q32Recursive]]'s caveat. A
+    * parent-pointer edge TABLE (child = c_custkey, parent = child
+    * div 2, materialized from customer — standing in for any edge
+    * relation) is walked upward from a sparse seed set (keys ≡ 0
+    * mod 97) by joining the recursive frontier against the edges each
+    * level: per-level cost tracks the LIVE frontier (seeds × 1, then
+    * fewer as chains reach the root and fall off the join), never the
+    * full table — the shape a 100 TB lineage/thread/category walk
+    * needs. Termination is structural (the root has no edge row), not
+    * a predicate. DuckDB runs the identical recursion for the oracle. */
+  def q33GraphWalk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_q33_customer")
+    s.sql("""
+      WITH RECURSIVE
+      edges AS (
+        SELECT c_custkey AS child, c_custkey div 2 AS parent
+        FROM graft_q33_customer WHERE c_custkey > 1),
+      walk(start_key, cur, depth) AS (
+        SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+        FROM graft_q33_customer WHERE c_custkey % 97 = 0
+        UNION ALL
+        SELECT w.start_key, e.parent, w.depth + 1
+        FROM walk w JOIN edges e ON w.cur = e.child)
+      SELECT start_key AS c_custkey, max(depth) AS chain_len, count(*) AS n_nodes
+      FROM walk GROUP BY start_key ORDER BY c_custkey""")
   }
 
   /** Q23 — gap-based sessionization (30-min gap) over events: the

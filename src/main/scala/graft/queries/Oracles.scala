@@ -269,6 +269,22 @@ object Oracles {
       |SELECT start_key AS c_custkey, max(depth) AS chain_len, count(*) AS n_nodes
       |FROM anc GROUP BY start_key ORDER BY c_custkey""".stripMargin
 
+  /** [[Inventory.q33GraphWalk]]'s identical recursion — frontier ⋈
+    * edge-table walk from the sparse seed set. */
+  val q33GraphWalk: String =
+    """WITH RECURSIVE
+      |edges AS (
+      |  SELECT c_custkey AS child, c_custkey // 2 AS parent
+      |  FROM customer WHERE c_custkey > 1),
+      |walk(start_key, cur, depth) AS (
+      |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+      |  FROM customer WHERE c_custkey % 97 = 0
+      |  UNION ALL
+      |  SELECT w.start_key, e.parent, w.depth + 1
+      |  FROM walk w JOIN edges e ON w.cur = e.child)
+      |SELECT start_key AS c_custkey, max(depth) AS chain_len, count(*) AS n_nodes
+      |FROM walk GROUP BY start_key ORDER BY c_custkey""".stripMargin
+
   val q29Funnel: String =
     """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
       |           WHERE event_type = 'view' GROUP BY 1),
