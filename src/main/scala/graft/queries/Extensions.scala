@@ -698,18 +698,20 @@ object Extensions {
   /** The z-order pruning argument EXECUTED against storage
     * ([[layoutZorder]] reports the spans; this reads a table laid out
     * by them): orders live `partitionBy(zbucket)` (top 8 Morton bits),
-    * and a 128-wide range filter on x alone reaches the scan as a
+    * and a 64-wide range filter on x alone reaches the scan as a
     * STATIC partition filter — the candidate bucket set is pure integer
     * arithmetic on the driver (the even bits of a bucket ARE x₉..x₆, so
-    * x ∈ [256, 383] ⇒ x>>6 ∈ {4,5} ⇒ 32 of 256 directories listed,
-    * never a data scan). This is [[annIvfStored]]'s scan-cost-scales-
-    * with-selectivity property for plain relational range predicates;
-    * PlanAuditSpec asserts the PartitionFilters line and the 32-of-256
-    * listing. Oracle is the plain unstored scan — layout-invariance at
-    * the correctness gate. */
+    * x ∈ [64, 127] ⇒ x>>6 = 1 ⇒ 16 of 256 directories listed,
+    * never a data scan). The window sits low in the x domain so every
+    * scale factor populates it (sf0.001 has only 150 customers). This
+    * is [[annIvfStored]]'s scan-cost-scales-with-selectivity property
+    * for plain relational range predicates; PlanAuditSpec asserts the
+    * PartitionFilters line and the 16-of-256 listing. Oracle is the
+    * plain unstored scan — layout-invariance at the correctness
+    * gate. */
   def layoutZorderStored(s: SparkSession, dir: String): DataFrame = {
     val stored = s.read.parquet(zorderStore(s, dir))
-    val (lo, hi) = (256L, 383L)
+    val (lo, hi) = (64L, 127L)
     // zbucket bits (z>>12, 8 wide): even positions carry x9..x6, odd
     // carry y9..y6 — compact the even bits to recover x>>6
     val buckets = (0 until 256).filter { zb =>
@@ -1764,7 +1766,7 @@ object ExtensionOracles {
       |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
       |  FROM orders)
       |SELECT x, count(*) AS n, CAST(sum(y) AS BIGINT) AS sum_y
-      |FROM o WHERE x BETWEEN 256 AND 383
+      |FROM o WHERE x BETWEEN 64 AND 127
       |GROUP BY x ORDER BY x""".stripMargin
 
   /** [[Extensions.corpusOffsets]] as the single-window formulation the

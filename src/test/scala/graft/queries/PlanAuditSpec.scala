@@ -75,7 +75,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     //  pre-checkpoint projection is url_filter's shape)
     ("corpus_shard", "source", "text"),              // documents: id+text only
     ("text_winnow", "lang", "text"),                 // documents: id+text only
-    ("q30_full_outer", "c_mktsegment", "c_acctbal")) // customer: key+balance only
+    ("q30_full_outer", "c_mktsegment", "c_acctbal"), // customer: key+balance only
+    ("skew_join", "l_partkey", "l_quantity"))        // lineitem: key+qty only
+    // (q33_graph_walk's scans sit inside the recursive-CTE loop nodes,
+    //  which don't surface a ReadSchema line in the printed plan)
     // (text_familiarity's and corpus_incremental's shingle scans sit
     //  behind localCheckpoints, invisible in the final plan — the
     //  text_tfidf situation; q29_funnel likewise checkpoints per level)
@@ -117,16 +120,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       .getOrElse(fail("no file scan in layout_zorder_stored plan"))
     assert(scan.toString.contains("PartitionFilters: [zbucket"),
       s"zbucket candidates not applied as a partition filter:\n${scan.toString.take(2000)}")
-    // only the 32 candidate directories (x>>6 ∈ {4,5}) are listed, and
-    // the partitions that survive really cover x ∈ [256, 383] only
+    // only the 16 candidate directories (x>>6 = 1) are listed, and
+    // the partitions that survive really cover x ∈ [64, 127] only
     val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
-    assert(parts.size <= 32, s"${parts.size} z-bucket dirs listed; pruning must keep <= 32 of 256")
+    assert(parts.size <= 16, s"${parts.size} z-bucket dirs listed; pruning must keep <= 16 of 256")
     // layout invariance double-check: pruned read == plain computation
     import org.apache.spark.sql.functions._
     val plain = graft.core.Tables.t(spark, dir, "orders")
       .select((col("o_custkey") % 1024).cast("long").as("x"),
         (datediff(to_date(col("o_orderdate")), lit("1970-01-01")) % 1024).cast("long").as("y"))
-      .filter(col("x").between(256, 383))
+      .filter(col("x").between(64, 127))
       .groupBy("x").agg(count(lit(1)).as("n"), sum(col("y")).as("sum_y"))
       .orderBy("x").collect().toSeq
     assert(df.collect().toSeq == plain)
