@@ -98,6 +98,8 @@ object Multimodal {
         MediaMeta("gif", le16(bytes, 6), le16(bytes, 8), 1, 0)
       else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE"))
         wavMeta(bytes)
+      else if (bytes.length >= 12 && ascii(bytes, 4, "ftyp"))
+        mp4Meta(bytes)
       else MediaMeta("unknown", 0, 0, 0, 0)
     }
 
@@ -122,6 +124,49 @@ object Multimodal {
         else i += 2 + be16(b, i + 2)                     // length-prefixed
       }
       MediaMeta("unknown", 0, 0, 0, 0)
+    }
+
+    /** ISO BMFF (MP4/MOV) box walk — the VIDEO container's metadata
+      * pass: top-level boxes to `moov`, then its children for `mvhd`
+      * (movie time base + duration) and `trak`→`tkhd` (track geometry,
+      * 16.16 fixed-point). Reported as MediaMeta("mp4", width, height,
+      * nFrames = mvhd duration in TIMESCALE TICKS, sampleRateHz = the
+      * timescale) — the (duration, time-base) pair, the same shape the
+      * audio walk reports; ticks equal frames exactly when the
+      * timescale is the frame rate. Frame PIXEL decode stays behind the
+      * [[MediaDecoder]] seam (no JDK video codec exists). Box sizes are
+      * bounds-checked like the RIFF walk: a corrupt size bails to
+      * "unknown" instead of spinning or indexing out of bounds. */
+    private def mp4Meta(b: Array[Byte]): MediaMeta = {
+      // returns the payload offset of the first `name` box in [from, to)
+      def find(name: String, from: Int, to: Int): Int = {
+        var i = from
+        while (i + 8 <= to) {
+          val size = be32(b, i)
+          if (size < 8 || size > to - i) return -1
+          if (ascii(b, i + 4, name)) return i + 8
+          i += size
+        }
+        -1
+      }
+      val n = b.length
+      val moov = find("moov", 0, n)
+      if (moov < 0) return MediaMeta("unknown", 0, 0, 0, 0)
+      val moovEnd = moov - 8 + be32(b, moov - 8)
+      val mvhd = find("mvhd", moov, moovEnd)
+      val trak = find("trak", moov, moovEnd)
+      val tkhd = if (trak < 0) -1
+        else find("tkhd", trak, trak - 8 + be32(b, trak - 8))
+      // version-0 layouts only (32-bit times) — the fixture family and
+      // the overwhelming majority of real files; v1 bails to unknown
+      if (mvhd < 0 || tkhd < 0 || u8(b, mvhd) != 0 || u8(b, tkhd) != 0 ||
+          mvhd + 20 > n || tkhd + 84 > n)
+        return MediaMeta("unknown", 0, 0, 0, 0)
+      val timescale = be32(b, mvhd + 12)
+      val duration = be32(b, mvhd + 16)
+      val w = be32(b, tkhd + 76) >>> 16   // 16.16 fixed point
+      val h = be32(b, tkhd + 80) >>> 16
+      MediaMeta("mp4", w, h, duration, timescale)
     }
 
     /** Walk RIFF chunks to "fmt " for the sample rate. A negative
@@ -294,6 +339,35 @@ object Multimodal {
         "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
         le32(sampleRateHz) ++ le32(sampleRateHz * 2) ++ le16(2) ++ le16(16) ++
         "data".getBytes ++ le32(0)
+
+    /** Minimal byte-valid ISO BMFF (MP4): ftyp + moov{mvhd, trak{tkhd}}
+      * with version-0 layouts, unity matrices, and 16.16 fixed-point
+      * geometry — every field at its spec offset, so the box walk is
+      * exercised against the real container rules. */
+    def mp4(w: Int, h: Int, timescaleHz: Int, durationTicks: Int): Array[Byte] = {
+      val matrix = be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000)
+      val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0x200)
+      val mvhd = be32(108) ++ "mvhd".getBytes ++
+        be32(0) ++                                  // version 0 + flags
+        be32(0) ++ be32(0) ++                       // ctime, mtime
+        be32(timescaleHz) ++ be32(durationTicks) ++
+        be32(0x00010000) ++ Array[Byte](1, 0) ++    // rate 1.0, volume 1.0
+        new Array[Byte](10) ++ matrix ++
+        new Array[Byte](24) ++ be32(2)              // predefined, next track
+      val tkhd = be32(92) ++ "tkhd".getBytes ++
+        be32(7) ++                                  // version 0 + enabled flags
+        be32(0) ++ be32(0) ++                       // ctime, mtime
+        be32(1) ++ be32(0) ++                       // track id, reserved
+        be32(durationTicks) ++
+        new Array[Byte](8) ++                       // reserved
+        new Array[Byte](8) ++                       // layer, alt, volume, reserved
+        matrix ++ be32(w << 16) ++ be32(h << 16)    // 16.16 geometry
+      val trak = be32(8 + tkhd.length) ++ "trak".getBytes ++ tkhd
+      val moov = be32(8 + mvhd.length + trak.length) ++ "moov".getBytes ++ mvhd ++ trak
+      ftyp ++ moov
+    }
 
     /** PCM16 mono WAV carrying actual sample data — the fixture
       * [[PcmDecoder]] decodes back to the exact `samples` array. */

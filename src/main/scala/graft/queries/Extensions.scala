@@ -1203,6 +1203,33 @@ object Extensions {
       .orderBy("media_id")
   }
 
+  /** VIDEO container metadata through the real ISO BMFF box walk
+    * ([[Multimodal.HeaderDecoder]].mp4Meta): per-row byte-valid MP4s
+    * (ftyp + moov{mvhd, trak{tkhd}}, version-0 layouts, 16.16
+    * fixed-point geometry) synthesized from doc_id; the decoder walks
+    * the actual boxes to recover (width, height, duration ticks,
+    * timescale), oracle-checked against the synthesized closed form —
+    * the video-modality sibling of [[mmDecode]]/[[mmAudio]]. Frame
+    * PIXEL decode stays behind the [[Multimodal.MediaDecoder]] seam
+    * (no JDK video codec exists). */
+  def mmVideo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        Multimodal.MediaRow(id, Multimodal.MediaFixtures.mp4(
+          w = (320 + id % 1601).toInt, h = (240 + id % 1081).toInt,
+          timescaleHz = (24 + id % 7).toInt, durationTicks = (30 + id % 86400).toInt))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.decode(media, Multimodal.HeaderDecoder).toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames").cast("long").as("duration_ticks"),
+        col("sample_rate_hz").cast("long").as("timescale_hz"))
+      .orderBy("media_id")
+  }
+
   /** Aspect-preserving resize plan ([[Multimodal.resizePlan]], max side
     * 256) over the SAME synthesized containers as [[mmDecode]], decoded
     * through the real header codec — the metadata half of the resize
@@ -2388,6 +2415,16 @@ object ExtensionOracles {
   val mmAudio: String =
     """SELECT doc_id AS media_id, 'wav' AS kind,
       |       CAST(8000 + doc_id % 40000 AS INT) AS sample_rate_hz
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** The MP4 fixture's closed form — the box walk has to recover the
+    * identical integers from the actual container bytes. */
+  val mmVideo: String =
+    """SELECT doc_id AS media_id, 'mp4' AS kind,
+      |       CAST(320 + doc_id % 1601 AS INT) AS width,
+      |       CAST(240 + doc_id % 1081 AS INT) AS height,
+      |       CAST(30 + doc_id % 86400 AS BIGINT) AS duration_ticks,
+      |       CAST(24 + doc_id % 7 AS BIGINT) AS timescale_hz
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** The PCM fixture's closed form, re-summed per sample index (a

@@ -143,6 +143,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Seq((1L, "png", 37, 21), (2L, "gif", 16, 9)))
   }
 
+  test("MP4 box walk recovers geometry and time base; corrupt boxes bail to unknown") {
+    import Multimodal.{HeaderDecoder, MediaFixtures}
+    val m = HeaderDecoder.decode(MediaFixtures.mp4(1920, 1080, 30, 9000))
+    assert((m.kind, m.width, m.height, m.nFrames, m.sampleRateHz) ==
+      (("mp4", 1920, 1080, 9000, 30)))
+    // an extra top-level box BEFORE moov must be skipped by its size
+    val base = MediaFixtures.mp4(640, 360, 24, 240)
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes ++ "pad!".getBytes
+    val ftypLen = 16
+    val shifted = base.take(ftypLen) ++ free ++ base.drop(ftypLen)
+    val s = HeaderDecoder.decode(shifted)
+    assert((s.kind, s.width, s.height) == (("mp4", 640, 360)))
+    // corrupt: truncated moov, zero/oversized box sizes, missing tkhd
+    assert(HeaderDecoder.decode(base.take(40)).kind == "unknown")
+    val zeroSize = base.clone(); zeroSize(16) = 0; zeroSize(17) = 0; zeroSize(18) = 0; zeroSize(19) = 0
+    assert(HeaderDecoder.decode(zeroSize).kind == "unknown")
+    val hugeSize = base.clone(); hugeSize(16) = 0x7f
+    assert(HeaderDecoder.decode(hugeSize).kind == "unknown")
+    assert(HeaderDecoder.decode("ftypnope".getBytes).kind == "unknown")
+  }
+
   test("PcmDecoder really decodes samples: JDK-encoded WAV round-trips, fixtures match, corrupt blobs fall back") {
     import Multimodal.{MediaFixtures, PcmDecoder}
     import javax.sound.sampled.{AudioFormat, AudioFileFormat, AudioInputStream, AudioSystem}
