@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass URL canonicalization kernel — the codegen'd hot-path form
@@ -111,6 +111,58 @@ object UrlUtil {
   }
 }
 
+object RobotsUtil {
+
+  /** RFC 9309 rule match — `pattern` against `target` (a URL path):
+    * `*` matches any byte sequence (incl. empty), a TRAILING `$`
+    * anchors at end-of-target ('$' elsewhere is literal), every other
+    * byte is literal, and an un-anchored pattern matches any PREFIX of
+    * the target. Iterative two-pointer glob with backtracking to the
+    * last `*` — one linear-ish pass over bytes, no regex compile, no
+    * allocation: the per-(url, rule) cost a 100 TB frontier × rules
+    * join can afford. */
+  def robotsMatch(target: UTF8String, pattern: UTF8String): Boolean = {
+    val t = target.getBytes
+    val p0 = pattern.getBytes
+    val anchored = p0.length > 0 && p0(p0.length - 1) == '$'
+    val pLen = if (anchored) p0.length - 1 else p0.length
+    var ti = 0; var pi = 0
+    var starP = -1; var starT = -1
+    while (ti < t.length) {
+      if (pi < pLen && (p0(pi) == '*' )) { starP = pi; starT = ti; pi += 1 }
+      else if (pi < pLen && p0(pi) == t(ti)) { pi += 1; ti += 1 }
+      else if (starP >= 0) { starT += 1; ti = starT; pi = starP + 1 }
+      else return !anchored && patternDrained(p0, pi, pLen)
+      // un-anchored prefix semantics: the whole pattern consumed means
+      // a prefix of the target matched — done, whatever follows
+      if (!anchored && patternDrained(p0, pi, pLen)) return true
+    }
+    // target exhausted: remaining pattern must be all '*'
+    patternDrained(p0, pi, pLen)
+  }
+
+  /** true iff pattern[pi, pLen) is empty or all '*'. */
+  private def patternDrained(p: Array[Byte], pi0: Int, pLen: Int): Boolean = {
+    var pi = pi0
+    while (pi < pLen && p(pi) == '*') pi += 1
+    pi == pLen
+  }
+}
+
+/** robots_match(path, pattern) → boolean ([[RobotsUtil.robotsMatch]]):
+  * codegen'd, null-safe — the regex-free wildcard matcher (a
+  * column-side regex pattern would recompile per row). */
+case class RobotsMatch(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(t: Any, p: Any): Any =
+    RobotsUtil.robotsMatch(t.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.RobotsUtil.robotsMatch($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RobotsMatch =
+    copy(left = l, right = r)
+}
+
 /** normalize_url(url) → canonical URL string ([[UrlUtil.normalize]]). */
 case class NormalizeUrl(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -125,4 +177,7 @@ case class NormalizeUrl(child: Expression) extends UnaryExpression {
 object Urls {
   def normalizeUrl(url: Column): Column =
     ColumnBridge.column(NormalizeUrl(ColumnBridge.expression(url)))
+  def robotsMatch(path: Column, pattern: Column): Column =
+    ColumnBridge.column(RobotsMatch(
+      ColumnBridge.expression(path), ColumnBridge.expression(pattern)))
 }

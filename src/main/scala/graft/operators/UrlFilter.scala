@@ -54,10 +54,11 @@ object UrlFilter {
     * the crawler default.
     *
     * Shape at scale: the rules table is bounded by hosts × a few rules
-    * (a parsed robots corpus is dimension-sized), so it BROADCASTS —
-    * and the regex translation is computed ONCE per rule on that
-    * dimension side, never per (url, rule) pair; the match is a host
-    * equi-join plus the pattern predicate, never URL × all-rules; the
+    * (a parsed robots corpus is dimension-sized), so it BROADCASTS;
+    * the match is a host equi-join plus the codegen'd
+    * [[graft.functions.RobotsMatch]] glob predicate — one regex-free
+    * byte walk per (url, candidate-rule) pair (a column-side regex
+    * pattern would recompile per row), never URL × all-rules; the
     * per-URL argmax rides one `max_by` groupBy with map-side combine
     * over ≤ rules-per-host candidates, ordered by the
     * (len, allow, pattern) struct — a total, engine-portable order
@@ -75,22 +76,8 @@ object UrlFilter {
     val withHp = df.select(col(idCol), col(urlCol),
       host.as("host"), path.as("path"))
       .localCheckpoint()
-    // pattern → RE2-safe regex, computed on the dimension side: strip a
-    // trailing '$' (the RFC's end anchor), quote every regex special
-    // EXCEPT '*', then turn '*' into '.*' and re-anchor
-    val endAnchor = col("path_prefix").endsWith("$")
-    val core = when(endAnchor,
-      expr("substring(path_prefix, 1, length(path_prefix) - 1)"))
-      .otherwise(col("path_prefix"))
-    val rx = concat(lit("^"),
-      regexp_replace(regexp_replace(core,
-        "[.^$+?(){}\\[\\]|\\\\]", "\\\\$0"), "\\*", ".*"),
-      when(endAnchor, lit("$")).otherwise(lit("")))
-    val compiled = rules.select(col("host"), col("path_prefix"), col("allow"),
-      col("path_prefix").contains("*").or(endAnchor).as("_wild"), rx.as("_rx"))
-    val best = withHp.join(broadcast(compiled), Seq("host"))
-      .filter(when(col("_wild"), regexp_like(col("path"), col("_rx")))
-        .otherwise(col("path").startsWith(col("path_prefix"))))
+    val best = withHp.join(broadcast(rules), Seq("host"))
+      .filter(graft.functions.Urls.robotsMatch(col("path"), col("path_prefix")))
       .groupBy(col(idCol))
       .agg(max_by(
         struct(col("path_prefix").as("p"), col("allow").as("a")),

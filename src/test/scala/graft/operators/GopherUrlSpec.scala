@@ -147,6 +147,42 @@ class GopherUrlSpec extends AnyFunSuite with SparkSpec {
     assert(w == Seq((1L, "/p(1)+x", 0L), (2L, "/p(1)*z$", 1L)))
   }
 
+  test("robotsMatch kernel ≡ regex-translated reference on exhaustive small cases") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(target: String, pattern: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val core = if (anchored) pattern.dropRight(1) else pattern
+      val rx = core.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")
+      val full = "^" + rx + (if (anchored) "$" else ".*")
+      java.util.regex.Pattern.compile(full).matcher(target).matches()
+    }
+    def got(t: String, p: String): Boolean =
+      graft.functions.RobotsUtil.robotsMatch(
+        UTF8String.fromString(t), UTF8String.fromString(p))
+    // exhaustive over short strings from a glob-hostile alphabet:
+    // every pattern of length <= 3 over {a, b, *, $} against every
+    // target of length <= 3 over {a, b, $} — 85 x 40 = 3400 pairs
+    // covering star runs, literal '$' mid-pattern, empty both sides
+    val pChars = Seq('a', 'b', '*', '$')
+    val tChars = Seq('a', 'b', '$')
+    def strings(cs: Seq[Char], n: Int): Seq[String] =
+      (0 to n).flatMap(k => Seq.fill(k)(cs).foldLeft(Seq(""))((acc, c) =>
+        acc.flatMap(s => c.map(s + _))))
+    for (p <- strings(pChars, 3); t <- strings(tChars, 3))
+      assert(got(t, p) == ref(t, p), s"pattern='$p' target='$t'")
+    // plus the shapes the exhaustive lengths can't reach
+    val cases = Seq(
+      ("/docs/manual.pdf", "/*.pdf$", true),
+      ("/docs/manual.pdfx", "/*.pdf$", false),
+      ("/docs/manual.pdf", "/*.pdf", true),
+      ("/a/b/a/b/c", "/a*b*c$", true),
+      ("/a/b/a/b/cx", "/a*b*c$", false),
+      ("/abc", "**b*", true),
+      ("/x", "", true))
+    for ((t, p, want) <- cases)
+      assert(got(t, p) == want && ref(t, p) == want, s"'$p' vs '$t'")
+  }
+
   test("robots rules broadcast; no cartesian in the plan") {
     val plan = graft.queries.Extensions.urlRobots(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
