@@ -114,6 +114,24 @@ object StreamingQueries {
       .orderBy("event_type", "day")
   }
 
+  /** [[streamWindow]]'s APPEND-mode twin ([[graft.streaming.EtlStream
+    * .eventWindowCountsAppend]]): each (day, type) group arrives
+    * exactly once, when the watermark seals the day, and leaves the
+    * state store — the unbounded-stream shape, with the final open day
+    * absent on both sides (the oracle applies the same day end + 1 h ≤
+    * max ts cutoff). Together the pair pins complete ≡ batch (full
+    * answer) and append ≡ batch-restricted-to-sealed (eviction
+    * correctness). */
+  def streamWindowAppend(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_window_append_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1)(
+      graft.streaming.EtlStream.eventWindowCountsAppend(s, _, name))
+    drained(s, name)
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** Watermark-bounded streaming dedup: events staged TWICE so every
     * event_id is re-delivered in a later micro-batch; the surviving rows
     * must be exactly one per event_id (the 40-day horizon covers the
@@ -209,6 +227,17 @@ object StreamingOracles {
     """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
       |       count(*) AS cnt, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
+
+  /** [[streamWindow]]'s batch aggregate restricted to the days the
+    * 1-hour watermark sealed — [[StreamingQueries.streamWindowAppend]]'s
+    * exact output. */
+  val streamWindowAppend: String =
+    """WITH m AS (SELECT max(ts) AS mx FROM events)
+      |SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events, m
+      |WHERE date_trunc('day', ts) + INTERVAL 1 DAY + INTERVAL 1 HOUR <= m.mx
+      |GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
 
   /** Every (purchase, view) pair of the same user with the view in the
     * purchase's preceding hour — the drained inner join's exact output. */

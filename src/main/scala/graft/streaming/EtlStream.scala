@@ -152,7 +152,24 @@ object EtlStream {
     * in-memory sink named `outputTable` (callers drain with
     * processAllAvailable in tests; production would write a real sink).
     */
-  def eventWindowCounts(spark: SparkSession, eventsDir: String, outputTable: String) = {
+  def eventWindowCounts(spark: SparkSession, eventsDir: String, outputTable: String) =
+    windowCountsQuery(spark, eventsDir, outputTable,
+      // complete mode: the drain's oracle is the FULL batch answer —
+      // every day including the one the watermark never passes
+      mode = "complete")
+
+  /** [[eventWindowCounts]]' unbounded-stream twin: APPEND mode with
+    * watermark eviction — each (day, type) group emits exactly once
+    * when the watermark passes the day's end and leaves the state
+    * store, so state holds only open days for the stream's lifetime
+    * (the stream_topk argument applied to the plain windowed
+    * aggregate). The final, never-sealed day stays open by watermark
+    * semantics; the oracle applies the same deterministic cutoff. */
+  def eventWindowCountsAppend(spark: SparkSession, eventsDir: String, outputTable: String) =
+    windowCountsQuery(spark, eventsDir, outputTable, mode = "append")
+
+  private def windowCountsQuery(spark: SparkSession, eventsDir: String,
+                                outputTable: String, mode: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -167,9 +184,7 @@ object EtlStream {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("day"), col("event_type"), col("cnt"), col("sum_value"))
-      // complete mode: a static drain advances the watermark only between
-      // batches, so append mode would hold back the final windows forever.
-      .writeStream.outputMode("complete")
+      .writeStream.outputMode(mode)
       .format("memory").queryName(outputTable)
       .trigger(Trigger.AvailableNow())
       .start()
