@@ -103,8 +103,21 @@ object Main {
               val exists = {
                 val conn = java.sql.DriverManager.getConnection(url)
                 try {
+                  val md = conn.getMetaData
+                  // getTables takes a SEARCH PATTERN: a literal '_'/'%'
+                  // in the table name would act as a wildcard and a
+                  // same-named table elsewhere could false-positive the
+                  // probe — escape with the driver's own escape string
+                  val esc = md.getSearchStringEscape
+                  def quote(name: String) =
+                    name.replace(esc, esc + esc)
+                      .replace("_", esc + "_").replace("%", esc + "%")
+                  // scope to the connection's current schema (null →
+                  // any-schema wildcard), so the probe targets the same
+                  // table the unqualified read/write path resolves
+                  val schema = Option(conn.getSchema).map(quote).orNull
                   def probe(name: String) = {
-                    val rs = conn.getMetaData.getTables(null, null, name, null)
+                    val rs = md.getTables(null, schema, quote(name), null)
                     try rs.next() finally rs.close()
                   }
                   // unquoted DDL folds case DB-specifically (Derby/H2 up,

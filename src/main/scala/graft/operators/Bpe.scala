@@ -16,14 +16,22 @@ import org.apache.spark.sql.functions._
   * reproducible across runs, partitionings, and cluster sizes. */
 object Bpe {
 
-  /** Vocabulary cap for the collected word-frequency table: the one
-    * driver artifact [[train]] materializes. 4M (word, count) rows is
-    * a few hundred MB worst-case — a driver artifact, not a corpus
-    * fraction. The cut keeps the MOST FREQUENT words (ties broken
-    * lexicographically, so the cut is deterministic); BPE merge counts
-    * are frequency-weighted, so dropping singleton-tail junk tokens is
-    * the standard frequency-cutoff every production tokenizer applies. */
+  /** Vocabulary caps for the collected word-frequency table: the one
+    * driver artifact [[train]] materializes. The cut keeps the MOST
+    * FREQUENT words (ties broken lexicographically, so the cut is
+    * deterministic); BPE merge counts are frequency-weighted, so
+    * dropping singleton-tail junk tokens is the standard
+    * frequency-cutoff every production tokenizer applies. Enforced as
+    * BOTH a row cap and a BYTE budget: rows stream to the driver via
+    * `toLocalIterator` in frequency order and ingestion stops at
+    * whichever cap hits first, so a pathological corpus of huge
+    * "words" (minified JS, base64 blobs) cannot blow the driver heap —
+    * the byte-budget cut is as deterministic as the row cut because
+    * the stream order is total. */
   val MaxTrainVocab: Int = 4 * 1000 * 1000
+  /** Driver-heap budget for the streamed vocabulary (estimated as
+    * 2·chars + fixed per-entry overhead): 256 MB. */
+  val MaxTrainVocabBytes: Long = 256L * 1024 * 1024
 
   /** Learn `nMerges` merge rules from the md5-sampled corpus slice.
     * Eager action — but the only collect is the WORD-FREQUENCY table
@@ -36,16 +44,27 @@ object Bpe {
     * lexicographically smallest), and merges with count < 2 stop
     * training early. */
   def train(df: DataFrame, textCol: String, sampleFrac: Double,
-            nMerges: Int): Seq[(String, String)] = {
+            nMerges: Int, maxVocabBytes: Long = MaxTrainVocabBytes): Seq[(String, String)] = {
     require(nMerges > 0 && sampleFrac > 0, "positive nMerges and sampleFrac")
     val cut = CorpusSplit.hexCut(sampleFrac)
-    val wordFreq: Array[(String, Long)] = df
+    val freqIt = df
       .filter(col(textCol).isNotNull &&
         substring(md5(col(textCol)), 1, 8) < lit(cut))
       .select(explode(graft.functions.Bpes.preTokens(col(textCol))).as("w"))
       .groupBy("w").count()
       .orderBy(desc("count"), asc("w")).limit(MaxTrainVocab)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .toLocalIterator()
+    // stream in frequency order under a byte budget — the driver never
+    // holds rows it won't keep (scaladoc on [[MaxTrainVocabBytes]])
+    val acc = mutable.ArrayBuffer.empty[(String, Long)]
+    var bytes = 0L
+    while (freqIt.hasNext && bytes < maxVocabBytes) {
+      val r = freqIt.next()
+      val w = r.getString(0)
+      bytes += 2L * w.length + 56   // chars + String/tuple/count overhead
+      acc += ((w, r.getLong(1)))
+    }
+    val wordFreq: Array[(String, Long)] = acc.toArray
     // symbol sequences, sorted for a deterministic starting order
     var words: Array[(Array[String], Long)] = wordFreq.sortBy(_._1)
       .map { case (w, f) => (w.map(String.valueOf(_)).toArray[String], f) }

@@ -172,19 +172,28 @@ object TextAnalysis {
     * Shape at scale: the trigram projection (codegen'd
     * [[graft.functions.Sketches.charShingles]]) feeds both the df
     * aggregate and the probe side, so it is localCheckpoint'ed to scan
-    * once (tfidf precedent). The df table is bounded by the charset
-    * CUBED — independent of corpus size — so at 100 TB the join back
-    * is a broadcast of a dimension table, and the per-doc aggregate
-    * combines map-side. */
-  def familiarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * once (tfidf precedent). The df table is bounded by the OBSERVED
+    * charset cubed — independent of corpus size, ~2M entries for
+    * ASCII text — so the join back is normally a broadcast of a
+    * dimension table and the per-doc aggregate combines map-side. But
+    * "charset cubed" is NOT universally small: on a CJK-heavy corpus
+    * observed distinct char-3-grams reach billions, where an
+    * unconditional broadcast fails hard. So the df table is counted
+    * after its own checkpoint (the count reuses the materialization
+    * the join needs anyway) and the probe adaptively degrades to a
+    * shuffle join above `broadcastDfLimit` — the [[Dedup.clusters]]
+    * size-gated pattern. */
+  def familiarity(df: DataFrame, idCol: String, textCol: String,
+                  broadcastDfLimit: Long = 2_000_000L): DataFrame = {
     val tri = df.select(col(idCol), explode(Sketches.charShingles(col(textCol), 3)).as("g"))
       .localCheckpoint()
     val dfTab = tri.distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("doc_df"))
-    // explicit broadcast: the df table grows with the CHARSET cubed, not
-    // the corpus, so at any scale the probe join is a map-side lookup —
-    // never a shuffle of the exploded trigram stream
-    tri.join(broadcast(dfTab), "g")
+      .localCheckpoint()   // materialize once: feeds the size gate AND the join
+    val probe =
+      if (dfTab.count() <= broadcastDfLimit) tri.join(broadcast(dfTab), "g")
+      else tri.join(dfTab, "g")   // charset too rich to broadcast: shuffle both sides
+    probe
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tri"), sum(col("doc_df")).as("df_sum"))
       .select(col(idCol), col("n_tri"), col("df_sum"),

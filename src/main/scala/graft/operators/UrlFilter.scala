@@ -50,8 +50,11 @@ object UrlFilter {
     * `$` (end anchor) wildcards. A plain rule is a prefix match; a
     * wildcard rule is matched through an RE2-safe regex translated
     * from the pattern (specials quoted, `*` → `.*`, trailing `$` →
-    * end anchor). A URL whose host has no matching rule is allowed —
-    * the crawler default.
+    * end anchor). The match target is the PATH PLUS QUERY (RFC 9309
+    * §2.2.2 matches the URI from the path onward, so a
+    * `Disallow` of `/&#42;?sessionid=` works), with the empty path coalesced
+    * to `/` as the RFC requires. A URL whose host has no matching
+    * rule is allowed — the crawler default.
     *
     * Shape at scale: the rules table is bounded by hosts × a few rules
     * (a parsed robots corpus is dimension-sized), so it BROADCASTS;
@@ -67,8 +70,14 @@ object UrlFilter {
                    rules: DataFrame): DataFrame = {
     val host = lower(regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
-    val path = regexp_extract(col(urlCol),
-      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // path PLUS query (everything after the authority up to any
+    // fragment) — the RFC 9309 match target. A target not starting
+    // with '/' (empty path, with or without a query) gets the
+    // RFC-mandated leading '/': '' → '/', '?q=1' → '/?q=1'
+    val path0 = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = when(path0.startsWith("/"), path0)
+      .otherwise(concat(lit("/"), path0))
     // materialize: the host/path projection feeds BOTH the match
     // aggregate and the final left side — without the lineage cut the
     // frontier scan and regex extraction run once per consumer (the

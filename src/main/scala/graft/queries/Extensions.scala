@@ -1042,7 +1042,11 @@ object Extensions {
         // both LONGER than every plain rule, so the most-specific-match
         // order decides real winners on the synthetic frontier
         (if (k % 4 == 0) Seq((host, "/*.jpg$", 0L)) else Nil) ++
-        (if (k % 6 == 0) Seq((host, "/s1*page", 1L)) else Nil)
+        (if (k % 6 == 0) Seq((host, "/s1*page", 1L)) else Nil) ++
+        // query-string rule (the RFC 9309 path+query target): a
+        // sessionid-style deny that only matches now that the
+        // operator matches past the '?'
+        (if (k % 2 == 1) Seq((host, "/*?q=1", 0L)) else Nil)
     }.toDF("host", "path_prefix", "allow")
   }
 
@@ -2305,9 +2309,10 @@ object ExtensionOracles {
       |FROM e ORDER BY o_orderkey""".stripMargin
 
   /** [[Extensions.urlRobots]]: rebuild frontier and rules (incl. the
-    * RFC 9309 wildcard rules), translate each pattern to the same
-    * RE2-safe regex ('.'-escape suffices: the synthesized patterns'
-    * only regex special besides '*' and the trailing '$' anchor), and
+    * RFC 9309 wildcard rules incl. the query-string deny), translate
+    * each pattern to the same RE2-safe regex ('.'/'?'-escape suffices:
+    * the synthesized patterns'
+    * only regex specials besides '*' and the trailing '$' anchor), and
     * re-derive the most-specific-match winner with a padded
     * (len, allow, pattern) argmax key — lexicographically identical to
     * the operator's (len, allow, pattern) struct order on this
@@ -2321,13 +2326,14 @@ object ExtensionOracles {
       |  UNION ALL SELECT 'h'||k||'.example.org', '/s0/s0', 1 FROM kk WHERE k % 3 = 0
       |  UNION ALL SELECT 'h'||k||'.example.org', '/page', 0 FROM kk WHERE k % 7 = 0
       |  UNION ALL SELECT 'h'||k||'.example.org', '/*.jpg$', 0 FROM kk WHERE k % 4 = 0
-      |  UNION ALL SELECT 'h'||k||'.example.org', '/s1*page', 1 FROM kk WHERE k % 6 = 0),
+      |  UNION ALL SELECT 'h'||k||'.example.org', '/s1*page', 1 FROM kk WHERE k % 6 = 0
+      |  UNION ALL SELECT 'h'||k||'.example.org', '/*?q=1', 0 FROM kk WHERE k % 2 = 1),
       |rx AS (
       |  SELECT host, path_prefix, allow,
       |         (contains(path_prefix, '*') OR path_prefix LIKE '%$') AS wild,
-      |         '^' || replace(replace(CASE WHEN path_prefix LIKE '%$'
+      |         '^' || replace(replace(replace(CASE WHEN path_prefix LIKE '%$'
       |                    THEN left(path_prefix, len(path_prefix) - 1)
-      |                    ELSE path_prefix END, '.', '\.'), '*', '.*') ||
+      |                    ELSE path_prefix END, '.', '\.'), '?', '\?'), '*', '.*') ||
       |           CASE WHEN path_prefix LIKE '%$' THEN '$' ELSE '' END AS pat
       |  FROM rules),
       |raw AS (
@@ -2342,7 +2348,9 @@ object ExtensionOracles {
       |hp AS (
       |  SELECT o_orderkey, url,
       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
-      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      |    CASE WHEN starts_with(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '/')
+      |         THEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+      |         ELSE '/' || regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS path
       |  FROM raw),
       |m AS (
       |  SELECT hp.o_orderkey,

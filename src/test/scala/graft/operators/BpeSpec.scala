@@ -60,6 +60,19 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 2L, 2L), (2L, 1L, 3L)))
   }
 
+  test("byte-budget vocab cut: deterministic, partition-independent, and strict") {
+    val docs = graft.core.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    // a budget small enough to truncate the vocab mid-stream: still
+    // deterministic (total stream order) and partition-independent
+    val m1 = Bpe.train(docs, "text", sampleFrac = 0.2, nMerges = 16, maxVocabBytes = 4096L)
+    val m2 = Bpe.train(docs.repartition(11), "text", sampleFrac = 0.2, nMerges = 16, maxVocabBytes = 4096L)
+    assert(m1 == m2 && m1.nonEmpty)
+    // the truncated vocab differs from the full run's view of the
+    // corpus, so the learned merges may differ — but both paths train
+    val full = Bpe.train(docs, "text", sampleFrac = 0.2, nMerges = 16)
+    assert(full.size == 16)
+  }
+
   test("training is deterministic and the corpus run is partition-independent") {
     val docs = graft.core.Tables.t(spark, "/root/testdata/sf0.01", "documents")
     val m1 = Bpe.train(docs, "text", sampleFrac = 0.2, nMerges = 48)

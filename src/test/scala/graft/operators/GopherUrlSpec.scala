@@ -147,6 +147,29 @@ class GopherUrlSpec extends AnyFunSuite with SparkSpec {
     assert(w == Seq((1L, "/p(1)+x", 0L), (2L, "/p(1)*z$", 1L)))
   }
 
+  test("robots: match target is path PLUS query (RFC 9309), empty path is '/'") {
+    val rules = Seq(
+      ("a.com", "/", 1L),
+      ("a.com", "/*?sessionid=", 0L),   // query-string deny
+      ("a.com", "/login$", 0L),         // anchored: a query breaks the anchor
+      ("b.com", "/", 0L)
+    ).toDF("host", "path_prefix", "allow")
+    val urls = Seq(
+      (1L, "https://a.com/page?sessionid=abc"),  // query matched → deny
+      (2L, "https://a.com/page?other=1"),        // query present, no sessionid → allow
+      (3L, "https://a.com/login"),               // anchored exact → deny
+      (4L, "https://a.com/login?next=x"),        // '$' anchor misses past '?' → root allow
+      (5L, "https://b.com"),                     // empty path → '/' → root deny
+      (6L, "https://b.com?q=1")                  // no path, query only: target '?q=1'…
+    ).toDF("id", "url")
+    val got = UrlFilter.robotsFilter(urls, "id", "url", rules)
+      .orderBy("id").select("id", "matched_prefix", "allowed")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "/*?sessionid=", 0L), (2L, "/", 1L), (3L, "/login$", 0L),
+      (4L, "/", 1L), (5L, "/", 0L), (6L, "/", 0L)))
+  }
+
   test("robotsMatch kernel ≡ regex-translated reference on exhaustive small cases") {
     import org.apache.spark.unsafe.types.UTF8String
     def ref(target: String, pattern: String): Boolean = {

@@ -204,4 +204,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(scores(100000L) < real(real.size / 2),
       s"junk ${scores(100000L)} vs median ${real(real.size / 2)}")
   }
+
+  test("familiarity: shuffle-join fallback (broadcastDfLimit=0) ≡ broadcast path") {
+    // the CJK-scale degradation path: force the size gate to reject the
+    // broadcast and assert value equality with the default plan
+    val docs = Seq((1L, "abcd"), (2L, "abce"), (3L, "zq"),
+      (4L, "the cat sat"), (5L, "the cat spat")).toDF("doc_id", "text")
+    val bc = TextAnalysis.familiarity(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val sh = TextAnalysis.familiarity(docs, "doc_id", "text", broadcastDfLimit = 0L)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sh == bc)
+    // and the fallback genuinely dropped the broadcast HINT (Spark may
+    // still auto-broadcast a small table — that's fine; what must go is
+    // the unconditional force)
+    def hinted(limit: Long) = TextAnalysis
+      .familiarity(docs, "doc_id", "text", broadcastDfLimit = limit)
+      .queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
+    assert(hinted(Long.MaxValue) && !hinted(0L))
+  }
 }
