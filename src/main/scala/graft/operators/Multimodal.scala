@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   *
   * Four decoders share the [[MediaDecoder]] seam: [[StubDecoder]]
   * (deterministic fake metadata from a byte hash — CI without any
-  * codec), [[HeaderDecoder]] (real container-header parse, the right
-  * cost for a metadata pass over 100 TB), [[ImageIoDecoder]] (real
-  * PIXEL decode via the JDK's javax.imageio for PNG/JPEG/GIF/BMP), and
-  * [[PcmDecoder]] (real AUDIO SAMPLE decode via the JDK's
-  * javax.sound.sampled for WAV/PCM). Everything Spark-side — schemas,
-  * the mapPartitions batch shape, partitioning, the frame-sample
-  * generator — is identical across the four, so heavier codecs (video
-  * frames) remain a one-class change.
+  * codec), [[HeaderDecoder]] (real container-header parse incl. the
+  * ISO BMFF and RIFF/AVI walks, the right cost for a metadata pass
+  * over 100 TB), [[ImageIoDecoder]] (real PIXEL decode via the JDK's
+  * javax.imageio for PNG/JPEG/GIF/BMP), and [[PcmDecoder]] (real AUDIO
+  * SAMPLE decode via the JDK's javax.sound.sampled for WAV/PCM).
+  * [[MjpegAvi]] adds real VIDEO FRAME pixel decode for MJPEG-in-AVI
+  * (RIFF chunk walk + per-frame JPEG decode — every modality now has a
+  * real-bytes-to-real-samples path in pure JDK). Everything
+  * Spark-side — schemas, the mapPartitions batch shape, partitioning,
+  * the frame-sample generator — is identical across decoders, so
+  * heavier codecs (inter-frame video: H.264 &c., where no JDK codec
+  * exists) remain a one-class change behind the same seam.
   *
   * Scale notes: media blobs dominate row size, so media tables should be
   * written with small `maxRecordsPerFile`/row-group targets and metadata
@@ -98,6 +102,8 @@ object Multimodal {
         MediaMeta("gif", le16(bytes, 6), le16(bytes, 8), 1, 0)
       else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE"))
         wavMeta(bytes)
+      else if (ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "AVI "))
+        aviMeta(bytes)
       else if (bytes.length >= 12 && ascii(bytes, 4, "ftyp"))
         mp4Meta(bytes)
       else MediaMeta("unknown", 0, 0, 0, 0)
@@ -133,10 +139,15 @@ object Multimodal {
       * nFrames = mvhd duration in TIMESCALE TICKS, sampleRateHz = the
       * timescale) — the (duration, time-base) pair, the same shape the
       * audio walk reports; ticks equal frames exactly when the
-      * timescale is the frame rate. Frame PIXEL decode stays behind the
-      * [[MediaDecoder]] seam (no JDK video codec exists). Box sizes are
-      * bounds-checked like the RIFF walk: a corrupt size bails to
-      * "unknown" instead of spinning or indexing out of bounds. */
+      * timescale is the frame rate. Frame PIXEL decode lives in
+      * [[MjpegAvi]] for the one container the JDK can decode
+      * (MJPEG-in-AVI); MP4's compressed codecs (H.264 &c.) stay behind
+      * the [[MediaDecoder]] seam. Box sizes are bounds-checked like the
+      * RIFF walk: a corrupt size bails to "unknown" instead of spinning
+      * or indexing out of bounds. Geometry comes from the first `trak`
+      * whose `tkhd` carries NONZERO dimensions — a real file often
+      * leads with the audio track (width/height 0), which must not mask
+      * the video track's geometry. */
     private def mp4Meta(b: Array[Byte]): MediaMeta = {
       // returns the payload offset of the first `name` box in [from, to)
       def find(name: String, from: Int, to: Int): Int = {
@@ -154,19 +165,80 @@ object Multimodal {
       if (moov < 0) return MediaMeta("unknown", 0, 0, 0, 0)
       val moovEnd = moov - 8 + be32(b, moov - 8)
       val mvhd = find("mvhd", moov, moovEnd)
-      val trak = find("trak", moov, moovEnd)
-      val tkhd = if (trak < 0) -1
-        else find("tkhd", trak, trak - 8 + be32(b, trak - 8))
+      // scan EVERY trak for the first tkhd with nonzero geometry (an
+      // audio-first file reports 0×0 on trak 1); remember the first
+      // well-formed tkhd as the 0×0 fallback when no trak has any
+      var trak = find("trak", moov, moovEnd)
+      var tkhd = -1                     // winning (nonzero-geometry) tkhd
+      var tkhd0 = -1                    // first well-formed tkhd seen
+      while (trak >= 0 && tkhd < 0) {
+        val trakEnd = trak - 8 + be32(b, trak - 8)
+        val t = find("tkhd", trak, trakEnd)
+        if (t >= 0 && u8(b, t) == 0 && t + 84 <= n) {
+          if (tkhd0 < 0) tkhd0 = t
+          if ((be32(b, t + 76) | be32(b, t + 80)) != 0) tkhd = t
+        }
+        trak = find("trak", trakEnd, moovEnd)
+      }
+      if (tkhd < 0) tkhd = tkhd0
       // version-0 layouts only (32-bit times) — the fixture family and
       // the overwhelming majority of real files; v1 bails to unknown
-      if (mvhd < 0 || tkhd < 0 || u8(b, mvhd) != 0 || u8(b, tkhd) != 0 ||
-          mvhd + 20 > n || tkhd + 84 > n)
+      if (mvhd < 0 || tkhd < 0 || u8(b, mvhd) != 0 || mvhd + 20 > n)
         return MediaMeta("unknown", 0, 0, 0, 0)
       val timescale = be32(b, mvhd + 12)
       val duration = be32(b, mvhd + 16)
       val w = be32(b, tkhd + 76) >>> 16   // 16.16 fixed point
       val h = be32(b, tkhd + 80) >>> 16
       MediaMeta("mp4", w, h, duration, timescale)
+    }
+
+    /** RIFF/AVI metadata walk: `LIST hdrl` → `avih` (geometry + total
+      * frame count) and its `LIST strl` → `strh` (time base as a
+      * rate/scale rational). Reported as MediaMeta("avi", width,
+      * height, nFrames = avih dwTotalFrames, sampleRateHz = the
+      * frames-per-second rate/scale quotient, 0 when scale does not
+      * divide rate) — same (count, time-base) shape as the MP4 walk.
+      * Same bounds discipline as [[wavMeta]]: corrupt sizes bail to
+      * "unknown". Frame PIXEL extraction is [[MjpegAvi]]'s job — this
+      * walk reads only the fixed-size headers, the right cost for a
+      * metadata pass. */
+    private def aviMeta(b: Array[Byte]): MediaMeta = {
+      // payload offset of the first chunk with `fourcc` in [from, to);
+      // LIST chunks match on their list TYPE (the 4 bytes after the
+      // size), and the returned offset skips that type tag
+      def find(fourcc: String, from: Int, to: Int): Int = {
+        var i = from
+        while (i + 8 <= to) {
+          val size = le32(b, i + 4)
+          if (size < 0 || size > to - i - 8) return -1
+          if (ascii(b, i, "LIST") && size >= 4 && ascii(b, i + 8, fourcc))
+            return i + 12
+          if (ascii(b, i, fourcc)) return i + 8
+          i += 8 + size + (size & 1)                     // word-aligned
+        }
+        -1
+      }
+      def listEnd(payload: Int): Int = payload - 12 + 8 + le32(b, payload - 8)
+      val n = b.length
+      val hdrl = find("hdrl", 12, n)
+      if (hdrl < 0) return MediaMeta("unknown", 0, 0, 0, 0)
+      val hdrlEnd = listEnd(hdrl)
+      val avih = find("avih", hdrl, hdrlEnd)
+      if (avih < 0 || avih + 40 > n) return MediaMeta("unknown", 0, 0, 0, 0)
+      val nFrames = le32(b, avih + 16)                   // dwTotalFrames
+      val w = le32(b, avih + 32)
+      val h = le32(b, avih + 36)
+      val fps = {
+        val strl = find("strl", hdrl, hdrlEnd)
+        val strh = if (strl < 0) -1 else find("strh", strl, listEnd(strl))
+        if (strh < 0 || strh + 28 > n) 0
+        else {
+          val scale = le32(b, strh + 20)
+          val rate = le32(b, strh + 24)
+          if (scale > 0 && rate % scale == 0) rate / scale else 0
+        }
+      }
+      MediaMeta("avi", w, h, nFrames, fps)
     }
 
     /** Walk RIFF chunks to "fmt " for the sample rate. A negative
@@ -297,6 +369,126 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** REAL video frame pixel decode for the one video container the JDK
+    * can fully decode: MJPEG-in-AVI — each `00dc` movi chunk is a
+    * complete baseline JPEG, so the frame walk is the RIFF chunk
+    * discipline (the WAV/AVI walks above) and the pixel work is
+    * `javax.imageio`'s JPEG reader ([[ImageIoDecoder]]'s codec). This
+    * closes the video seam with zero native libraries; compressed
+    * inter-frame codecs (H.264 in MP4) remain behind [[MediaDecoder]].
+    *
+    * Pixel values are read from the DECODED RASTER's band 0
+    * (`getRaster.getSample`), never `getRGB` — `getRGB` on a grayscale
+    * image applies the linear-gray → sRGB color transform and would
+    * report gamma-bent values, not the codec's samples. */
+  object MjpegAvi extends Serializable {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+    private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => u8(b, i + j) == s.charAt(j))
+
+    /** The `##dc` (compressed video) chunk payloads inside `LIST movi`,
+      * in stream order — each one full JPEG. Empty on anything that is
+      * not a well-formed AVI: same corrupt-blob-never-kills-a-task
+      * contract, same bounds discipline as the header walks. */
+    def frames(bytes: Array[Byte]): Array[Array[Byte]] = {
+      if (!(ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "AVI ")))
+        return Array.empty
+      val n = bytes.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var i = 12
+      var movi = -1
+      var moviEnd = -1
+      while (i + 8 <= n && movi < 0) {
+        val size = le32(bytes, i + 4)
+        if (size < 0 || size > n - i - 8) return Array.empty
+        if (ascii(bytes, i, "LIST") && size >= 4 && ascii(bytes, i + 8, "movi")) {
+          movi = i + 12; moviEnd = i + 8 + size
+        }
+        i += 8 + size + (size & 1)
+      }
+      if (movi < 0) return Array.empty
+      var j = movi
+      while (j + 8 <= moviEnd) {
+        val size = le32(bytes, j + 4)
+        if (size < 0 || size > moviEnd - j - 8) return out.toArray
+        if (u8(bytes, j + 2) == 'd' && u8(bytes, j + 3) == 'c')
+          out += java.util.Arrays.copyOfRange(bytes, j + 8, j + 8 + size)
+        j += 8 + size + (size & 1)
+      }
+      out.toArray
+    }
+
+    /** Decode one frame's pixels: (width, height, Σ band-0 samples,
+      * Σ (row+1)·sample — the position-weighted form, so a decode that
+      * crops, pads, or flips rows cannot checksum-match). None when the
+      * frame bytes are not decodable. */
+    def framePixels(frame: Array[Byte]): Option[(Int, Int, Long, Long)] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))).map { img =>
+        val r = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L; var wsum = 0L
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          r.getSamples(0, y, w, 1, 0, row)
+          var x = 0; var rs = 0L
+          while (x < w) { rs += row(x); x += 1 }
+          sum += rs; wsum += (y + 1L) * rs
+          y += 1
+        }
+        (w, h, sum, wsum)
+      } catch { case _: Exception => None }
+
+    /** CRC32 over the row-major raw band-0 samples of a decoded frame —
+      * the pixel-level fingerprint spec assertions compare against an
+      * independently painted raster. −1 when undecodable. */
+    def frameChecksum(frame: Array[Byte]): Long =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))).map { img =>
+        val r = img.getRaster
+        val w = img.getWidth
+        val crc = new java.util.zip.CRC32
+        val row = new Array[Int](w)
+        val rowBytes = new Array[Byte](w)
+        var y = 0
+        while (y < img.getHeight) {
+          r.getSamples(0, y, w, 1, 0, row)
+          var x = 0
+          while (x < w) { rowBytes(x) = row(x).toByte; x += 1 }
+          crc.update(rowBytes, 0, w)
+          y += 1
+        }
+        crc.getValue
+      }.getOrElse(-1L) catch { case _: Exception => -1L }
+  }
+
+  /** One decoded video frame's pixel reduction — four longs per frame
+    * through the shuffle, never pixels (the [[PcmRow]] discipline). */
+  final case class FrameRow(media_id: Long, frame_idx: Int, width: Int,
+                            height: Int, sum_px: Long, wsum_px: Long)
+
+  /** Distributed VIDEO FRAME pixel decode: per blob, walk the AVI movi
+    * chunks ([[MjpegAvi.frames]]) and JPEG-decode every frame's pixels,
+    * reduced in-task to (geometry, Σsample, Σ(row+1)·sample) — the raw
+    * rasters never enter the shuffle, so a 100 TB video sweep moves
+    * four longs per FRAME, not the pixels. Undecodable frames are
+    * dropped (corrupt-frame-never-kills-a-task); frame_idx keeps the
+    * stream position either way. */
+  def decodeVideoFrames(media: Dataset[MediaRow]): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        MjpegAvi.frames(r.bytes).iterator.zipWithIndex.flatMap { case (f, k) =>
+          MjpegAvi.framePixels(f).map { case (w, h, sum, wsum) =>
+            FrameRow(r.media_id, k, w, h, sum, wsum)
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic, BYTE-VALID media fixtures: real container headers
     * (PNG signature + IHDR with a correct CRC32, JPEG SOI + APP0 + SOF0,
     * GIF screen descriptor, RIFF/WAVE fmt chunk) so [[HeaderDecoder]] is
@@ -367,6 +559,79 @@ object Multimodal {
       val trak = be32(8 + tkhd.length) ++ "trak".getBytes ++ tkhd
       val moov = be32(8 + mvhd.length + trak.length) ++ "moov".getBytes ++ mvhd ++ trak
       ftyp ++ moov
+    }
+
+    /** A REAL baseline JPEG (the JDK encoder at quality 1.0 — all-ones
+      * quantization tables) of a grayscale raster split into a top half
+      * of `v1` and a bottom half of `v2`. With `w` a multiple of 8 and
+      * `h` a multiple of 16 every 8×8 block is UNIFORM, so the DCT has
+      * only a DC coefficient and the quality-1.0 round trip reproduces
+      * each sample EXACTLY (verified empirically over the full fixture
+      * grid) — which is what lets [[graft.queries.Extensions]] put a
+      * closed-form integer oracle on DECODED PIXELS of a lossy codec. */
+    def jpegGrayHalves(w: Int, h: Int, v1: Int, v2: Int): Array[Byte] = {
+      require(w % 8 == 0 && h % 16 == 0, "block-uniform geometry only")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        val v = if (y < h / 2) v1 else v2
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+      try wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      finally wr.dispose()
+      bos.toByteArray
+    }
+
+    /** Byte-valid MJPEG-in-AVI: RIFF/`AVI ` with a `LIST hdrl` carrying
+      * a real `avih` (geometry + frame count) and `LIST strl` with
+      * `strh` (fccType `vids`, handler `MJPG`, rate/scale time base)
+      * and a BITMAPINFOHEADER `strf` (biCompression `MJPG`), then
+      * `LIST movi` holding one word-aligned `00dc` chunk per frame —
+      * every field at its spec offset, so [[MjpegAvi]] and the
+      * [[HeaderDecoder]] AVI walk are exercised against the real
+      * container rules, not an inverse of themselves. */
+    def aviMjpeg(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      def fourcc(s: String) = s.getBytes("US-ASCII")
+      val avih = fourcc("avih") ++ le32(56) ++
+        le32(if (fps > 0) 1000000 / fps else 0) ++   // dwMicroSecPerFrame
+        le32(0) ++ le32(0) ++ le32(0) ++             // maxBytesPerSec, padding, flags
+        le32(frames.length) ++ le32(0) ++            // dwTotalFrames, initialFrames
+        le32(1) ++ le32(0) ++                        // dwStreams, suggestedBufferSize
+        le32(w) ++ le32(h) ++ new Array[Byte](16)    // geometry, dwReserved[4]
+      val strh = fourcc("strh") ++ le32(56) ++
+        fourcc("vids") ++ fourcc("MJPG") ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++  // flags, priority, language, initialFrames
+        le32(1) ++ le32(fps) ++                      // dwScale, dwRate: fps/1
+        le32(0) ++ le32(frames.length) ++            // dwStart, dwLength (frames)
+        le32(0) ++ le32(0xffffffff) ++ le32(0) ++    // suggestedBufferSize, quality, sampleSize
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h)     // rcFrame
+      val strf = fourcc("strf") ++ le32(40) ++
+        le32(40) ++ le32(w) ++ le32(h) ++            // biSize, biWidth, biHeight
+        le16(1) ++ le16(24) ++ fourcc("MJPG") ++     // biPlanes, biBitCount, biCompression
+        le32(w * h * 3) ++ le32(0) ++ le32(0) ++     // biSizeImage, biXPelsPerMeter, biYPelsPerMeter
+        le32(0) ++ le32(0)                           // biClrUsed, biClrImportant
+      val strl = fourcc("LIST") ++ le32(4 + strh.length + strf.length) ++
+        fourcc("strl") ++ strh ++ strf
+      val hdrl = fourcc("LIST") ++ le32(4 + avih.length + strl.length) ++
+        fourcc("hdrl") ++ avih ++ strl
+      val chunks = frames.toArray.flatMap { f =>
+        fourcc("00dc") ++ le32(f.length) ++ f ++
+          (if (f.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+      }
+      val movi = fourcc("LIST") ++ le32(4 + chunks.length) ++
+        fourcc("movi") ++ chunks
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      fourcc("RIFF") ++ le32(body.length) ++ body
     }
 
     /** PCM16 mono WAV carrying actual sample data — the fixture

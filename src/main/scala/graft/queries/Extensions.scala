@@ -1234,6 +1234,39 @@ object Extensions {
       .orderBy("media_id")
   }
 
+  /** REAL video FRAME pixel decode ([[Multimodal.MjpegAvi]]): per-row
+    * byte-valid MJPEG-in-AVI containers — 2–5 real JPEG frames per
+    * blob, each frame a grayscale raster of two closed-form gray
+    * levels (top half v1 = (id·7+13k) mod 256, bottom half
+    * v2 = (id·11+5k) mod 256) encoded by the JDK JPEG writer at
+    * quality 1.0. Block-uniform geometry (w ∈ 8ℤ, h ∈ 16ℤ) makes the
+    * lossy codec's round trip EXACT, so the decoded per-frame pixel
+    * sums Σs and Σ(row+1)·s have integer closed forms the oracle
+    * recomputes — the decoder has to walk the real movi chunks AND
+    * decode real JPEG entropy-coded data to match. The row-weighted
+    * sum catches a decode that flips, crops, or pads rows; the frame
+    * index catches dropped or reordered frames. */
+  def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (16 + (id % 5) * 8).toInt
+        val h = (16 + (id % 3) * 16).toInt
+        val n = (2 + id % 4).toInt
+        val frames = Seq.tabulate(n) { k =>
+          Multimodal.MediaFixtures.jpegGrayHalves(w, h,
+            ((id * 7 + 13L * k) % 256).toInt, ((id * 11 + 5L * k) % 256).toInt)
+        }
+        Multimodal.MediaRow(id,
+          Multimodal.MediaFixtures.aviMjpeg(w, h, (24 + id % 7).toInt, frames))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.decodeVideoFrames(media).toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Multimodal CENSUS capstone: a MIXED-container corpus (PNG, JPEG,
     * WAV, MP4 by doc_id mod 4, every blob byte-valid) through ONE
     * [[Multimodal.HeaderDecoder]] pass, gated by modality-specific
@@ -2475,6 +2508,32 @@ object ExtensionOracles {
       |       CAST(30 + doc_id % 86400 AS BIGINT) AS duration_ticks,
       |       CAST(24 + doc_id % 7 AS BIGINT) AS timescale_hz
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** [[Extensions.mmVideoFrames]]'s closed form: per (doc, frame)
+    * geometry and gray levels from the synthesis formulas, pixel sums
+    * as exact integer arithmetic — Σs = w·(h/2)·(v1+v2) and the
+    * row-weighted Σ(y+1)·s with triangular-number row sums. The Spark
+    * side has to recover these integers from DECODED JPEG pixels (the
+    * quality-1.0 block-uniform round trip is exact; scaladoc on the
+    * fixture). Frame indices come from a constant series filtered to
+    * each row's frame count (DuckDB's generate_series takes no lateral
+    * column args). DuckDB `/` is float division — `//` throughout. */
+  val mmVideoFrames: String =
+    """WITH f AS (
+      |  SELECT d.doc_id, g.k,
+      |         16 + (d.doc_id % 5) * 8 AS w,
+      |         16 + (d.doc_id % 3) * 16 AS h,
+      |         (d.doc_id * 7 + 13 * g.k) % 256 AS v1,
+      |         (d.doc_id * 11 + 5 * g.k) % 256 AS v2
+      |  FROM documents d JOIN generate_series(0, 4) AS g(k)
+      |    ON g.k < 2 + d.doc_id % 4)
+      |SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+      |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST(w * (h // 2) * (v1 + v2) AS BIGINT) AS sum_px,
+      |       CAST(w * (v1 * ((h // 2) * (h // 2 + 1) // 2)
+      |               + v2 * (h * (h + 1) // 2 - (h // 2) * (h // 2 + 1) // 2))
+      |            AS BIGINT) AS wsum_px
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
   /** [[Extensions.mmCensus]]'s closed form: per-kind synthesized
     * fields, the same modality gates, the same exact-integer rollup. */

@@ -203,6 +203,98 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Seq((1L, 16000, 300L, sum, wsum), (2L, 0, 0L, 0L, 0L)))
   }
 
+  test("AVI header walk recovers geometry, frame count, and fps; corrupt bails to unknown") {
+    import Multimodal.{HeaderDecoder, MediaFixtures}
+    val frames = Seq.tabulate(3)(k => MediaFixtures.jpegGrayHalves(24, 32, 10 * k, 200 - k))
+    val avi = MediaFixtures.aviMjpeg(24, 32, 25, frames)
+    val m = HeaderDecoder.decode(avi)
+    assert((m.kind, m.width, m.height, m.nFrames, m.sampleRateHz) ==
+      (("avi", 24, 32, 3, 25)))
+    // corrupt: truncation and an oversized chunk size must bail, not throw
+    assert(HeaderDecoder.decode(avi.take(20)).kind == "unknown")
+    val huge = avi.clone()
+    huge(16) = 0xff.toByte; huge(17) = 0xff.toByte
+    huge(18) = 0xff.toByte; huge(19) = 0x7f.toByte     // hdrl size > file
+    assert(HeaderDecoder.decode(huge).kind == "unknown")
+    // a RIFF that is neither WAVE nor AVI is unknown
+    assert(HeaderDecoder.decode("RIFF   WEBP".getBytes).kind == "unknown")
+  }
+
+  test("MjpegAvi extracts the exact frame payloads, odd lengths word-aligned") {
+    import Multimodal.{MediaFixtures, MjpegAvi}
+    val frames = Seq.tabulate(4)(k => MediaFixtures.jpegGrayHalves(16, 16, k, 255 - k))
+    // JPEG streams can be odd-length: the container pads, the walk must not drift
+    val got = MjpegAvi.frames(MediaFixtures.aviMjpeg(16, 16, 24, frames))
+    assert(got.length == 4)
+    got.zip(frames).foreach { case (g, f) => assert(g.toSeq == f.toSeq) }
+    assert(MjpegAvi.frames("junk".getBytes).isEmpty)
+    assert(MjpegAvi.frames(MediaFixtures.wav(8000)).isEmpty)
+    assert(MjpegAvi.frames(Array.empty[Byte]).isEmpty)
+  }
+
+  test("MjpegAvi really decodes frame pixels: checksum matches an independently painted raster") {
+    import Multimodal.{MediaFixtures, MjpegAvi}
+    val (w, h, v1, v2) = (40, 48, 77, 201)
+    val frame = MediaFixtures.jpegGrayHalves(w, h, v1, v2)
+    // independent fingerprint: CRC32 over the raster bytes we INTENDED,
+    // painted here with no ImageIO anywhere on this side
+    val crc = new java.util.zip.CRC32
+    val row1 = Array.fill(w)(v1.toByte); val row2 = Array.fill(w)(v2.toByte)
+    (0 until h / 2).foreach(_ => crc.update(row1))
+    (0 until h / 2).foreach(_ => crc.update(row2))
+    assert(MjpegAvi.frameChecksum(frame) == crc.getValue)
+    // pixel sums match the closed form the oracle uses
+    val Some((gw, gh, sum, wsum)) = MjpegAvi.framePixels(frame)
+    assert((gw, gh) == ((w, h)))
+    assert(sum == w.toLong * (h / 2) * (v1 + v2))
+    val s1 = (h / 2).toLong * (h / 2 + 1) / 2
+    val s2 = h.toLong * (h + 1) / 2 - s1
+    assert(wsum == w * (v1 * s1 + v2 * s2))
+    assert(MjpegAvi.framePixels("nope".getBytes).isEmpty)
+    assert(MjpegAvi.frameChecksum("nope".getBytes) == -1L)
+  }
+
+  test("decodeVideoFrames: distributed per-frame reduction, corrupt blobs dropped") {
+    import Multimodal.{MediaFixtures, MjpegAvi}
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val frames = Seq.tabulate(3)(k => MediaFixtures.jpegGrayHalves(16, 32, 30 + k, 60 + k))
+    val blobs = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, MediaFixtures.aviMjpeg(16, 32, 24, frames)),
+      Multimodal.MediaRow(2L, "garbage".getBytes)))
+    val rows = Multimodal.decodeVideoFrames(blobs).collect().sortBy(r => (r.media_id, r.frame_idx))
+    assert(rows.map(_.media_id).toSeq == Seq(1L, 1L, 1L))
+    rows.zipWithIndex.foreach { case (r, k) =>
+      val Some((w, h, sum, wsum)) = MjpegAvi.framePixels(frames(k))
+      assert((r.frame_idx, r.width, r.height, r.sum_px, r.wsum_px) ==
+        ((k, w, h, sum, wsum)))
+    }
+  }
+
+  test("MP4 geometry comes from the first trak with nonzero dimensions (audio-first files)") {
+    import Multimodal.{HeaderDecoder, MediaFixtures}
+    // surgery on the single-trak fixture: moov = [8 hdr][mvhd 108][trak 100];
+    // prepend a copy of the trak with its 16.16 geometry zeroed (an audio
+    // track), then fix up the moov size — geometry must come from trak 2
+    val base = MediaFixtures.mp4(1280, 720, 30, 600)
+    val ftypLen = 16
+    val trakStart = ftypLen + 8 + 108
+    val trak = base.slice(trakStart, trakStart + 100)
+    val audioTrak = trak.clone()
+    (92 until 100).foreach(i => audioTrak(i) = 0)       // zero width+height
+    val moovSize = 8 + 108 + 100 + 100
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val twoTrak = base.take(ftypLen) ++ be32(moovSize) ++ "moov".getBytes ++
+      base.slice(ftypLen + 8, trakStart) ++ audioTrak ++ trak
+    val m = HeaderDecoder.decode(twoTrak)
+    assert((m.kind, m.width, m.height, m.nFrames, m.sampleRateHz) ==
+      (("mp4", 1280, 720, 600, 30)))
+    // all-zero-geometry files still parse (0×0 fallback, not unknown)
+    val onlyAudio = base.take(ftypLen) ++ be32(8 + 108 + 100) ++ "moov".getBytes ++
+      base.slice(ftypLen + 8, trakStart) ++ audioTrak
+    val a = HeaderDecoder.decode(onlyAudio)
+    assert((a.kind, a.width, a.height) == (("mp4", 0, 0)))
+  }
+
   test("resize plan preserves aspect ratio and caps the long side") {
     val plan = Multimodal.resizePlan(Multimodal.decode(media), maxSide = 256)
       .collect()
