@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   * hot key's rows spread over `salts` shuffle partitions. Join output
   * is identical to the unsalted join; cost is `salts`× the small side
   * (keep it broadcast-sized per salt).
+  *
+  * When does AQE's split suffice, and when does salting win?
+  * (PlanAuditSpec runs the same skewed join both ways and asserts
+  * answer equality, with the split's firing machine-checked.)
+  *
+  *  - AQE SUFFICES for a plain shuffle JOIN with a hot key: the
+  *    skewed reduce partition is re-read as several mapper-range
+  *    sub-partitions, each joined against the full matching side —
+  *    no plan change, no salt column, works on any already-written
+  *    query. It needs the join to actually be a runtime shuffle join
+  *    (a broadcast join has no skewed shuffle to split — and also no
+  *    skew problem) and adaptive execution to be on.
+  *  - SALTING WINS when the work AFTER the join is still keyed on the
+  *    hot key: AQE splits the join stage only, so a downstream
+  *    `groupBy(hotKey)` re-concentrates the key into one partition
+  *    again, while the salt keeps partial aggregation spread until
+  *    the final `salts`-way combine. Likewise for stateful streaming
+  *    joins (AQE does not replan micro-batches), for skew so extreme
+  *    a single (map, reduce) block breaks transport limits, and for
+  *    engines/pipelines where the plan must be deterministic rather
+  *    than decided by runtime statistics.
   */
 object SkewJoin {
 

@@ -1268,14 +1268,16 @@ object Extensions {
   }
 
   /** Multimodal CENSUS capstone: a MIXED-container corpus (PNG, JPEG,
-    * WAV, MP4 by doc_id mod 4, every blob byte-valid) through ONE
+    * WAV, MP4, AVI by doc_id mod 5, every blob byte-valid) through ONE
     * [[Multimodal.HeaderDecoder]] pass, gated by modality-specific
     * predicates (images: minimum geometry; audio: sample-rate band;
-    * video: minimum duration), rolled up per kind — the
-    * triage-the-crawl pass a mixed 100 TB media dump needs before any
-    * expensive pixel/sample decode, and the proof the four container
-    * walks compose in one plan. Exact integers end to end;
-    * oracle-checked against the synthesized closed form. */
+    * mp4: minimum duration; avi: frame-rate floor + geometry), rolled
+    * up per kind — the triage-the-crawl pass a mixed 100 TB media dump
+    * needs before any expensive pixel/sample decode, and the proof the
+    * five container walks compose in one plan. The AVI blobs are
+    * header-only (empty movi): a metadata triage reads headers, and a
+    * byte-valid frameless AVI is exactly that cost. Exact integers end
+    * to end; oracle-checked against the synthesized closed form. */
   def mmCensus(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val ids = t(s, dir, "documents")
@@ -1283,12 +1285,14 @@ object Extensions {
     val media = ids.mapPartitions { it =>
       it.map { id =>
         val w = (320 + id % 1601).toInt; val h = (240 + id % 1081).toInt
-        Multimodal.MediaRow(id, (id % 4) match {
+        Multimodal.MediaRow(id, (id % 5) match {
           case 0 => Multimodal.MediaFixtures.png(w, h)
           case 1 => Multimodal.MediaFixtures.jpeg(w, h)
           case 2 => Multimodal.MediaFixtures.wav((8000 + id % 40000).toInt)
-          case _ => Multimodal.MediaFixtures.mp4(w, h,
+          case 3 => Multimodal.MediaFixtures.mp4(w, h,
             (24 + id % 7).toInt, (30 + id % 86400).toInt)
+          case _ => Multimodal.MediaFixtures.aviMjpeg(w, h,
+            (24 + id % 7).toInt, Nil)
         })
       }
     }(Encoders.product[Multimodal.MediaRow])
@@ -1298,7 +1302,9 @@ object Extensions {
           col("width") >= 480 && col("height") >= 360) ||
         (col("kind") === "wav" &&
           col("sample_rate_hz").between(16000, 44100)) ||
-        (col("kind") === "mp4" && col("n_frames") >= 3000)).cast("long"))
+        (col("kind") === "mp4" && col("n_frames") >= 3000) ||
+        (col("kind") === "avi" &&
+          col("sample_rate_hz") >= 27 && col("width") >= 480)).cast("long"))
       .groupBy("kind")
       .agg(count(lit(1)).as("n_media"), sum("pass").as("n_pass"),
         sum(col("width").cast("long")).as("sum_w"),
@@ -2540,20 +2546,21 @@ object ExtensionOracles {
   val mmCensus: String =
     """WITH m AS (
       |  SELECT doc_id,
-      |    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-      |                    WHEN 2 THEN 'wav' ELSE 'mp4' END AS kind,
-      |    CASE WHEN doc_id % 4 IN (0, 1, 3) THEN 320 + doc_id % 1601 ELSE 0 END AS w,
-      |    CASE WHEN doc_id % 4 IN (0, 1, 3) THEN 240 + doc_id % 1081 ELSE 0 END AS h,
-      |    CASE WHEN doc_id % 4 = 2 THEN 8000 + doc_id % 40000
-      |         WHEN doc_id % 4 = 3 THEN 24 + doc_id % 7 ELSE 0 END AS rate,
-      |    CASE WHEN doc_id % 4 = 3 THEN 30 + doc_id % 86400
-      |         WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END AS frames
+      |    CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |                    WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4' ELSE 'avi' END AS kind,
+      |    CASE WHEN doc_id % 5 IN (0, 1, 3, 4) THEN 320 + doc_id % 1601 ELSE 0 END AS w,
+      |    CASE WHEN doc_id % 5 IN (0, 1, 3, 4) THEN 240 + doc_id % 1081 ELSE 0 END AS h,
+      |    CASE WHEN doc_id % 5 = 2 THEN 8000 + doc_id % 40000
+      |         WHEN doc_id % 5 IN (3, 4) THEN 24 + doc_id % 7 ELSE 0 END AS rate,
+      |    CASE WHEN doc_id % 5 = 3 THEN 30 + doc_id % 86400
+      |         WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END AS frames
       |  FROM documents),
       |g AS (
       |  SELECT kind, w, h, rate, frames,
       |    CASE WHEN kind IN ('png', 'jpeg') AND w >= 480 AND h >= 360 THEN 1
       |         WHEN kind = 'wav' AND rate BETWEEN 16000 AND 44100 THEN 1
-      |         WHEN kind = 'mp4' AND frames >= 3000 THEN 1 ELSE 0 END AS pass
+      |         WHEN kind = 'mp4' AND frames >= 3000 THEN 1
+      |         WHEN kind = 'avi' AND rate >= 27 AND w >= 480 THEN 1 ELSE 0 END AS pass
       |  FROM m)
       |SELECT kind, count(*) AS n_media, CAST(sum(pass) AS BIGINT) AS n_pass,
       |       CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,

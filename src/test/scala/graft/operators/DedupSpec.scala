@@ -46,6 +46,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (9L, 9L)))
   }
 
+  test("distributed label-propagation fallback ≡ driver union-find on the same edges") {
+    // driverEdgeLimit = 0 forces the >10M-edge path — the code that
+    // actually runs at 100 TB — on a graph union-find solves exactly:
+    // a 5-chain (diameter 4: multiple propagation rounds), a triangle,
+    // a 2-cycle with reversed edge direction, and singletons
+    val ids = (1L to 15L).toDF("doc_id")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),   // chain, min id at one end
+      (6L, 7L), (7L, 8L), (8L, 6L),             // triangle
+      (10L, 9L),                                // reversed: min id on the dst side
+      (12L, 13L), (11L, 13L)                    // star joined through its center
+    ).toDF("id_a", "id_b")
+    val uf = Dedup.clusters(ids, "doc_id", pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val lp = Dedup.clusters(ids, "doc_id", pairs, driverEdgeLimit = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(lp == uf)
+    assert(uf.toMap.apply(5L) == 1L && uf.toMap.apply(9L) == 9L &&
+      uf.toMap.apply(11L) == 11L && uf.toMap.apply(13L) == 11L)
+    // and with maxIter below the chain diameter the fallback must NOT
+    // converge — proving the equality above exercised real propagation
+    // rounds, not a one-hop join
+    val short = Dedup.clusters(ids, "doc_id", pairs, maxIter = 1, driverEdgeLimit = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(short != uf)
+  }
+
   test("simhash: equal text -> equal hash; near-dup -> small hamming") {
     val d = Dedup.simhashDocs(docs, "doc_id", "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

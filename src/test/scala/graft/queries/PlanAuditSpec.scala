@@ -111,6 +111,68 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("skew_join: AQE's runtime split handles the same join UNSALTED, answer-identical to the salted plan") {
+    // The declared skew_join query pre-salts; this runs the identical
+    // skewed join bare under AQE's skew-join optimization (thresholds
+    // tuned down so the sf0.001 hot partition trips them) and asserts
+    // (a) the optimizer really split — the final adaptive plan marks
+    // the skew — and (b) the answer is bit-identical to the salted
+    // plan, which the correctness gate already pins to the oracle.
+    // Where each wins, test-verified here + scaladoc'd on SkewJoin:
+    // AQE's split needs a runtime shuffle-join (forced by disabling
+    // broadcast below) and spreads only the JOIN — a downstream
+    // aggregation on the hot key re-concentrates unless salted, and
+    // stateful streaming joins never get AQE at all.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")   // force the shuffle-join regime
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // .repartition(8): AQE splits a skewed reduce partition at
+      // MAP-OUTPUT-BLOCK granularity, and sf0.001's lineitem is one
+      // parquet split = ONE map task, whose single block is
+      // unsplittable — the split can never fire no matter the
+      // thresholds. At 100 TB a scan has thousands of mappers so the
+      // granularity is moot; at test scale it must be forced. (That
+      // granularity limit is itself a reason salting can win: salting
+      // spreads a hot key even when one mapper produced it.)
+      val li = graft.core.Tables.t(spark, dir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(10)) < 7, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(25)).cast("long"))
+          .as("n_nationkey"),
+        col("l_quantity").cast("long").as("q")).repartition(8)
+      val dim = graft.core.Tables.t(spark, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      val unsalted = li.join(dim, Seq("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"), sum(col("q")).as("sum_qty"))
+        .orderBy("n_name")
+      val aqeRows = unsalted.collect().toSeq
+      // the FINAL adaptive plan (post-execution) must carry the skew
+      // split — otherwise this test silently compares two unsplit plans
+      val finalPlan = unsalted.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("AQEShuffleRead skewed"),
+        s"AQE skew split did not fire — thresholds no longer trip:\n${finalPlan.take(3000)}")
+      val salted = graft.SparkEntry.queries("skew_join")(spark, dir).collect().toSeq
+      assert(aqeRows == salted)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("layout_zorder_stored: x-range filter prunes z-bucket directories at the scan") {
     val df = graft.SparkEntry.queries("layout_zorder_stored")(spark, dir)
     // sparkPlan, not executedPlan: AQE's wrapper has no children, so
