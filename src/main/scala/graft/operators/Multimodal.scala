@@ -470,18 +470,24 @@ object Multimodal {
                             height: Int, sum_px: Long, wsum_px: Long)
 
   /** Distributed VIDEO FRAME pixel decode: per blob, walk the AVI movi
-    * chunks ([[MjpegAvi.frames]]) and JPEG-decode every frame's pixels,
-    * reduced in-task to (geometry, Σsample, Σ(row+1)·sample) — the raw
-    * rasters never enter the shuffle, so a 100 TB video sweep moves
-    * four longs per FRAME, not the pixels. Undecodable frames are
-    * dropped (corrupt-frame-never-kills-a-task); frame_idx keeps the
-    * stream position either way. */
-  def decodeVideoFrames(media: Dataset[MediaRow]): Dataset[FrameRow] = {
+    * chunks ([[MjpegAvi.frames]]) and JPEG-decode each kept frame's
+    * pixels, reduced in-task to (geometry, Σsample, Σ(row+1)·sample) —
+    * the raw rasters never enter the shuffle, so a 100 TB video sweep
+    * moves four longs per FRAME, not the pixels. `everyN` keeps frames
+    * at stream positions 0, N, 2N, … and SKIPS the others BEFORE the
+    * JPEG decode — the chunk walk is byte arithmetic, the entropy
+    * decode is the dominant cost, so a sampled sweep's cost is ∝ 1/N
+    * (the [[sampleFrames]] cadence applied where it pays). Undecodable
+    * frames are dropped (corrupt-frame-never-kills-a-task); frame_idx
+    * keeps the stream position either way. */
+  def decodeVideoFrames(media: Dataset[MediaRow], everyN: Int = 1): Dataset[FrameRow] = {
+    require(everyN > 0, "everyN must be positive")
     implicit val enc = Encoders.product[FrameRow]
     media.mapPartitions { it =>
       it.flatMap { r =>
         MjpegAvi.frames(r.bytes).iterator.zipWithIndex.flatMap { case (f, k) =>
-          MjpegAvi.framePixels(f).map { case (w, h, sum, wsum) =>
+          if (k % everyN != 0) None
+          else MjpegAvi.framePixels(f).map { case (w, h, sum, wsum) =>
             FrameRow(r.media_id, k, w, h, sum, wsum)
           }
         }

@@ -1267,6 +1267,35 @@ object Extensions {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** SAMPLED video frame decode: the same MJPEG-in-AVI corpus as
+    * [[mmVideoFrames]] decoded at an every-3rd-frame cadence — the
+    * sweep shape a 100 TB video pass actually runs: the chunk walk
+    * touches every frame (byte arithmetic), the JPEG entropy decode
+    * (the dominant cost) runs only on kept frames, so cost is ∝ 1/N.
+    * Oracle = the mm_video_frames closed form filtered to sampled
+    * positions — proving the skip happens by STREAM position, not
+    * after decode. */
+  def mmVideoSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (16 + (id % 5) * 8).toInt
+        val h = (16 + (id % 3) * 16).toInt
+        val n = (2 + id % 4).toInt
+        val frames = Seq.tabulate(n) { k =>
+          Multimodal.MediaFixtures.jpegGrayHalves(w, h,
+            ((id * 7 + 13L * k) % 256).toInt, ((id * 11 + 5L * k) % 256).toInt)
+        }
+        Multimodal.MediaRow(id,
+          Multimodal.MediaFixtures.aviMjpeg(w, h, (24 + id % 7).toInt, frames))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.decodeVideoFrames(media, everyN = 3).toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Multimodal CENSUS capstone: a MIXED-container corpus (PNG, JPEG,
     * WAV, MP4, AVI by doc_id mod 5, every blob byte-valid) through ONE
     * [[Multimodal.HeaderDecoder]] pass, gated by modality-specific
@@ -2533,6 +2562,25 @@ object ExtensionOracles {
       |         (d.doc_id * 11 + 5 * g.k) % 256 AS v2
       |  FROM documents d JOIN generate_series(0, 4) AS g(k)
       |    ON g.k < 2 + d.doc_id % 4)
+      |SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+      |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST(w * (h // 2) * (v1 + v2) AS BIGINT) AS sum_px,
+      |       CAST(w * (v1 * ((h // 2) * (h // 2 + 1) // 2)
+      |               + v2 * (h * (h + 1) // 2 - (h // 2) * (h // 2 + 1) // 2))
+      |            AS BIGINT) AS wsum_px
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
+  /** [[Extensions.mmVideoSample]]'s closed form: the mm_video_frames
+    * arithmetic restricted to sampled stream positions k ≡ 0 (mod 3). */
+  val mmVideoSample: String =
+    """WITH f AS (
+      |  SELECT d.doc_id, g.k,
+      |         16 + (d.doc_id % 5) * 8 AS w,
+      |         16 + (d.doc_id % 3) * 16 AS h,
+      |         (d.doc_id * 7 + 13 * g.k) % 256 AS v1,
+      |         (d.doc_id * 11 + 5 * g.k) % 256 AS v2
+      |  FROM documents d JOIN generate_series(0, 4) AS g(k)
+      |    ON g.k < 2 + d.doc_id % 4 AND g.k % 3 = 0)
       |SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
       |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
       |       CAST(w * (h // 2) * (v1 + v2) AS BIGINT) AS sum_px,

@@ -270,6 +270,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("decodeVideoFrames everyN samples by STREAM position, composing with dropped frames") {
+    import Multimodal.MediaFixtures
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val frames = Seq.tabulate(5)(k => MediaFixtures.jpegGrayHalves(16, 16, 40 + k, 80 + k))
+    // corrupt the frame at kept position 2: it must be dropped while
+    // positions 0 and 4 survive — indices stay stream positions, so the
+    // sampling grid does not shift over the gap
+    val broken = frames.updated(2, "not a jpeg".getBytes.asInstanceOf[Array[Byte]])
+    val blobs = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, MediaFixtures.aviMjpeg(16, 16, 24, frames)),
+      Multimodal.MediaRow(2L, MediaFixtures.aviMjpeg(16, 16, 24, broken))))
+    val got = Multimodal.decodeVideoFrames(blobs, everyN = 2).collect()
+      .map(r => (r.media_id, r.frame_idx)).sorted.toSeq
+    assert(got == Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 4)))
+  }
+
   test("MP4 geometry comes from the first trak with nonzero dimensions (audio-first files)") {
     import Multimodal.{HeaderDecoder, MediaFixtures}
     // surgery on the single-trak fixture: moov = [8 hdr][mvhd 108][trak 100];
