@@ -1245,26 +1245,48 @@ object Extensions {
     * recomputes — the decoder has to walk the real movi chunks AND
     * decode real JPEG entropy-coded data to match. The row-weighted
     * sum catches a decode that flips, crops, or pads rows; the frame
-    * index catches dropped or reordered frames. */
-  def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    val ids = t(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
-    val media = ids.mapPartitions { it =>
-      it.map { id =>
-        val w = (16 + (id % 5) * 8).toInt
-        val h = (16 + (id % 3) * 16).toInt
-        val n = (2 + id % 4).toInt
-        val frames = Seq.tabulate(n) { k =>
-          Multimodal.MediaFixtures.jpegGrayHalves(w, h,
-            ((id * 7 + 13L * k) % 256).toInt, ((id * 11 + 5L * k) % 256).toInt)
-        }
-        Multimodal.MediaRow(id,
-          Multimodal.MediaFixtures.aviMjpeg(w, h, (24 + id % 7).toInt, frames))
-      }
-    }(Encoders.product[Multimodal.MediaRow])
-    Multimodal.decodeVideoFrames(media).toDF()
+    * index catches dropped or reordered frames. The corpus is read
+    * from the per-JVM store ([[videoCorpus]]): blob synthesis is
+    * fixture cost, paid once. */
+  def mmVideoFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoFrames(videoCorpus(s, dir)).toDF()
       .orderBy("media_id", "frame_idx")
+
+  /** One stored MJPEG-in-AVI corpus per source dir per JVM — blob
+    * SYNTHESIS (JPEG encoding 2–5 frames per doc) is fixture cost a
+    * real pipeline never pays per query, so like [[bucketedTables]] it
+    * is paid once and the video queries measure what the operator
+    * actually does at 100 TB: scan stored blobs, walk the container,
+    * decode pixels. Any leftover directory from a previous JVM is
+    * deleted before the write. */
+  private val videoStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def videoCorpus(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import org.apache.spark.sql.Encoders
+    val path = videoStores.computeIfAbsent(dir, _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_video_$tag")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (16 + (id % 5) * 8).toInt
+          val h = (16 + (id % 3) * 16).toInt
+          val n = (2 + id % 4).toInt
+          val frames = Seq.tabulate(n) { k =>
+            Multimodal.MediaFixtures.jpegGrayHalves(w, h,
+              ((id * 7 + 13L * k) % 256).toInt, ((id * 11 + 5L * k) % 256).toInt)
+          }
+          Multimodal.MediaRow(id,
+            Multimodal.MediaFixtures.aviMjpeg(w, h, (24 + id % 7).toInt, frames))
+        }
+      }(Encoders.product[Multimodal.MediaRow])
+        .write.mode("overwrite").parquet(loc.toString)
+      loc.toString
+    })
+    s.read.parquet(path).as(Encoders.product[Multimodal.MediaRow])
   }
 
   /** SAMPLED video frame decode: the same MJPEG-in-AVI corpus as
@@ -1275,26 +1297,9 @@ object Extensions {
     * Oracle = the mm_video_frames closed form filtered to sampled
     * positions — proving the skip happens by STREAM position, not
     * after decode. */
-  def mmVideoSample(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    val ids = t(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
-    val media = ids.mapPartitions { it =>
-      it.map { id =>
-        val w = (16 + (id % 5) * 8).toInt
-        val h = (16 + (id % 3) * 16).toInt
-        val n = (2 + id % 4).toInt
-        val frames = Seq.tabulate(n) { k =>
-          Multimodal.MediaFixtures.jpegGrayHalves(w, h,
-            ((id * 7 + 13L * k) % 256).toInt, ((id * 11 + 5L * k) % 256).toInt)
-        }
-        Multimodal.MediaRow(id,
-          Multimodal.MediaFixtures.aviMjpeg(w, h, (24 + id % 7).toInt, frames))
-      }
-    }(Encoders.product[Multimodal.MediaRow])
-    Multimodal.decodeVideoFrames(media, everyN = 3).toDF()
+  def mmVideoSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoFrames(videoCorpus(s, dir), everyN = 3).toDF()
       .orderBy("media_id", "frame_idx")
-  }
 
   /** Multimodal CENSUS capstone: a MIXED-container corpus (PNG, JPEG,
     * WAV, MP4, AVI by doc_id mod 5, every blob byte-valid) through ONE
