@@ -1252,32 +1252,41 @@ object Extensions {
     Multimodal.decodeVideoFrames(videoCorpus(s, dir)).toDF()
       .orderBy("media_id", "frame_idx")
 
-  /** One stored MJPEG-in-AVI corpus per source dir per JVM — blob
-    * SYNTHESIS (JPEG encoding 2–5 frames per doc) is fixture cost a
-    * real pipeline never pays per query, so like [[bucketedTables]] it
-    * is paid once and the video queries measure what the operator
+  /** One stored MJPEG-in-AVI corpus per (source dir, idMod) per JVM —
+    * blob SYNTHESIS (JPEG encoding 2–5 frames per doc) is fixture cost
+    * a real pipeline never pays per query, so like [[bucketedTables]]
+    * it is paid once and the video queries measure what the operator
     * actually does at 100 TB: scan stored blobs, walk the container,
     * decode pixels. Any leftover directory from a previous JVM is
-    * deleted before the write. */
+    * deleted before the write.
+    *
+    * `idMod = 0` derives each blob's CONTENT from the full doc_id
+    * (all-distinct corpus, [[mmVideoFrames]]); a positive `idMod`
+    * derives content from doc_id mod idMod, planting pixel-identical
+    * duplicate groups — while the container FPS still comes from the
+    * full doc_id, so group members differ at the BYTE level
+    * (re-encoded/re-containered duplicates, [[mmVideoDedup]]'s prey). */
   private val videoStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def videoCorpus(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+  private def videoCorpus(s: SparkSession, dir: String,
+                          idMod: Long = 0L): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import org.apache.spark.sql.Encoders
-    val path = videoStores.computeIfAbsent(dir, _ => {
+    val path = videoStores.computeIfAbsent(s"$dir#$idMod", _ => {
       val tag = java.lang.Integer.toHexString(dir.hashCode)
       val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), s"graft_video_$tag")
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_video_${tag}_$idMod")
       loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       val ids = t(s, dir, "documents")
         .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
       ids.mapPartitions { it =>
         it.map { id =>
-          val w = (16 + (id % 5) * 8).toInt
-          val h = (16 + (id % 3) * 16).toInt
-          val n = (2 + id % 4).toInt
+          val m = if (idMod > 0) id % idMod else id     // content id
+          val w = (16 + (m % 5) * 8).toInt
+          val h = (16 + (m % 3) * 16).toInt
+          val n = (2 + m % 4).toInt
           val frames = Seq.tabulate(n) { k =>
             Multimodal.MediaFixtures.jpegGrayHalves(w, h,
-              ((id * 7 + 13L * k) % 256).toInt, ((id * 11 + 5L * k) % 256).toInt)
+              ((m * 7 + 13L * k) % 256).toInt, ((m * 11 + 5L * k) % 256).toInt)
           }
           Multimodal.MediaRow(id,
             Multimodal.MediaFixtures.aviMjpeg(w, h, (24 + id % 7).toInt, frames))
@@ -1288,6 +1297,35 @@ object Extensions {
     })
     s.read.parquet(path).as(Encoders.product[Multimodal.MediaRow])
   }
+
+  /** CONTENT-level video dedup: group videos by a signature of their
+    * DECODED FRAME PIXELS — n_frames, geometry, and three exact frame
+    * reductions (Σ per-frame pixel sum, its frame-order-weighted twin
+    * Σ(k+1)·sum_k, and Σ row-weighted wsum_k) — so two AVIs whose
+    * containers differ byte-for-byte (different fps header, different
+    * entropy bytes after a re-encode) still collide when their pixels
+    * match, which is exactly what byte-hash dedup ([[Extensions
+    * dedup_exact]]'s md5) can never catch. The corpus plants such
+    * groups: content from doc_id mod 120, container fps from the full
+    * doc_id. The frame-ORDER-weighted component keeps two videos with
+    * the same frames in different order apart. Shape at scale: decode
+    * reduces per-frame to longs in-task, the signature is one
+    * map-side-combining groupBy of six integers per video, dup groups
+    * roll up with min-id-keeps — no pairwise comparison anywhere.
+    * Oracle: the same arithmetic from the synthesis closed forms. */
+  def mmVideoDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoFrames(videoCorpus(s, dir, idMod = 120L)).toDF()
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("width")).as("width"), max(col("height")).as("height"),
+        sum(col("sum_px")).as("sig_sum"),
+        sum((col("frame_idx") + 1L) * col("sum_px")).as("sig_osum"),
+        sum(col("wsum_px")).as("sig_wsum"))
+      .groupBy("n_frames", "width", "height", "sig_sum", "sig_osum", "sig_wsum")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("n_frames"),
+        col("width"), col("height"), col("sig_sum"), col("sig_osum"), col("sig_wsum"))
+      .orderBy("keep_id")
 
   /** SAMPLED video frame decode: the same MJPEG-in-AVI corpus as
     * [[mmVideoFrames]] decoded at an every-3rd-frame cadence — the
@@ -2593,6 +2631,38 @@ object ExtensionOracles {
       |               + v2 * (h * (h + 1) // 2 - (h // 2) * (h // 2 + 1) // 2))
       |            AS BIGINT) AS wsum_px
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
+  /** [[Extensions.mmVideoDedup]]'s closed form: per-doc pixel
+    * signatures from the mod-120 content synthesis, grouped and rolled
+    * up with min-id-keeps — all integer-exact, so the engine's decoded
+    * signature has to land on these bits from real JPEG pixels. */
+  val mmVideoDedup: String =
+    """WITH f AS (
+      |  SELECT d.doc_id, d.doc_id % 120 AS m, g.k
+      |  FROM documents d JOIN generate_series(0, 4) AS g(k)
+      |    ON g.k < 2 + (d.doc_id % 120) % 4),
+      |e AS (
+      |  SELECT doc_id, k,
+      |    16 + (m % 5) * 8 AS w, 16 + (m % 3) * 16 AS h,
+      |    (m * 7 + 13 * k) % 256 AS v1, (m * 11 + 5 * k) % 256 AS v2
+      |  FROM f),
+      |p AS (
+      |  SELECT doc_id, k, w, h,
+      |    w * (h // 2) * (v1 + v2) AS sum_k,
+      |    w * (v1 * ((h // 2) * (h // 2 + 1) // 2)
+      |       + v2 * (h * (h + 1) // 2 - (h // 2) * (h // 2 + 1) // 2)) AS wsum_k
+      |  FROM e),
+      |sig AS (
+      |  SELECT doc_id, count(*) AS n_frames, max(w) AS width, max(h) AS height,
+      |    CAST(sum(sum_k) AS BIGINT) AS sig_sum,
+      |    CAST(sum((k + 1) * sum_k) AS BIGINT) AS sig_osum,
+      |    CAST(sum(wsum_k) AS BIGINT) AS sig_wsum
+      |  FROM p GROUP BY doc_id)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups,
+      |       n_frames, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+      |       sig_sum, sig_osum, sig_wsum
+      |FROM sig GROUP BY n_frames, width, height, sig_sum, sig_osum, sig_wsum
+      |ORDER BY keep_id""".stripMargin
 
   /** [[Extensions.mmCensus]]'s closed form: per-kind synthesized
     * fields, the same modality gates, the same exact-integer rollup. */

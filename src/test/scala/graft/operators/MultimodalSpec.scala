@@ -286,6 +286,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 4)))
   }
 
+  test("re-containered duplicates: byte hashes differ, decoded pixel signatures match") {
+    // the mm_video_dedup premise: the same frames at a different fps
+    // produce different CONTAINER bytes (md5 dedup misses the pair)
+    // while the decoded frame pixels are identical
+    import Multimodal.{MediaFixtures, MjpegAvi}
+    val frames = Seq.tabulate(3)(k => MediaFixtures.jpegGrayHalves(24, 32, 15 + k, 230 - k))
+    val a = MediaFixtures.aviMjpeg(24, 32, 24, frames)
+    val b = MediaFixtures.aviMjpeg(24, 32, 30, frames)
+    assert(!java.util.Arrays.equals(a, b))
+    assert(MjpegAvi.frames(a).map(MjpegAvi.frameChecksum).toSeq ==
+      MjpegAvi.frames(b).map(MjpegAvi.frameChecksum).toSeq)
+  }
+
   test("MP4 geometry comes from the first trak with nonzero dimensions (audio-first files)") {
     import Multimodal.{HeaderDecoder, MediaFixtures}
     // surgery on the single-trak fixture: moov = [8 hdr][mvhd 108][trak 100];
