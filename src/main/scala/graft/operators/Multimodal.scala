@@ -567,6 +567,31 @@ object Multimodal {
       ftyp ++ moov
     }
 
+    /** [[wavPcm]] with a `LIST`/`INFO` metadata chunk (an `ICMT`
+      * comment) between `fmt ` and `data` — the tagged-file variant
+      * every ripper/editor writes. The JDK reader skips the tag, so
+      * the DECODED samples are identical to the untagged file while
+      * the container bytes differ: [[graft.queries.Extensions
+      * mmAudioDedup]]'s prey. */
+    def wavPcmTagged(sampleRateHz: Int, samples: Array[Short], tag: String): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = samples(i).toByte
+        data(2 * i + 1) = (samples(i) >> 8).toByte
+        i += 1
+      }
+      val t = tag.getBytes("US-ASCII")
+      val tPad = t ++ (if (t.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+      val list = "LIST".getBytes ++ le32(4 + 8 + tPad.length) ++ "INFO".getBytes ++
+        "ICMT".getBytes ++ le32(t.length) ++ tPad
+      "RIFF".getBytes ++ le32(36 + list.length + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(sampleRateHz) ++ le32(sampleRateHz * 2) ++ le16(2) ++ le16(16) ++
+        list ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
+
     /** A REAL baseline JPEG (the JDK encoder at quality 1.0 — all-ones
       * quantization tables) of a grayscale raster split into a top half
       * of `v1` and a bottom half of `v2`. With `w` a multiple of 8 and

@@ -1207,6 +1207,43 @@ object Extensions {
       .orderBy("media_id")
   }
 
+  /** CONTENT-level audio dedup — the audio twin of [[mmVideoDedup]]:
+    * WAVs grouped by a signature of their DECODED PCM16 samples
+    * (rate, count, Σsᵢ, position-weighted Σ(i+1)·sᵢ — [[Multimodal
+    * decodePcm]]'s four longs per blob), so byte-different files with
+    * the same audio collide. The corpus plants exactly that: sample
+    * content derives from doc_id mod 90, and every odd doc_id carries
+    * a `LIST`/`INFO` comment tag naming its full doc_id — the
+    * tagged-by-a-ripper re-release whose bytes md5 dedup can never
+    * match — which the JDK's real WAV reader skips at decode. Shape at
+    * scale: in-task reduction, one map-side-combining groupBy of four
+    * integers per blob, min-id-keeps rollup, no pairwise comparison.
+    * Oracle: signatures recomputed from the synthesis closed forms. */
+  def mmAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val m = id % 90                                 // content id
+        val n = (100 + m % 157).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((m * 31 + i * 17) % 65536 - 32768).toShort)
+        val rate = (8000 + m % 40000).toInt
+        Multimodal.MediaRow(id,
+          if (id % 2 == 0) Multimodal.MediaFixtures.wavPcm(rate, samples)
+          else Multimodal.MediaFixtures.wavPcmTagged(rate, samples, s"src=$id"))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.decodePcm(media).toDF()
+      .groupBy(col("sample_rate_hz").cast("long").as("sample_rate_hz"),
+        col("n_samples"), col("sum_samples"), col("wsum_samples"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("sample_rate_hz"),
+        col("n_samples"), col("sum_samples"), col("wsum_samples"))
+      .orderBy("keep_id")
+  }
+
   /** VIDEO container metadata through the real ISO BMFF box walk
     * ([[Multimodal.HeaderDecoder]].mp4Meta): per-row byte-valid MP4s
     * (ftyp + moov{mvhd, trak{tkhd}}, version-0 layouts, 16.16
@@ -2631,6 +2668,26 @@ object ExtensionOracles {
       |               + v2 * (h * (h + 1) // 2 - (h // 2) * (h // 2 + 1) // 2))
       |            AS BIGINT) AS wsum_px
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
+  /** [[Extensions.mmAudioDedup]]'s closed form: the mm_pcm sample
+    * arithmetic on the mod-90 content id, grouped by the four-integer
+    * signature with min-id-keeps — the tagged and untagged container
+    * variants must land on identical decoded signatures. */
+  val mmAudioDedup: String =
+    """WITH sig AS (
+      |  SELECT d.doc_id,
+      |         CAST(8000 + (d.doc_id % 90) % 40000 AS BIGINT) AS sample_rate_hz,
+      |         CAST(100 + (d.doc_id % 90) % 157 AS BIGINT) AS n_samples,
+      |         CAST(sum(((d.doc_id % 90) * 31 + g.i * 17) % 65536 - 32768) AS BIGINT) AS sum_samples,
+      |         CAST(sum((g.i + 1) * (((d.doc_id % 90) * 31 + g.i * 17) % 65536 - 32768)) AS BIGINT) AS wsum_samples
+      |  FROM documents d JOIN generate_series(0, 255) AS g(i)
+      |    ON g.i < 100 + (d.doc_id % 90) % 157
+      |  GROUP BY d.doc_id)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups,
+      |       sample_rate_hz, n_samples, sum_samples, wsum_samples
+      |FROM sig
+      |GROUP BY sample_rate_hz, n_samples, sum_samples, wsum_samples
+      |ORDER BY keep_id""".stripMargin
 
   /** [[Extensions.mmVideoDedup]]'s closed form: per-doc pixel
     * signatures from the mod-120 content synthesis, grouped and rolled

@@ -286,6 +286,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 4)))
   }
 
+  test("tagged WAV duplicates: LIST/INFO chunk changes bytes, not decoded samples") {
+    // the mm_audio_dedup premise: a metadata tag makes the container
+    // byte-different while the JDK reader skips it at decode
+    import Multimodal.{MediaFixtures, PcmDecoder, HeaderDecoder}
+    val want = Array.tabulate(200)(i => ((i * 331 - 20000) % 32768).toShort)
+    val plain = MediaFixtures.wavPcm(16000, want)
+    val tagged = MediaFixtures.wavPcmTagged(16000, want, "comment=shard-7")
+    assert(!java.util.Arrays.equals(plain, tagged))
+    assert(PcmDecoder.samples(tagged).get.toSeq == want.toSeq)
+    assert(PcmDecoder.samples(plain).get.toSeq == want.toSeq)
+    // the independent header walk still finds fmt past nothing / the
+    // reader past the tag: both report the same rate and frame count
+    assert(HeaderDecoder.decode(tagged).sampleRateHz == 16000)
+    val m = PcmDecoder.decode(tagged)
+    assert((m.kind, m.nFrames) == (("wav", 200)))
+  }
+
   test("re-containered duplicates: byte hashes differ, decoded pixel signatures match") {
     // the mm_video_dedup premise: the same frames at a different fps
     // produce different CONTAINER bytes (md5 dedup misses the pair)
