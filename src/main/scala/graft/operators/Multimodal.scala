@@ -442,6 +442,55 @@ object Multimodal {
         (w, h, sum, wsum)
       } catch { case _: Exception => None }
 
+    /** 8×8 AVERAGE-HASH of a decoded image — the classic perceptual
+      * fingerprint: downsample the band-0 raster to an 8×8 grid of
+      * cell means and emit one bit per cell, set iff the cell mean
+      * exceeds the global mean. All comparisons are exact integer
+      * cross-multiplies (`cellSum·W·H > totalSum·cellPx`, no float
+      * mean), so the hash is deterministic and closed-form-oracle-able.
+      * The defining invariance: a uniform brightness shift adds the
+      * same constant to every cell mean AND the global mean, leaving
+      * every strict comparison — hence the hash — EXACTLY unchanged,
+      * which is how brightness-shifted re-exports collide here while
+      * their raw pixel signatures ([[framePixels]]) differ. Bit `gy·8
+      * + gx` rides in two 32-bit halves (`hi` = bits 32–63) so the
+      * downstream group key and the DuckDB oracle never wrestle with
+      * a sign bit. None when undecodable; cross-multiply stays inside
+      * Long for any image under ~2.6 gigapixels. */
+    def aHash(frame: Array[Byte]): Option[(Int, Int, Long, Long)] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))).map { img =>
+        val r = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val row = new Array[Int](w)
+        // one pass: per-cell sums for the 8×8 grid + the global sum
+        val cellSum = new Array[Long](64)
+        val cellPx = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val gy = y * 8 / h
+          r.getSamples(0, y, w, 1, 0, row)
+          var x = 0
+          while (x < w) {
+            val c = gy * 8 + x * 8 / w
+            cellSum(c) += row(x); cellPx(c) += 1; total += row(x)
+            x += 1
+          }
+          y += 1
+        }
+        val px = w.toLong * h
+        var hi = 0L; var lo = 0L
+        var i = 0
+        while (i < 64) {
+          if (cellPx(i) > 0 && cellSum(i) * px > total * cellPx(i)) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (w, h, hi, lo)
+      } catch { case _: Exception => None }
+
     /** CRC32 over the row-major raw band-0 samples of a decoded frame —
       * the pixel-level fingerprint spec assertions compare against an
       * independently painted raster. −1 when undecodable. */
@@ -490,6 +539,45 @@ object Multimodal {
           else MjpegAvi.framePixels(f).map { case (w, h, sum, wsum) =>
             FrameRow(r.media_id, k, w, h, sum, wsum)
           }
+        }
+      }
+    }
+  }
+
+  /** Distributed STILL-IMAGE pixel signature: one [[FrameRow]] per
+    * decodable blob (frame_idx 0) through the same per-frame kernel as
+    * the video path — ImageIO decode, raw band-0 raster samples, Σs
+    * and Σ(row+1)·s reduced in-task. Works on any ImageIO container
+    * (PNG/JPEG/GIF/BMP); undecodable blobs are dropped. */
+  def decodeImagePixels(media: Dataset[MediaRow]): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        MjpegAvi.framePixels(r.bytes).map { case (w, h, sum, wsum) =>
+          FrameRow(r.media_id, 0, w, h, sum, wsum)
+        }
+      }
+    }
+  }
+
+  /** One image's perceptual fingerprint — geometry plus the 8×8
+    * average-hash in two 32-bit halves; five longs per blob through
+    * the shuffle, never pixels (the [[FrameRow]] discipline). */
+  final case class AHashRow(media_id: Long, width: Int, height: Int,
+                            ahash_hi: Long, ahash_lo: Long)
+
+  /** Distributed perceptual image fingerprinting: ImageIO-decode each
+    * blob and reduce its raster in-task to the [[MjpegAvi.aHash]]
+    * 8×8 average-hash. Near-duplicate grouping then needs only a
+    * map-side-combining groupBy on the hash (exact-collision form) or
+    * the banded-Hamming join the SimHash path already uses — never a
+    * pairwise pixel comparison. Undecodable blobs are dropped. */
+  def decodeImageAHash(media: Dataset[MediaRow]): Dataset[AHashRow] = {
+    implicit val enc = Encoders.product[AHashRow]
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        MjpegAvi.aHash(r.bytes).map { case (w, h, hi, lo) =>
+          AHashRow(r.media_id, w, h, hi, lo)
         }
       }
     }
@@ -590,6 +678,55 @@ object Multimodal {
         le32(sampleRateHz) ++ le32(sampleRateHz * 2) ++ le16(2) ++ le16(16) ++
         list ++
         "data".getBytes ++ le32(data.length) ++ data
+    }
+
+    /** A real LOSSLESS image — the same two-gray-halves raster as
+      * [[jpegGrayHalves]] encoded by the JDK's PNG, BMP, or GIF codec.
+      * Lossless containers need no block alignment: any geometry
+      * round-trips sample-exact, so the same raster in three different
+      * containers is three byte-different blobs with one pixel
+      * signature ([[graft.queries.Extensions.mmImageDedup]]'s prey). */
+    def imageGrayHalves(w: Int, h: Int, v1: Int, v2: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        val v = if (y < h / 2) v1 else v2
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+
+    /** A lossless image of EIGHT equal-height horizontal bands, band
+      * `b` painted `((seed·7 + b·13 + 5) % 200) + delta` — `delta` is
+      * a uniform brightness shift (≤ 55 keeps every sample under 256,
+      * shift applied AFTER the modulus so no band wraps). With `h` a
+      * multiple of 8 the bands align exactly with [[MjpegAvi.aHash]]'s
+      * grid rows, so the hash has a closed form; with the shift
+      * outside the modulus the hash is delta-invariant by the aHash
+      * invariance argument while Σsample moves by `w·h·delta` — the
+      * [[graft.queries.Extensions.mmImagePhash]] corpus plants exactly
+      * such brightness-shifted, container-switched re-exports. */
+    def imageGrayBands(w: Int, h: Int, seed: Int, delta: Int, fmt: String): Array[Byte] = {
+      require(h % 8 == 0, "h must be a multiple of 8 for band/grid alignment")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        val v = ((seed * 7 + (y * 8 / h) * 13 + 5) % 200) + delta
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
     }
 
     /** A REAL baseline JPEG (the JDK encoder at quality 1.0 — all-ones
@@ -719,6 +856,59 @@ object Multimodal {
           sum += ss(i); wsum += (i + 1L) * ss(i); i += 1
         }
         PcmRow(r.media_id, meta.sampleRateHz, ss.length, sum, wsum)
+      }
+    }
+  }
+
+  /** One audio blob's perceptual fingerprint — rate, sample count and
+    * the 64-window energy-envelope bits in two 32-bit halves; five
+    * longs per blob through the shuffle, never audio. */
+  final case class AudioFpRow(media_id: Long, sample_rate_hz: Int,
+                              n_samples: Int, fp_hi: Long, fp_lo: Long)
+
+  /** Distributed perceptual AUDIO fingerprinting — the audio twin of
+    * [[MjpegAvi.aHash]]: decode PCM16 samples ([[PcmDecoder]]) and
+    * reduce in-task to a 64-window ENERGY ENVELOPE, one bit per
+    * window, set iff the window's Σs² exceeds its share of the total
+    * (`eWin·n > eTot·winLen`, exact integer cross-multiply — no float
+    * mean). The defining invariance: scaling every sample by a gain g
+    * scales both sides by g², leaving every strict comparison — hence
+    * the fingerprint — EXACTLY unchanged, so volume-adjusted
+    * re-releases collide here while their Σsample signatures
+    * ([[decodePcm]]) differ by the gain. Near-dup grouping is then a
+    * map-side-combining groupBy on (rate, count, fp) — never a
+    * pairwise sample comparison; a Hamming-tolerant variant would
+    * reuse the SimHash banding. Cross-multiply stays inside Long for
+    * clips under ~2^19 samples at full 16-bit swing (far above the
+    * fixture sizes; longer audio would fingerprint per-chunk).
+    * Undecodable blobs are dropped. */
+  def decodeAudioFp(media: Dataset[MediaRow]): Dataset[AudioFpRow] = {
+    implicit val enc = Encoders.product[AudioFpRow]
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val meta = PcmDecoder.decode(r.bytes)
+        PcmDecoder.samples(r.bytes).filter(_.nonEmpty).map { ss =>
+          val n = ss.length
+          val winSum = new Array[Long](64)
+          val winLen = new Array[Long](64)
+          var tot = 0L
+          var i = 0
+          while (i < n) {
+            val w = (i.toLong * 64 / n).toInt
+            val e = ss(i).toLong * ss(i)
+            winSum(w) += e; winLen(w) += 1; tot += e
+            i += 1
+          }
+          var hi = 0L; var lo = 0L
+          var w = 0
+          while (w < 64) {
+            if (winLen(w) > 0 && winSum(w) * n > tot * winLen(w)) {
+              if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+            }
+            w += 1
+          }
+          AudioFpRow(r.media_id, meta.sampleRateHz, n, hi, lo)
+        }
       }
     }
   }

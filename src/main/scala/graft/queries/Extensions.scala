@@ -1207,6 +1207,118 @@ object Extensions {
       .orderBy("media_id")
   }
 
+  /** CONTENT-level image dedup — completes the modality triple with
+    * [[mmVideoDedup]] and [[mmAudioDedup]]: still images grouped by a
+    * signature of their DECODED raster (geometry, Σsample,
+    * row-weighted Σ(y+1)·s), so the same picture in different LOSSLESS
+    * containers collides. The corpus plants exactly that: raster
+    * content from doc_id mod 100, container chosen by doc_id mod 3 —
+    * PNG, BMP, or GIF, three real JDK codecs whose bytes share nothing
+    * (different magic, different compression), one pixel signature.
+    * Lossless codecs round-trip sample-exact at any geometry (no block
+    * alignment needed, unlike the JPEG fixture), so the closed-form
+    * oracle is exact. Same scale shape as the twins: in-task
+    * reduction, one map-side-combining groupBy of four integers per
+    * image, min-id-keeps, no pairwise comparison. */
+  def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val m = id % 100                                // content id
+        val w = (24 + m % 40).toInt
+        val h = (16 + (m % 12) * 2).toInt
+        val v1 = ((m * 7 + 5) % 256).toInt
+        val v2 = ((m * 11 + 9) % 256).toInt
+        val fmt = Seq("png", "bmp", "gif")((id % 3).toInt)
+        Multimodal.MediaRow(id,
+          Multimodal.MediaFixtures.imageGrayHalves(w, h, v1, v2, fmt))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.decodeImagePixels(media).toDF()
+      .groupBy("width", "height", "sum_px", "wsum_px")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("width"), col("height"),
+        col("sum_px"), col("wsum_px"))
+      .orderBy("keep_id")
+  }
+
+  /** PERCEPTUAL image near-dedup — one rung above [[mmImageDedup]]'s
+    * exact-content grouping: images grouped by their 8×8 AVERAGE-HASH
+    * ([[graft.operators.Multimodal.MjpegAvi.aHash]]), the classic
+    * perceptual fingerprint whose strict integer comparisons are
+    * invariant under a uniform brightness shift. The corpus plants
+    * exactly the duplicates exact pixel dedup can NEVER group:
+    * content from doc_id mod 100 re-exported per doc_id mod 3 with a
+    * different container (PNG/BMP/GIF) AND a different brightness
+    * (delta = 6·(id mod 3)) — every byte differs, every Σsample
+    * differs, the aHash collides by construction. Same 100 TB shape
+    * as the dedup family: in-task raster reduction to five longs, one
+    * map-side-combining groupBy on (geometry, hash), min-id-keeps, no
+    * pairwise comparison; a Hamming-tolerant variant would reuse the
+    * [[graft.operators.Dedup]] banding instead of the exact key. */
+  def mmImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val m = (id % 100).toInt                        // content id
+        val w = 24 + m % 40
+        val h = 16 + (m % 3) * 8                        // multiple of 8
+        val delta = ((id % 3) * 6).toInt                // brightness shift
+        val fmt = Seq("png", "bmp", "gif")((id % 3).toInt)
+        Multimodal.MediaRow(id,
+          Multimodal.MediaFixtures.imageGrayBands(w, h, m, delta, fmt))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.decodeImageAHash(media).toDF()
+      .groupBy("width", "height", "ahash_hi", "ahash_lo")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("width"), col("height"),
+        col("ahash_hi"), col("ahash_lo"))
+      .orderBy("keep_id")
+  }
+
+  /** PERCEPTUAL audio near-dedup — the audio twin of [[mmImagePhash]]
+    * and one rung above [[mmAudioDedup]]: WAVs grouped by their
+    * 64-window ENERGY-ENVELOPE fingerprint
+    * ([[graft.operators.Multimodal.decodeAudioFp]]), whose strict
+    * integer comparisons are invariant under a uniform volume gain.
+    * The corpus plants exactly the duplicates exact-content dedup can
+    * NEVER group: content from doc_id mod 75, re-released at gain
+    * 1 + (doc_id mod 3) — every byte differs, every Σsample differs
+    * by the gain, the envelope collides by construction (g² scales
+    * both sides of every comparison). Sample count is 64·L with L =
+    * 4 + m mod 5, so envelope windows align with whole samples and
+    * the closed-form oracle is exact. Same 100 TB shape as the dedup
+    * family: in-task reduction to five longs, one map-side-combining
+    * groupBy, min-id-keeps, no pairwise comparison. */
+  def mmAudioFp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val m = (id % 75).toInt                         // content id
+        val g = 1 + (id % 3).toInt                      // volume gain
+        val rate = 8000 + (m % 5) * 1000
+        val n = 64 * (4 + m % 5)
+        val samples = Array.tabulate(n) { i =>
+          (((m * 7 + i * 13) % 97 - 48) * g).toShort
+        }
+        Multimodal.MediaRow(id, Multimodal.MediaFixtures.wavPcm(rate, samples))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    Multimodal.decodeAudioFp(media).toDF()
+      .groupBy("sample_rate_hz", "n_samples", "fp_hi", "fp_lo")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("sample_rate_hz"),
+        col("n_samples"), col("fp_hi"), col("fp_lo"))
+      .orderBy("keep_id")
+  }
+
   /** CONTENT-level audio dedup — the audio twin of [[mmVideoDedup]]:
     * WAVs grouped by a signature of their DECODED PCM16 samples
     * (rate, count, Σsᵢ, position-weighted Σ(i+1)·sᵢ — [[Multimodal
@@ -2668,6 +2780,110 @@ object ExtensionOracles {
       |               + v2 * (h * (h + 1) // 2 - (h // 2) * (h // 2 + 1) // 2))
       |            AS BIGINT) AS wsum_px
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
+  /** [[Extensions.mmImageDedup]]'s closed form: per-doc raster
+    * signatures from the mod-100 content synthesis (h is always even,
+    * so the halves split at h//2 exactly), grouped with min-id-keeps.
+    * Container choice (doc_id mod 3) never appears — that is the
+    * point. */
+  val mmImageDedup: String =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    24 + (doc_id % 100) % 40 AS w,
+      |    16 + ((doc_id % 100) % 12) * 2 AS h,
+      |    ((doc_id % 100) * 7 + 5) % 256 AS v1,
+      |    ((doc_id % 100) * 11 + 9) % 256 AS v2
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |    CAST(w * (h // 2) * (v1 + v2) AS BIGINT) AS sum_px,
+      |    CAST(w * (v1 * ((h // 2) * (h // 2 + 1) // 2)
+      |            + v2 * (h * (h + 1) // 2 - (h // 2) * (h // 2 + 1) // 2))
+      |         AS BIGINT) AS wsum_px
+      |  FROM sig)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups,
+      |       width, height, sum_px, wsum_px
+      |FROM p GROUP BY width, height, sum_px, wsum_px
+      |ORDER BY keep_id""".stripMargin
+
+  /** [[Extensions.mmImagePhash]]'s closed form. Bands align with the
+    * aHash grid rows (h is a multiple of 8), every grid column of a
+    * band shares its bit, and the hash is brightness-shift-invariant,
+    * so the delta term drops out entirely: bit_b = 8·v_b > Σv with
+    * v_b the UNSHIFTED band value, and each set band contributes
+    * 255·256^(b mod 4) to its half. Container and delta (doc_id mod
+    * 3) never appear — that is the point. */
+  val mmImagePhash: String =
+    """WITH sig AS (
+      |  SELECT doc_id, doc_id % 100 AS m FROM documents),
+      |v AS (
+      |  SELECT s.doc_id, s.m, b.band,
+      |         (s.m * 7 + b.band * 13 + 5) % 200 AS val
+      |  FROM sig s, (SELECT unnest(generate_series(0, 7)) AS band) b),
+      |bits AS (
+      |  SELECT doc_id, m, band,
+      |         CASE WHEN val * 8 > sum(val) OVER (PARTITION BY doc_id)
+      |              THEN 1 ELSE 0 END AS bit
+      |  FROM v),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(24 + m % 40 AS INT) AS width,
+      |    CAST(16 + (m % 3) * 8 AS INT) AS height,
+      |    CAST(sum(CASE WHEN band >= 4 THEN bit * CAST(255 AS BIGINT) *
+      |      (CASE band % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+      |            WHEN 2 THEN 65536 ELSE 16777216 END) ELSE 0 END)
+      |      AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN band < 4 THEN bit * CAST(255 AS BIGINT) *
+      |      (CASE band % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+      |            WHEN 2 THEN 65536 ELSE 16777216 END) ELSE 0 END)
+      |      AS BIGINT) AS ahash_lo
+      |  FROM bits GROUP BY doc_id, m)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups,
+      |       width, height, ahash_hi, ahash_lo
+      |FROM h GROUP BY width, height, ahash_hi, ahash_lo
+      |ORDER BY keep_id""".stripMargin
+
+  /** [[Extensions.mmAudioFp]]'s closed form. Windows align with whole
+    * samples (n = 64·L), every window is L samples, and the envelope
+    * is gain-invariant, so the gain term drops out entirely: bit_w =
+    * 64·e_w > E with e_w the UNSCALED window energy. Gain (doc_id mod
+    * 3) never appears — that is the point. pow(2, w) is exact in a
+    * double for w ≤ 52, so the BIGINT cast is safe. */
+  val mmAudioFp: String =
+    """WITH sig AS (
+      |  SELECT doc_id, doc_id % 75 AS m FROM documents),
+      |p AS (
+      |  SELECT doc_id, m, 8000 + (m % 5) * 1000 AS rate,
+      |         4 + m % 5 AS L FROM sig),
+      |s AS (
+      |  SELECT p.doc_id, p.rate, p.L, i.i // p.L AS w,
+      |         ((p.m * 7 + i.i * 13) % 97 - 48) AS v
+      |  FROM p, (SELECT unnest(generate_series(0, 575)) AS i) i
+      |  WHERE i.i < 64 * p.L),
+      |e AS (
+      |  SELECT doc_id, rate, L, w, sum(v * v) AS ew
+      |  FROM s GROUP BY doc_id, rate, L, w),
+      |tot AS (
+      |  SELECT doc_id, sum(ew) AS et FROM e GROUP BY doc_id),
+      |bits AS (
+      |  SELECT e.doc_id, e.rate, e.L, e.w,
+      |         CASE WHEN 64 * e.ew > t.et THEN 1 ELSE 0 END AS bit
+      |  FROM e JOIN tot t ON e.doc_id = t.doc_id),
+      |h AS (
+      |  SELECT doc_id, CAST(rate AS INT) AS sample_rate_hz,
+      |         CAST(64 * L AS INT) AS n_samples,
+      |         CAST(sum(CASE WHEN w >= 32
+      |           THEN bit * CAST(pow(2, w - 32) AS BIGINT) ELSE 0 END)
+      |           AS BIGINT) AS fp_hi,
+      |         CAST(sum(CASE WHEN w < 32
+      |           THEN bit * CAST(pow(2, w) AS BIGINT) ELSE 0 END)
+      |           AS BIGINT) AS fp_lo
+      |  FROM bits GROUP BY doc_id, rate, L)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups,
+      |       sample_rate_hz, n_samples, fp_hi, fp_lo
+      |FROM h GROUP BY sample_rate_hz, n_samples, fp_hi, fp_lo
+      |ORDER BY keep_id""".stripMargin
 
   /** [[Extensions.mmAudioDedup]]'s closed form: the mm_pcm sample
     * arithmetic on the mod-90 content id, grouped by the four-integer

@@ -286,6 +286,91 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 4)))
   }
 
+  test("lossless re-encodes: PNG/BMP/GIF of one raster differ in bytes, agree in pixels") {
+    // the mm_image_dedup premise, and proof the lossless codecs are
+    // sample-exact at arbitrary (unaligned) geometry
+    import Multimodal.{MediaFixtures, MjpegAvi}
+    val blobs = Seq("png", "bmp", "gif")
+      .map(f => MediaFixtures.imageGrayHalves(37, 23, 77, 201, f))
+    for (Seq(a, b) <- blobs.combinations(2))
+      assert(!java.util.Arrays.equals(a, b))
+    val sigs = blobs.map(MjpegAvi.framePixels(_).get).distinct
+    assert(sigs.size == 1)
+    val (w, h, sum, wsum) = sigs.head
+    assert((w, h) == ((37, 23)))
+    // closed form with odd height: h//2 rows of v1, the rest v2
+    assert(sum == 37L * (11 * 77 + 12 * 201))
+    val s1 = 11L * 12 / 2                       // Σ(y+1), y in [0,11)
+    val s2 = 23L * 24 / 2 - s1
+    assert(wsum == 37L * (77 * s1 + 201 * s2))
+  }
+
+  test("aHash: brightness shift and container switch preserve the hash exactly") {
+    // the mm_image_phash premise: bits compare cell mean vs global
+    // mean, both shifted by the same delta, so the hash is invariant
+    import Multimodal.{MediaFixtures, MjpegAvi}
+    val base = MjpegAvi.aHash(MediaFixtures.imageGrayBands(37, 24, 11, 0, "png")).get
+    for (delta <- Seq(6, 12, 55); fmt <- Seq("png", "bmp", "gif")) {
+      val v = MjpegAvi.aHash(MediaFixtures.imageGrayBands(37, 24, 11, delta, fmt)).get
+      assert(v == ((37, 24, base._3, base._4)))
+    }
+    // but pixel SIGNATURES differ — exact-content dedup cannot group these
+    val s0 = MjpegAvi.framePixels(MediaFixtures.imageGrayBands(37, 24, 11, 0, "png")).get
+    val s6 = MjpegAvi.framePixels(MediaFixtures.imageGrayBands(37, 24, 11, 6, "bmp")).get
+    assert(s0._3 != s6._3 && s6._3 - s0._3 == 37L * 24 * 6)
+    // closed form: band b value (11*7+13b+5)%200, bit_b = 8*v_b > Σv
+    val vs = (0 until 8).map(b => (11 * 7 + b * 13 + 5) % 200)
+    val tot = vs.sum
+    var hi = 0L; var lo = 0L
+    for (b <- 0 until 8 if vs(b) * 8 > tot) {
+      val cells = 255L * (1L << (8 * (b % 4)))
+      if (b < 4) lo |= cells else hi |= cells
+    }
+    assert((base._3, base._4) == ((hi, lo)))
+    // and the hash is informative: seed 16's band values wrap mod 200
+    // at band 7 (v7 = 8), flipping the bit pattern vs seed 11's
+    val other = MjpegAvi.aHash(MediaFixtures.imageGrayBands(37, 24, 16, 0, "png")).get
+    assert((other._3, other._4) != ((hi, lo)))
+  }
+
+  test("aHash: unaligned geometry still decodes (generic grid binning)") {
+    import Multimodal.{MediaFixtures, MjpegAvi}
+    // halves fixture at odd size — just assert determinism across codecs
+    val a = MjpegAvi.aHash(MediaFixtures.imageGrayHalves(37, 23, 77, 201, "png")).get
+    val b = MjpegAvi.aHash(MediaFixtures.imageGrayHalves(37, 23, 77, 201, "gif")).get
+    assert(a == b && a._1 == 37 && a._2 == 23)
+  }
+
+  test("audio energy fingerprint: volume gain preserves the envelope bits exactly") {
+    // the mm_audio_fp premise: window energy vs its share of total
+    // energy — both sides scale by g², so the comparison is invariant
+    import Multimodal.{MediaFixtures, PcmDecoder}
+    val m = 11; val L = 4 + m % 5; val n = 64 * L
+    def wav(g: Int) = MediaFixtures.wavPcm(8000,
+      Array.tabulate(n)(i => (((m * 7 + i * 13) % 97 - 48) * g).toShort))
+    def fp(bytes: Array[Byte]): (Long, Long) = {
+      val ss = PcmDecoder.samples(bytes).get
+      val winSum = new Array[Long](64); var tot = 0L
+      for (i <- 0 until ss.length) {
+        val e = ss(i).toLong * ss(i); winSum(i * 64 / ss.length) += e; tot += e
+      }
+      var hi = 0L; var lo = 0L
+      for (w <- 0 until 64 if winSum(w) * 64 > tot)
+        if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+      (hi, lo)
+    }
+    val base = fp(wav(1))
+    assert(fp(wav(2)) == base && fp(wav(3)) == base)
+    // but the content signature moves with the gain
+    val s1 = PcmDecoder.samples(wav(1)).get.map(_.toLong).sum
+    val s2 = PcmDecoder.samples(wav(2)).get.map(_.toLong).sum
+    assert(s2 == 2 * s1 && s1 != 0)
+    // and a different content fingerprints differently
+    val other = MediaFixtures.wavPcm(8000,
+      Array.tabulate(n)(i => ((12 * 7 + i * 13) % 97 - 48).toShort))
+    assert(fp(other) != base)
+  }
+
   test("tagged WAV duplicates: LIST/INFO chunk changes bytes, not decoded samples") {
     // the mm_audio_dedup premise: a metadata tag makes the container
     // byte-different while the JDK reader skips it at decode
