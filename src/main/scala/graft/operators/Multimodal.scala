@@ -583,6 +583,34 @@ object Multimodal {
     }
   }
 
+  /** One video frame's perceptual fingerprint — stream position,
+    * geometry and the [[MjpegAvi.aHash]] halves; six longs per FRAME
+    * through the shuffle, never pixels. */
+  final case class VideoAHashRow(media_id: Long, frame_idx: Int, width: Int,
+                                 height: Int, ahash_hi: Long, ahash_lo: Long)
+
+  /** Distributed perceptual VIDEO fingerprinting: walk the AVI movi
+    * chunks and aHash each frame's decoded raster — the video rung of
+    * the perceptual family ([[MjpegAvi.aHash]] for stills,
+    * [[decodeAudioFp]] for audio). Downstream, an order-weighted sum
+    * of the per-frame hashes gives a sequence signature that is
+    * brightness-shift-invariant (each frame hash is) yet still
+    * order-sensitive, so re-encoded, re-brightened, re-containered
+    * copies collide while frame-shuffled videos do not. Undecodable
+    * frames are dropped; frame_idx keeps the stream position. */
+  def decodeVideoAHash(media: Dataset[MediaRow]): Dataset[VideoAHashRow] = {
+    implicit val enc = Encoders.product[VideoAHashRow]
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        MjpegAvi.frames(r.bytes).iterator.zipWithIndex.flatMap { case (f, k) =>
+          MjpegAvi.aHash(f).map { case (w, h, hi, lo) =>
+            VideoAHashRow(r.media_id, k, w, h, hi, lo)
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic, BYTE-VALID media fixtures: real container headers
     * (PNG signature + IHDR with a correct CRC32, JPEG SOI + APP0 + SOF0,
     * GIF screen descriptor, RIFF/WAVE fmt chunk) so [[HeaderDecoder]] is

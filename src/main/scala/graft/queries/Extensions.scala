@@ -1417,13 +1417,13 @@ object Extensions {
     * (re-encoded/re-containered duplicates, [[mmVideoDedup]]'s prey). */
   private val videoStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def videoCorpus(s: SparkSession, dir: String,
-                          idMod: Long = 0L): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+  private def videoCorpus(s: SparkSession, dir: String, idMod: Long = 0L,
+                          shifted: Boolean = false): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import org.apache.spark.sql.Encoders
-    val path = videoStores.computeIfAbsent(s"$dir#$idMod", _ => {
+    val path = videoStores.computeIfAbsent(s"$dir#$idMod#$shifted", _ => {
       val tag = java.lang.Integer.toHexString(dir.hashCode)
       val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), s"graft_video_${tag}_$idMod")
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_video_${tag}_${idMod}_$shifted")
       loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       val ids = t(s, dir, "documents")
         .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
@@ -1433,9 +1433,15 @@ object Extensions {
           val w = (16 + (m % 5) * 8).toInt
           val h = (16 + (m % 3) * 16).toInt
           val n = (2 + m % 4).toInt
+          // shifted mode: half values mod 200 plus a uniform brightness
+          // delta from the FULL id — the [[mmVideoPhash]] re-exports
+          // (delta ≤ 12 keeps every sample under 256, no wrap)
+          val delta = if (shifted) ((id % 3) * 6).toInt else 0
+          val modv = if (shifted) 200L else 256L
           val frames = Seq.tabulate(n) { k =>
             Multimodal.MediaFixtures.jpegGrayHalves(w, h,
-              ((m * 7 + 13L * k) % 256).toInt, ((m * 11 + 5L * k) % 256).toInt)
+              ((m * 7 + 13L * k) % modv).toInt + delta,
+              ((m * 11 + 5L * k) % modv).toInt + delta)
           }
           Multimodal.MediaRow(id,
             Multimodal.MediaFixtures.aviMjpeg(w, h, (24 + id % 7).toInt, frames))
@@ -1474,6 +1480,36 @@ object Extensions {
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"), col("n_frames"),
         col("width"), col("height"), col("sig_sum"), col("sig_osum"), col("sig_wsum"))
+      .orderBy("keep_id")
+
+  /** PERCEPTUAL video near-dedup — the video rung completing the
+    * perceptual triple with [[mmImagePhash]] and [[mmAudioFp]]:
+    * videos grouped by an ORDER-WEIGHTED sum of per-frame aHashes
+    * (Σ(k+1)·hash_k over [[graft.operators.Multimodal
+    * decodeVideoAHash]]). Each frame hash is brightness-shift-
+    * invariant, so the whole signature is; the (k+1) weight keeps
+    * frame order significant. The corpus plants re-exports exact
+    * pixel dedup ([[mmVideoDedup]]) can NEVER group: content from
+    * doc_id mod 110, fps from the full id AND a brightness delta =
+    * 6·(id mod 3) added to every sample — every byte differs, every
+    * frame's Σsample differs, the aHash sequence collides by
+    * construction. Frames are two gray halves with h ∈ 16ℤ, so the
+    * 8×8 grid aligns with the half boundary and each frame hash is
+    * exactly 2³²−1 in the winning half (delta cancels in the strict
+    * compare) — the closed-form oracle recomputes that sign pattern.
+    * Same 100 TB shape: per-frame in-task reduction, one
+    * map-side-combining groupBy per video, min-id-keeps. */
+  def mmVideoPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoAHash(videoCorpus(s, dir, idMod = 110L, shifted = true)).toDF()
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("width")).as("width"), max(col("height")).as("height"),
+        sum((col("frame_idx") + 1L) * col("ahash_hi")).as("sig_hi"),
+        sum((col("frame_idx") + 1L) * col("ahash_lo")).as("sig_lo"))
+      .groupBy("n_frames", "width", "height", "sig_hi", "sig_lo")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("n_frames"),
+        col("width"), col("height"), col("sig_hi"), col("sig_lo"))
       .orderBy("keep_id")
 
   /** SAMPLED video frame decode: the same MJPEG-in-AVI corpus as
@@ -2842,6 +2878,35 @@ object ExtensionOracles {
       |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups,
       |       width, height, ahash_hi, ahash_lo
       |FROM h GROUP BY width, height, ahash_hi, ahash_lo
+      |ORDER BY keep_id""".stripMargin
+
+  /** [[Extensions.mmVideoPhash]]'s closed form. Grid rows align with
+    * the half boundary (h ∈ 16ℤ), so each frame's aHash is 2³²−1 in
+    * the winning half's word and the signature reduces to the sign
+    * pattern of v1_k vs v2_k — UNSHIFTED values, the brightness delta
+    * and the fps (both from the full doc_id) never appear: that is
+    * the point. */
+  val mmVideoPhash: String =
+    """WITH sig AS (
+      |  SELECT doc_id, doc_id % 110 AS m FROM documents),
+      |f AS (
+      |  SELECT s.doc_id, s.m, k.k,
+      |         (s.m * 7 + 13 * k.k) % 200 AS v1,
+      |         (s.m * 11 + 5 * k.k) % 200 AS v2
+      |  FROM sig s, (SELECT unnest(generate_series(0, 5)) AS k) k
+      |  WHERE k.k < 2 + s.m % 4),
+      |g AS (
+      |  SELECT doc_id, count(*) AS n_frames,
+      |         CAST(16 + (max(m) % 5) * 8 AS INT) AS width,
+      |         CAST(16 + (max(m) % 3) * 16 AS INT) AS height,
+      |         CAST(sum(CASE WHEN v2 > v1
+      |           THEN (k + 1) * 4294967295 ELSE 0 END) AS BIGINT) AS sig_hi,
+      |         CAST(sum(CASE WHEN v1 > v2
+      |           THEN (k + 1) * 4294967295 ELSE 0 END) AS BIGINT) AS sig_lo
+      |  FROM f GROUP BY doc_id)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups,
+      |       n_frames, width, height, sig_hi, sig_lo
+      |FROM g GROUP BY n_frames, width, height, sig_hi, sig_lo
       |ORDER BY keep_id""".stripMargin
 
   /** [[Extensions.mmAudioFp]]'s closed form. Windows align with whole

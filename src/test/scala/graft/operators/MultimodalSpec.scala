@@ -371,6 +371,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(fp(other) != base)
   }
 
+  test("video aHash: brightness-shifted re-encode collides, frame order still counts") {
+    // the mm_video_phash premise: per-frame aHash survives a uniform
+    // brightness delta THROUGH the lossy JPEG round trip (block-uniform
+    // rasters encode exactly), while per-frame pixel sums move
+    import Multimodal.{MediaFixtures, MjpegAvi}
+    val (w, h) = (24, 32)
+    def avi(delta: Int, vals: Seq[(Int, Int)]) = MediaFixtures.aviMjpeg(w, h, 24,
+      vals.map { case (v1, v2) => MediaFixtures.jpegGrayHalves(w, h, v1 + delta, v2 + delta) })
+    val vals = Seq((80, 140), (150, 60), (90, 90))
+    val a = avi(0, vals); val b = avi(12, vals)
+    assert(!java.util.Arrays.equals(a, b))
+    def hashes(bytes: Array[Byte]) = MjpegAvi.frames(bytes).toSeq.map(f => MjpegAvi.aHash(f).get)
+    assert(hashes(a) == hashes(b))
+    // half-aligned grid: the winning half's word is exactly 2^32-1
+    assert(hashes(a).map(t => (t._3, t._4)) ==
+      Seq((4294967295L, 0L), (0L, 4294967295L), (0L, 0L)))
+    // pixel sums differ by exactly w*h*delta per frame — exact dedup splits
+    val pa = MjpegAvi.frames(a).map(MjpegAvi.framePixels(_).get._3).toSeq
+    val pb = MjpegAvi.frames(b).map(MjpegAvi.framePixels(_).get._3).toSeq
+    assert(pa.zip(pb).forall { case (x, y) => y - x == w.toLong * h * 12 })
+    // order sensitivity: swapping frames changes the order-weighted signature
+    val c = avi(0, Seq(vals(1), vals(0), vals(2)))
+    def sig(bytes: Array[Byte]) = hashes(bytes).zipWithIndex
+      .map { case ((_, _, hi, lo), k) => ((k + 1) * hi, (k + 1) * lo) }
+      .foldLeft((0L, 0L)) { case ((sh, sl), (hh, ll)) => (sh + hh, sl + ll) }
+    assert(sig(c) != sig(a))
+  }
+
   test("tagged WAV duplicates: LIST/INFO chunk changes bytes, not decoded samples") {
     // the mm_audio_dedup premise: a metadata tag makes the container
     // byte-different while the JDK reader skips it at decode
