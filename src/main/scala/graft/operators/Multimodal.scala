@@ -463,17 +463,23 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val row = new Array[Int](w)
-        // one pass: per-cell sums for the 8×8 grid + the global sum
+        // one pass: per-cell sums for the 8×8 grid + the global sum;
+        // the column→cell map is hoisted out of the pixel loop (one
+        // division per column, not per pixel — the loop is the whole
+        // cost of a 100 TB image sweep)
+        val colCell = new Array[Int](w)
+        var cx = 0
+        while (cx < w) { colCell(cx) = cx * 8 / w; cx += 1 }
         val cellSum = new Array[Long](64)
         val cellPx = new Array[Long](64)
         var total = 0L
         var y = 0
         while (y < h) {
-          val gy = y * 8 / h
+          val gyBase = (y * 8 / h) * 8
           r.getSamples(0, y, w, 1, 0, row)
           var x = 0
           while (x < w) {
-            val c = gy * 8 + x * 8 / w
+            val c = gyBase + colCell(x)
             cellSum(c) += row(x); cellPx(c) += 1; total += row(x)
             x += 1
           }
