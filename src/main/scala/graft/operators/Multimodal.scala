@@ -920,31 +920,61 @@ object Multimodal {
     implicit val enc = Encoders.product[AudioFpRow]
     media.mapPartitions { it =>
       it.flatMap { r =>
-        val meta = PcmDecoder.decode(r.bytes)
-        PcmDecoder.samples(r.bytes).filter(_.nonEmpty).map { ss =>
-          val n = ss.length
-          val winSum = new Array[Long](64)
-          val winLen = new Array[Long](64)
-          var tot = 0L
-          var i = 0
-          while (i < n) {
-            val w = (i.toLong * 64 / n).toInt
-            val e = ss(i).toLong * ss(i)
-            winSum(w) += e; winLen(w) += 1; tot += e
-            i += 1
-          }
-          var hi = 0L; var lo = 0L
-          var w = 0
-          while (w < 64) {
-            if (winLen(w) > 0 && winSum(w) * n > tot * winLen(w)) {
-              if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
-            }
-            w += 1
-          }
-          AudioFpRow(r.media_id, meta.sampleRateHz, n, hi, lo)
+        audioFp(r.bytes).map { case (rate, n, hi, lo) =>
+          AudioFpRow(r.media_id, rate, n, hi, lo)
         }
       }
     }
+  }
+
+  /** Per-blob kernel behind [[decodeAudioFp]]: (rate, n_samples,
+    * fp_hi, fp_lo), None when undecodable or empty. */
+  def audioFp(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    val meta = PcmDecoder.decode(bytes)
+    PcmDecoder.samples(bytes).filter(_.nonEmpty).map { ss =>
+      val n = ss.length
+      val winSum = new Array[Long](64)
+      val winLen = new Array[Long](64)
+      var tot = 0L
+      var i = 0
+      while (i < n) {
+        val w = (i.toLong * 64 / n).toInt
+        val e = ss(i).toLong * ss(i)
+        winSum(w) += e; winLen(w) += 1; tot += e
+        i += 1
+      }
+      var hi = 0L; var lo = 0L
+      var w = 0
+      while (w < 64) {
+        if (winLen(w) > 0 && winSum(w) * n > tot * winLen(w)) {
+          if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+        }
+        w += 1
+      }
+      (meta.sampleRateHz, n, hi, lo)
+    }
+  }
+
+  /** Per-blob VIDEO perceptual signature: walk the AVI frames, aHash
+    * each, reduce in-task to (n_frames, width, height, Σ(k+1)·hi_k,
+    * Σ(k+1)·lo_k) — the [[decodeVideoAHash]] sequence signature
+    * computed without any intermediate shuffle, for single-pass
+    * multi-modal sweeps ([[graft.queries.Extensions.mmCurate]]).
+    * None when no frame decodes. */
+  def videoAHashSig(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    val fs = MjpegAvi.frames(bytes)
+    var n = 0; var w = 0; var h = 0; var sigHi = 0L; var sigLo = 0L
+    var k = 0
+    while (k < fs.length) {
+      MjpegAvi.aHash(fs(k)) match {
+        case Some((fw, fh, hi, lo)) =>
+          n += 1; if (fw > w) w = fw; if (fh > h) h = fh
+          sigHi += (k + 1L) * hi; sigLo += (k + 1L) * lo
+        case None =>
+      }
+      k += 1
+    }
+    if (n == 0) None else Some((n, w, h, sigHi, sigLo))
   }
 
   /** Frame sampling as a generator: one row per sampled frame index —

@@ -1244,6 +1244,80 @@ object Extensions {
       .orderBy("keep_id")
   }
 
+  /** One blob's modality + normalized perceptual signature, the unit
+    * of the [[mmCurate]] single-pass sweep (s1–s4 carry the
+    * modality-specific group key: image w/h/hash, audio rate/count/fp,
+    * video frames/packed-geometry/sequence-hash). */
+  final case class CurateSig(kind: String, s1: Long, s2: Long, s3: Long, s4: Long)
+
+  /** MULTIMODAL CURATION CAPSTONE — the pass a mixed 100 TB media
+    * dump actually needs, in ONE plan: every blob is triaged by
+    * modality and reduced IN-TASK to its perceptual signature — 8×8
+    * aHash for images ([[graft.operators.Multimodal.MjpegAvi.aHash]]),
+    * 64-window energy envelope for audio ([[graft.operators
+    * Multimodal.audioFp]]), order-weighted per-frame aHash sequence
+    * for video ([[graft.operators.Multimodal.videoAHashSig]] — no
+    * intermediate per-frame shuffle, unlike the standalone
+    * [[mmVideoPhash]]) — then near-dup groups collapse and the rollup
+    * reports kept vs dropped per modality. Three real decoders
+    * (ImageIO, javax.sound, the MJPEG-AVI walk), one mapPartitions,
+    * one map-side-combining groupBy chain; blobs never shuffle, five
+    * longs per blob do. The corpus plants per-modality perceptual
+    * re-exports (brightness/container for images, volume gain for
+    * audio, brightness+fps for video — variant = (id mod 9)/3), so
+    * every planted duplicate is invisible to byte- or pixel-exact
+    * dedup and caught here; the closed-form oracle recomputes all
+    * three signature families. */
+  def mmCurate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val sigs = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val v = ((id % 9) / 3).toInt                    // re-export variant
+        (id % 3) match {
+          case 0 =>                                     // image branch
+            val m = (id % 60).toInt
+            val bytes = Multimodal.MediaFixtures.imageGrayBands(
+              24 + m % 40, 16 + (m % 3) * 8, m, 6 * v,
+              Seq("png", "bmp", "gif")(v))
+            Multimodal.MjpegAvi.aHash(bytes).map { case (w, h, hi, lo) =>
+              CurateSig("image", w, h, hi, lo)
+            }
+          case 1 =>                                     // audio branch
+            val m = (id % 50).toInt
+            val n = 64 * (4 + m % 5)
+            val bytes = Multimodal.MediaFixtures.wavPcm(
+              8000 + (m % 5) * 1000,
+              Array.tabulate(n)(i => (((m * 7 + i * 13) % 97 - 48) * (1 + v)).toShort))
+            Multimodal.audioFp(bytes).map { case (rate, ns, hi, lo) =>
+              CurateSig("audio", rate, ns, hi, lo)
+            }
+          case _ =>                                     // video branch
+            val m = (id % 40).toInt
+            val (w, h) = (16 + (m % 5) * 8, 16 + (m % 3) * 16)
+            val frames = Seq.tabulate(2 + m % 4) { k =>
+              Multimodal.MediaFixtures.jpegGrayHalves(w, h,
+                ((m * 7 + 13L * k) % 200).toInt + 6 * v,
+                ((m * 11 + 5L * k) % 200).toInt + 6 * v)
+            }
+            val bytes = Multimodal.MediaFixtures.aviMjpeg(w, h, (24 + id % 7).toInt, frames)
+            Multimodal.videoAHashSig(bytes).map { case (nf, vw, vh, hi, lo) =>
+              CurateSig("video", nf, vw.toLong * 65536 + vh, hi, lo)
+            }
+        }
+      }
+    }(Encoders.product[CurateSig])
+    sigs.toDF()
+      .groupBy("kind", "s1", "s2", "s3", "s4")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("kind")
+      .agg(sum(col("c")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        sum(col("c") - 1).as("n_dropped"))
+      .orderBy("kind")
+  }
+
   /** PERCEPTUAL image near-dedup — one rung above [[mmImageDedup]]'s
     * exact-content grouping: images grouped by their 8×8 AVERAGE-HASH
     * ([[graft.operators.Multimodal.MjpegAvi.aHash]]), the classic
@@ -2879,6 +2953,86 @@ object ExtensionOracles {
       |       width, height, ahash_hi, ahash_lo
       |FROM h GROUP BY width, height, ahash_hi, ahash_lo
       |ORDER BY keep_id""".stripMargin
+
+  /** [[Extensions.mmCurate]]'s closed form: the three signature
+    * families' closed forms ([[mmImagePhash]] band bits, [[mmAudioFp]]
+    * window-energy bits, [[mmVideoPhash]] sign pattern) computed per
+    * modality branch, unioned, grouped, rolled up. Every re-export
+    * variant — brightness delta, container, volume gain, fps — drops
+    * out of its family's invariant, which is the curation premise. */
+  val mmCurate: String =
+    """WITH img AS (
+      |  SELECT doc_id, doc_id % 60 AS m FROM documents WHERE doc_id % 3 = 0),
+      |img_v AS (
+      |  SELECT i.doc_id, i.m, b.band, (i.m * 7 + b.band * 13 + 5) % 200 AS val
+      |  FROM img i, (SELECT unnest(generate_series(0, 7)) AS band) b),
+      |img_bits AS (
+      |  SELECT doc_id, m, band,
+      |         CASE WHEN val * 8 > sum(val) OVER (PARTITION BY doc_id)
+      |              THEN 1 ELSE 0 END AS bit
+      |  FROM img_v),
+      |img_sig AS (
+      |  SELECT doc_id, CAST(24 + m % 40 AS BIGINT) AS s1,
+      |         CAST(16 + (m % 3) * 8 AS BIGINT) AS s2,
+      |         CAST(sum(CASE WHEN band >= 4 THEN bit * CAST(255 AS BIGINT) *
+      |           (CASE band % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+      |                 WHEN 2 THEN 65536 ELSE 16777216 END) ELSE 0 END)
+      |           AS BIGINT) AS s3,
+      |         CAST(sum(CASE WHEN band < 4 THEN bit * CAST(255 AS BIGINT) *
+      |           (CASE band % 4 WHEN 0 THEN 1 WHEN 1 THEN 256
+      |                 WHEN 2 THEN 65536 ELSE 16777216 END) ELSE 0 END)
+      |           AS BIGINT) AS s4
+      |  FROM img_bits GROUP BY doc_id, m),
+      |aud AS (
+      |  SELECT doc_id, doc_id % 50 AS m FROM documents WHERE doc_id % 3 = 1),
+      |aud_s AS (
+      |  SELECT a.doc_id, 8000 + (a.m % 5) * 1000 AS rate, 4 + a.m % 5 AS L,
+      |         i.i // (4 + a.m % 5) AS w, ((a.m * 7 + i.i * 13) % 97 - 48) AS v
+      |  FROM aud a, (SELECT unnest(generate_series(0, 511)) AS i) i
+      |  WHERE i.i < 64 * (4 + a.m % 5)),
+      |aud_e AS (
+      |  SELECT doc_id, rate, L, w, sum(v * v) AS ew
+      |  FROM aud_s GROUP BY doc_id, rate, L, w),
+      |aud_t AS (SELECT doc_id, sum(ew) AS et FROM aud_e GROUP BY doc_id),
+      |aud_bits AS (
+      |  SELECT e.doc_id, e.rate, e.L, e.w,
+      |         CASE WHEN 64 * e.ew > t.et THEN 1 ELSE 0 END AS bit
+      |  FROM aud_e e JOIN aud_t t ON e.doc_id = t.doc_id),
+      |aud_sig AS (
+      |  SELECT doc_id, CAST(rate AS BIGINT) AS s1, CAST(64 * L AS BIGINT) AS s2,
+      |         CAST(sum(CASE WHEN w >= 32
+      |           THEN bit * CAST(pow(2, w - 32) AS BIGINT) ELSE 0 END)
+      |           AS BIGINT) AS s3,
+      |         CAST(sum(CASE WHEN w < 32
+      |           THEN bit * CAST(pow(2, w) AS BIGINT) ELSE 0 END)
+      |           AS BIGINT) AS s4
+      |  FROM aud_bits GROUP BY doc_id, rate, L),
+      |vid AS (
+      |  SELECT doc_id, doc_id % 40 AS m FROM documents WHERE doc_id % 3 = 2),
+      |vid_f AS (
+      |  SELECT v.doc_id, v.m, k.k, (v.m * 7 + 13 * k.k) % 200 AS v1,
+      |         (v.m * 11 + 5 * k.k) % 200 AS v2
+      |  FROM vid v, (SELECT unnest(generate_series(0, 5)) AS k) k
+      |  WHERE k.k < 2 + v.m % 4),
+      |vid_sig AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS s1,
+      |         CAST((16 + (max(m) % 5) * 8) * 65536
+      |              + (16 + (max(m) % 3) * 16) AS BIGINT) AS s2,
+      |         CAST(sum(CASE WHEN v2 > v1
+      |           THEN (k + 1) * 4294967295 ELSE 0 END) AS BIGINT) AS s3,
+      |         CAST(sum(CASE WHEN v1 > v2
+      |           THEN (k + 1) * 4294967295 ELSE 0 END) AS BIGINT) AS s4
+      |  FROM vid_f GROUP BY doc_id),
+      |allsig AS (
+      |  SELECT 'image' AS kind, s1, s2, s3, s4 FROM img_sig
+      |  UNION ALL SELECT 'audio', s1, s2, s3, s4 FROM aud_sig
+      |  UNION ALL SELECT 'video', s1, s2, s3, s4 FROM vid_sig),
+      |g AS (
+      |  SELECT kind, s1, s2, s3, s4, count(*) AS c
+      |  FROM allsig GROUP BY kind, s1, s2, s3, s4)
+      |SELECT kind, CAST(sum(c) AS BIGINT) AS n_total,
+      |       count(*) AS n_kept, CAST(sum(c - 1) AS BIGINT) AS n_dropped
+      |FROM g GROUP BY kind ORDER BY kind""".stripMargin
 
   /** [[Extensions.mmVideoPhash]]'s closed form. Grid rows align with
     * the half boundary (h ∈ 16ℤ), so each frame's aHash is 2³²−1 in

@@ -399,6 +399,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(sig(c) != sig(a))
   }
 
+  test("mm_curate: one pass triages three modalities and drops planted re-exports") {
+    val rows = graft.queries.Extensions.mmCurate(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("audio", "image", "video"))
+    // every doc lands in exactly one modality branch and decodes
+    assert(rows.map(_._2).sum == 500)
+    // each branch really deduplicates: kept < total, drops account exactly
+    for ((_, total, kept, dropped) <- rows) {
+      assert(kept < total && dropped == total - kept && kept > 0)
+    }
+    // kept is bounded by the branch's content modulus (60/3=20 image
+    // contents, 50 audio, 40 video — perceptual collisions may merge more)
+    val byKind = rows.map(r => r._1 -> r._3).toMap
+    assert(byKind("image") <= 20 && byKind("audio") <= 50 && byKind("video") <= 40)
+  }
+
   test("tagged WAV duplicates: LIST/INFO chunk changes bytes, not decoded samples") {
     // the mm_audio_dedup premise: a metadata tag makes the container
     // byte-different while the JDK reader skips it at decode
