@@ -76,7 +76,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     ("corpus_shard", "source", "text"),              // documents: id+text only
     ("text_winnow", "lang", "text"),                 // documents: id+text only
     ("q30_full_outer", "c_mktsegment", "c_acctbal"), // customer: key+balance only
-    ("skew_join", "l_partkey", "l_quantity"))        // lineitem: key+qty only
+    ("skew_join", "l_partkey", "l_quantity"),        // lineitem: key+qty only
+    ("mm_curate", "text", "doc_id"),                 // documents: id only —
+                                                     // the media sweep must
+                                                     // never scan the payload
+    ("mm_image_phash", "text", "doc_id"),            // documents: id only
+    ("mm_audio_fp", "text", "doc_id"))               // documents: id only
     // (q33_graph_walk's scans sit inside the recursive-CTE loop nodes,
     //  which don't surface a ReadSchema line in the printed plan)
     // (text_familiarity's and corpus_incremental's shingle scans sit
