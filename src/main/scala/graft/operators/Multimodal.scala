@@ -763,6 +763,46 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** SplitMix64 finalizer (Steele et al., public domain) — the
+      * deterministic 64-bit pattern generator behind
+      * [[imageGrayCells]] corpora: well-scattered bits, so distinct
+      * seeds give patterns ~32 Hamming apart. */
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+
+    /** A 32×32 lossless image of 64 uniform 4×4 cells, cell `c`
+      * painted 140 when bit `c` of `pattern` is set, else 60 — built
+      * so [[MjpegAvi.aHash]] RECONSTRUCTS the pattern exactly: with
+      * equal cells the bit test reduces to v_c·64 > Σv, and Σv =
+      * 3840 + 80·popcount leaves a ≥ 160 margin per cell whenever
+      * 2 ≤ popcount ≤ 62, so a 140-cell is always above the global
+      * mean and a 60-cell below it. Flipping one bit of the pattern
+      * flips exactly that aHash bit — full 64-bit control, which is
+      * how [[graft.queries.Extensions.mmImageNeardup]] plants
+      * near-duplicates at an exact Hamming distance. */
+    def imageGrayCells(pattern: Long, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val c = (y / 4) * 8 + (x / 4)
+          raster.setSample(x, y, 0, if (((pattern >>> c) & 1L) == 1L) 140 else 60)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+
     /** A REAL baseline JPEG (the JDK encoder at quality 1.0 — all-ones
       * quantization tables) of a grayscale raster split into a top half
       * of `v1` and a bottom half of `v2`. With `w` a multiple of 8 and

@@ -1207,6 +1207,77 @@ object Extensions {
       .orderBy("media_id")
   }
 
+  /** HAMMING-TOLERANT perceptual image near-dedup — the scale path
+    * the exact-collision [[mmImagePhash]] scaladoc promises: when
+    * re-exports perturb a few hash bits instead of none, grouping
+    * needs banded LSH over the aHash (4×16-bit bands — any pair
+    * within Hamming distance ≤ 3 shares a band, the [[graft
+    * operators.Dedup.simhashDocs]] argument), an equi-join ONLY on
+    * band collisions, a popcount verify (`bit_count`, codegen'd) on
+    * the candidates, and [[graft.operators.Dedup.clusters]] — the
+    * same contracted-graph treatment (driver union-find under the
+    * edge limit, distributed label propagation above it) the MinHash
+    * family uses. Never a pairwise comparison: candidates ∝ band
+    * collisions, edges ∝ verified near-dups. The corpus makes the
+    * discovery REAL but the truth closed-form: [[graft.operators
+    * Multimodal.MediaFixtures.imageGrayCells]] gives full 64-bit
+    * control of the hash, so each content (doc_id mod 55) plants a
+    * splitmix64 base pattern and two one-bit-flipped variants
+    * (distance ≤ 2 within a content, ≥ 16 across contents — margins
+    * machine-checked in MultimodalSpec), in three containers. The
+    * oracle never computes a hash: clusters ARE the planted contents,
+    * `GROUP BY doc_id % 55`. */
+  def mmImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val m = (id % 55).toInt
+        val base = Multimodal.MediaFixtures.splitmix64(m.toLong)
+        val b1 = (m * 17 + 3) % 64
+        val b2raw = (m * 29 + 11) % 64
+        val b2 = if (b2raw == b1) (b2raw + 1) % 64 else b2raw
+        val v = (id % 3).toInt
+        val pattern = v match {
+          case 0 => base
+          case 1 => base ^ (1L << b1)
+          case _ => base ^ (1L << b2)
+        }
+        Multimodal.MediaRow(id, Multimodal.MediaFixtures.imageGrayCells(
+          pattern, Seq("png", "bmp", "gif")(v)))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    val hashes = Multimodal.decodeImageAHash(media).toDF()
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+      .localCheckpoint()                 // decode once: banding + verify reuse it
+    val banded = hashes.select(col("media_id"),
+      posexplode(array(
+        col("ahash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)) + 100000L,
+        col("ahash_hi").bitwiseAND(lit(65535L)) + 200000L,
+        shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L)) + 300000L))
+        .as(Seq("band_idx", "band_key")))
+      .select(col("media_id"), col("band_key"))
+    val cands = banded.as("a").join(banded.as("b"), Seq("band_key"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val ha = hashes.select(col("media_id").as("id_a"),
+      col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"))
+    val hb = hashes.select(col("media_id").as("id_b"),
+      col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"))
+    val pairs = cands.join(ha, "id_a").join(hb, "id_b")
+      .filter(expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)") <= lit(2))
+      .select(col("id_a"), col("id_b"))
+    val idsDf = hashes.select(col("media_id"))
+    graft.operators.Dedup.clusters(idsDf, "media_id", pairs)
+      .groupBy("cluster_id")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy("keep_id")
+  }
+
   /** CONTENT-level image dedup — completes the modality triple with
     * [[mmVideoDedup]] and [[mmAudioDedup]]: still images grouped by a
     * signature of their DECODED raster (geometry, Σsample,
@@ -2916,6 +2987,17 @@ object ExtensionOracles {
       |       width, height, sum_px, wsum_px
       |FROM p GROUP BY width, height, sum_px, wsum_px
       |ORDER BY keep_id""".stripMargin
+
+  /** [[Extensions.mmImageNeardup]]'s closed form — deliberately hash-
+    * free: the fixture gives exact 64-bit hash control, the planted
+    * Hamming geometry (≤ 2 within a content, ≥ 16 across, machine-
+    * checked in MultimodalSpec) makes the discovered clusters provably
+    * the planted contents, so the truth is just the content grouping.
+    * The Spark side still has to FIND it: banding, popcount verify,
+    * connected components. */
+  val mmImageNeardup: String =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY doc_id % 55 ORDER BY keep_id""".stripMargin
 
   /** [[Extensions.mmImagePhash]]'s closed form. Bands align with the
     * aHash grid rows (h is a multiple of 8), every grid column of a

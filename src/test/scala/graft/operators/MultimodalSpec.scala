@@ -415,6 +415,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(byKind("image") <= 20 && byKind("audio") <= 50 && byKind("video") <= 40)
   }
 
+  test("cell fixture: aHash reconstructs the planted 64-bit pattern, flips are local") {
+    import Multimodal.{MediaFixtures, MjpegAvi}
+    val p = MediaFixtures.splitmix64(7L)
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val (w, h, hi, lo) = MjpegAvi.aHash(MediaFixtures.imageGrayCells(p, fmt)).get
+      assert((w, h) == ((32, 32)))
+      assert(hi == (p >>> 32) && lo == (p & 0xFFFFFFFFL))
+    }
+    // flipping one pattern bit flips exactly that hash bit
+    val q = p ^ (1L << 37)
+    val (_, _, qhi, qlo) = MjpegAvi.aHash(MediaFixtures.imageGrayCells(q, "png")).get
+    assert((qhi << 32 | qlo) == q)
+  }
+
+  test("mm_image_neardup corpus: Hamming <=2 within a content, >=3 across contents") {
+    // the margin that makes the banded discovery provably recover the
+    // planted clusters (so the oracle can be hash-free)
+    import Multimodal.MediaFixtures.splitmix64
+    val hashes = (0 until 55).map { m =>
+      val base = splitmix64(m.toLong)
+      val b1 = (m * 17 + 3) % 64
+      val b2raw = (m * 29 + 11) % 64
+      val b2 = if (b2raw == b1) (b2raw + 1) % 64 else b2raw
+      Seq(base, base ^ (1L << b1), base ^ (1L << b2))
+    }
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (vs <- hashes; a <- vs; b <- vs) assert(dist(a, b) <= 2)
+    for (i <- hashes.indices; j <- hashes.indices if i < j;
+         a <- hashes(i); b <- hashes(j)) assert(dist(a, b) >= 3)
+    // popcount stays in the fixture's guaranteed-margin zone
+    for (vs <- hashes; a <- vs)
+      assert(java.lang.Long.bitCount(a) >= 2 && java.lang.Long.bitCount(a) <= 62)
+  }
+
   test("tagged WAV duplicates: LIST/INFO chunk changes bytes, not decoded samples") {
     // the mm_audio_dedup premise: a metadata tag makes the container
     // byte-different while the JDK reader skips it at decode
