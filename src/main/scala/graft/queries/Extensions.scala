@@ -1248,9 +1248,20 @@ object Extensions {
           pattern, Seq("png", "bmp", "gif")(v)))
       }
     }(Encoders.product[Multimodal.MediaRow])
-    val hashes = Multimodal.decodeImageAHash(media).toDF()
-      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
-      .localCheckpoint()                 // decode once: banding + verify reuse it
+    neardupClusters(Multimodal.decodeImageAHash(media).toDF()
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo")))
+  }
+
+  /** Shared banded-Hamming clustering over a 64-bit fingerprint in
+    * two 32-bit halves (`media_id`, `ahash_hi`, `ahash_lo`): 4×16-bit
+    * bands (any pair within Hamming distance 3 shares one), an
+    * equi-join on band collisions only, `bit_count` popcount verify
+    * at `maxDist`, then [[graft.operators.Dedup.clusters]]'
+    * contracted-graph components. Shared by [[mmImageNeardup]] and
+    * [[mmAudioNeardup]] — the fingerprint family differs, the scale
+    * shape does not. Returns (keep_id, n_dups) per cluster. */
+  private def neardupClusters(hashesIn: DataFrame, maxDist: Int = 2): DataFrame = {
+    val hashes = hashesIn.localCheckpoint() // decode once: banding + verify reuse it
     val banded = hashes.select(col("media_id"),
       posexplode(array(
         col("ahash_lo").bitwiseAND(lit(65535L)),
@@ -1268,7 +1279,7 @@ object Extensions {
     val hb = hashes.select(col("media_id").as("id_b"),
       col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"))
     val pairs = cands.join(ha, "id_a").join(hb, "id_b")
-      .filter(expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)") <= lit(2))
+      .filter(expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)") <= lit(maxDist))
       .select(col("id_a"), col("id_b"))
     val idsDf = hashes.select(col("media_id"))
     graft.operators.Dedup.clusters(idsDf, "media_id", pairs)
@@ -1276,6 +1287,44 @@ object Extensions {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
       .orderBy("keep_id")
+  }
+
+  /** HAMMING-TOLERANT audio near-dedup — [[mmImageNeardup]]'s audio
+    * twin over the [[graft.operators.Multimodal.audioFp]] energy
+    * envelope: per-window constant amplitudes (100 when the planted
+    * pattern bit is set, 30 otherwise, 8 samples per window) give
+    * full 64-bit control of the fingerprint — 64·e_w > E holds for a
+    * loud window and fails for a quiet one whenever 1 ≤ popcount ≤
+    * 63, so the envelope RECONSTRUCTS the pattern and one-window
+    * re-masters flip exactly one bit. Content = doc_id mod 45 plants
+    * a splitmix64 base plus two one-bit-flipped variants (≤ 2 within,
+    * ≥ 18 across — spec-checked), discovered by the same banding +
+    * popcount verify + contracted-graph clustering; the oracle is
+    * again hash-free. */
+  def mmAudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val m = (id % 45).toInt
+        val base = Multimodal.MediaFixtures.splitmix64(m + 1000L)
+        val b1 = (m * 13 + 5) % 64
+        val b2raw = (m * 23 + 9) % 64
+        val b2 = if (b2raw == b1) (b2raw + 1) % 64 else b2raw
+        val pattern = (id % 3).toInt match {
+          case 0 => base
+          case 1 => base ^ (1L << b1)
+          case _ => base ^ (1L << b2)
+        }
+        val samples = Array.tabulate(512) { i =>
+          (if (((pattern >>> (i / 8)) & 1L) == 1L) 100 else 30).toShort
+        }
+        Multimodal.MediaRow(id, Multimodal.MediaFixtures.wavPcm(8000, samples))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    neardupClusters(Multimodal.decodeAudioFp(media).toDF()
+      .select(col("media_id"), col("fp_hi").as("ahash_hi"), col("fp_lo").as("ahash_lo")))
   }
 
   /** CONTENT-level image dedup — completes the modality triple with
@@ -2998,6 +3047,13 @@ object ExtensionOracles {
   val mmImageNeardup: String =
     """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
       |FROM documents GROUP BY doc_id % 55 ORDER BY keep_id""".stripMargin
+
+  /** [[Extensions.mmAudioNeardup]]'s closed form — hash-free for the
+    * [[mmImageNeardup]] reason: planted margins make the discovered
+    * clusters provably the mod-45 contents. */
+  val mmAudioNeardup: String =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY doc_id % 45 ORDER BY keep_id""".stripMargin
 
   /** [[Extensions.mmImagePhash]]'s closed form. Bands align with the
     * aHash grid rows (h is a multiple of 8), every grid column of a

@@ -449,6 +449,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(java.lang.Long.bitCount(a) >= 2 && java.lang.Long.bitCount(a) <= 62)
   }
 
+  test("window-amplitude WAV: audioFp reconstructs the planted pattern; margins hold") {
+    import Multimodal.{MediaFixtures, audioFp}
+    def wav(p: Long) = MediaFixtures.wavPcm(8000, Array.tabulate(512) { i =>
+      (if (((p >>> (i / 8)) & 1L) == 1L) 100 else 30).toShort
+    })
+    val p = MediaFixtures.splitmix64(1017L)
+    val (rate, n, hi, lo) = audioFp(wav(p)).get
+    assert(rate == 8000 && n == 512)
+    assert((hi << 32 | lo) == p)
+    // a one-window re-master flips exactly that fingerprint bit
+    val q = p ^ (1L << 29)
+    val (_, _, qhi, qlo) = audioFp(wav(q)).get
+    assert((qhi << 32 | qlo) == q)
+    // the mm_audio_neardup corpus margins: <=2 within, >=3 across contents
+    val hashes = (0 until 45).map { m =>
+      val base = MediaFixtures.splitmix64(m + 1000L)
+      val b1 = (m * 13 + 5) % 64
+      val b2raw = (m * 23 + 9) % 64
+      val b2 = if (b2raw == b1) (b2raw + 1) % 64 else b2raw
+      Seq(base, base ^ (1L << b1), base ^ (1L << b2))
+    }
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (vs <- hashes; a <- vs; b <- vs) assert(dist(a, b) <= 2)
+    for (i <- hashes.indices; j <- hashes.indices if i < j;
+         a <- hashes(i); b <- hashes(j)) assert(dist(a, b) >= 3)
+    for (vs <- hashes; a <- vs)
+      assert(java.lang.Long.bitCount(a) >= 1 && java.lang.Long.bitCount(a) <= 63)
+  }
+
   test("tagged WAV duplicates: LIST/INFO chunk changes bytes, not decoded samples") {
     // the mm_audio_dedup premise: a metadata tag makes the container
     // byte-different while the JDK reader skips it at decode
