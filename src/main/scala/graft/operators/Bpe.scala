@@ -61,7 +61,11 @@ object Bpe {
     while (freqIt.hasNext && bytes < maxVocabBytes) {
       val r = freqIt.next()
       val w = r.getString(0)
-      bytes += 2L * w.length + 56   // chars + String/tuple/count overhead
+      // chars + retained-object overhead: String header + backing
+      // byte/char array header + boxed tuple fields + ArrayBuffer
+      // growth slack — ~112 bytes/entry measured conservative, so the
+      // budget tracks real heap, not just character payload
+      bytes += 2L * w.length + 112
       acc += ((w, r.getLong(1)))
     }
     val wordFreq: Array[(String, Long)] = acc.toArray

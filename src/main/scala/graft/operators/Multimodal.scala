@@ -203,34 +203,40 @@ object Multimodal {
       * walk reads only the fixed-size headers, the right cost for a
       * metadata pass. */
     private def aviMeta(b: Array[Byte]): MediaMeta = {
-      // payload offset of the first chunk with `fourcc` in [from, to);
-      // LIST chunks match on their list TYPE (the 4 bytes after the
-      // size), and the returned offset skips that type tag
-      def find(fourcc: String, from: Int, to: Int): Int = {
+      // payload offset of the first chunk with `fourcc` in [from, to).
+      // `wantList` pins the container kind: hdrl/strl exist only as
+      // LIST types (matched on the 4 bytes after the size, payload
+      // past the type tag), avih/strh only as plain chunks — so a
+      // malformed PLAIN chunk whose fourcc spells a LIST type name is
+      // skipped, never handed to listEnd, which therefore only ever
+      // reads a genuine LIST size field
+      def find(fourcc: String, from: Int, to: Int, wantList: Boolean): Int = {
         var i = from
         while (i + 8 <= to) {
           val size = le32(b, i + 4)
           if (size < 0 || size > to - i - 8) return -1
-          if (ascii(b, i, "LIST") && size >= 4 && ascii(b, i + 8, fourcc))
+          val isList = ascii(b, i, "LIST")
+          if (wantList && isList && size >= 4 && ascii(b, i + 8, fourcc))
             return i + 12
-          if (ascii(b, i, fourcc)) return i + 8
+          if (!wantList && !isList && ascii(b, i, fourcc)) return i + 8
           i += 8 + size + (size & 1)                     // word-aligned
         }
         -1
       }
       def listEnd(payload: Int): Int = payload - 12 + 8 + le32(b, payload - 8)
       val n = b.length
-      val hdrl = find("hdrl", 12, n)
+      val hdrl = find("hdrl", 12, n, wantList = true)
       if (hdrl < 0) return MediaMeta("unknown", 0, 0, 0, 0)
       val hdrlEnd = listEnd(hdrl)
-      val avih = find("avih", hdrl, hdrlEnd)
+      val avih = find("avih", hdrl, hdrlEnd, wantList = false)
       if (avih < 0 || avih + 40 > n) return MediaMeta("unknown", 0, 0, 0, 0)
       val nFrames = le32(b, avih + 16)                   // dwTotalFrames
       val w = le32(b, avih + 32)
       val h = le32(b, avih + 36)
       val fps = {
-        val strl = find("strl", hdrl, hdrlEnd)
-        val strh = if (strl < 0) -1 else find("strh", strl, listEnd(strl))
+        val strl = find("strl", hdrl, hdrlEnd, wantList = true)
+        val strh = if (strl < 0) -1
+          else find("strh", strl, listEnd(strl), wantList = false)
         if (strh < 0 || strh + 28 > n) 0
         else {
           val scale = le32(b, strh + 20)

@@ -220,6 +220,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(HeaderDecoder.decode("RIFF   WEBP".getBytes).kind == "unknown")
   }
 
+  test("AVI walk skips a malformed PLAIN chunk named like a LIST type") {
+    import Multimodal.HeaderDecoder
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // avih with known geometry, then a PLAIN chunk whose fourcc spells
+    // 'strl' (never a LIST) — the old walk would hand it to listEnd,
+    // which read the preceding bytes as a LIST size and could report a
+    // garbage-but-in-bounds fps; the fixed walk skips it and reports
+    // fps 0 because no genuine LIST strl exists
+    val avih = fourcc("avih") ++ le32(56) ++ le32(40000) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(7) ++ le32(0) ++
+      le32(1) ++ le32(0) ++ le32(24) ++ le32(32) ++ new Array[Byte](16)
+    val fake = fourcc("strl") ++ le32(8) ++ le32(1) ++ le32(25)
+    val hdrl = fourcc("LIST") ++ le32(4 + avih.length + fake.length) ++
+      fourcc("hdrl") ++ avih ++ fake
+    val body = fourcc("AVI ") ++ hdrl
+    val avi = fourcc("RIFF") ++ le32(body.length) ++ body
+    val m = HeaderDecoder.decode(avi)
+    assert((m.kind, m.width, m.height, m.nFrames, m.sampleRateHz) ==
+      (("avi", 24, 32, 7, 0)))
+  }
+
   test("MjpegAvi extracts the exact frame payloads, odd lengths word-aligned") {
     import Multimodal.{MediaFixtures, MjpegAvi}
     val frames = Seq.tabulate(4)(k => MediaFixtures.jpegGrayHalves(16, 16, k, 255 - k))
@@ -429,7 +451,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert((qhi << 32 | qlo) == q)
   }
 
-  test("mm_image_neardup corpus: Hamming <=2 within a content, >=3 across contents") {
+  test("mm_image_neardup corpus: Hamming <=2 within a content, >=16 across contents") {
     // the margin that makes the banded discovery provably recover the
     // planted clusters (so the oracle can be hash-free)
     import Multimodal.MediaFixtures.splitmix64
@@ -442,8 +464,10 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
     def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     for (vs <- hashes; a <- vs; b <- vs) assert(dist(a, b) <= 2)
+    // the REAL separation (the scaladoc's >=16), not just the >=3 the
+    // verify threshold needs — anyone widening maxDist has a guard
     for (i <- hashes.indices; j <- hashes.indices if i < j;
-         a <- hashes(i); b <- hashes(j)) assert(dist(a, b) >= 3)
+         a <- hashes(i); b <- hashes(j)) assert(dist(a, b) >= 16)
     // popcount stays in the fixture's guaranteed-margin zone
     for (vs <- hashes; a <- vs)
       assert(java.lang.Long.bitCount(a) >= 2 && java.lang.Long.bitCount(a) <= 62)
@@ -462,7 +486,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val q = p ^ (1L << 29)
     val (_, _, qhi, qlo) = audioFp(wav(q)).get
     assert((qhi << 32 | qlo) == q)
-    // the mm_audio_neardup corpus margins: <=2 within, >=3 across contents
+    // the mm_audio_neardup corpus margins: <=2 within, >=18 across contents
     val hashes = (0 until 45).map { m =>
       val base = MediaFixtures.splitmix64(m + 1000L)
       val b1 = (m * 13 + 5) % 64
@@ -472,8 +496,9 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
     def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     for (vs <- hashes; a <- vs; b <- vs) assert(dist(a, b) <= 2)
+    // real cross-content separation (the scaladoc's >=18), not just >=3
     for (i <- hashes.indices; j <- hashes.indices if i < j;
-         a <- hashes(i); b <- hashes(j)) assert(dist(a, b) >= 3)
+         a <- hashes(i); b <- hashes(j)) assert(dist(a, b) >= 18)
     for (vs <- hashes; a <- vs)
       assert(java.lang.Long.bitCount(a) >= 1 && java.lang.Long.bitCount(a) <= 63)
   }
