@@ -1873,6 +1873,31 @@ object Extensions {
         sum(col("l_quantity").cast("long")).as("sum_qty"))
       .orderBy("o_orderkey")
   }
+
+  /** Link-analysis quality prior ([[graft.operators.Graph.pageRankE9]]):
+    * 10 fixed-point PageRank iterations over a deterministic domain
+    * graph derived from the documents table (synthesize-then-operate —
+    * the [[synthUrls]] pattern; the testdata has no link column). The
+    * domain of a document is `doc_id % 100`; each domain links to
+    * `(d² + k) % 100` for k ∈ {1,2,3}, so out-degree is exactly 3
+    * everywhere while in-degree is NOT uniform — squares mod 100
+    * concentrate on the quadratic residues (e.g. d² ≡ 0 has ten roots),
+    * so residue-adjacent domains become genuine hubs and the ranks
+    * spread (an affine d·a+k map would keep in-degree constant at 3 and
+    * collapse PageRank to the uniform vector; any self-loops the
+    * formula produces are kept as ordinary edges on both sides). The
+    * all-integer update rule means the oracle unrolls the same 10
+    * iterations as chained SQL CTEs and hash-matches exactly. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val dom = t(s, dir, "documents").select((col("doc_id") % 100).as("node"))
+    val nodes = dom.distinct()
+    val edges = dom
+      .select(col("node").as("src"), explode(array(lit(1), lit(2), lit(3))).as("k"))
+      .select(col("src"), ((col("src") * col("src") + col("k")) % 100).as("dst"))
+      .distinct()
+    graft.operators.Graph.pageRankE9(edges, nodes, iterations = 10)
+      .orderBy("node")
+  }
 }
 
 /** DuckDB oracles for the deterministic extension queries. */
@@ -3355,4 +3380,35 @@ object ExtensionOracles {
       |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin
+
+  /** [[Extensions.graphPagerank]]'s 10 iterations unrolled as chained
+    * CTEs (standard SQL forbids aggregation inside a recursive term, so
+    * a fixed iteration count unrolls instead) — the same all-integer
+    * update rule: base `15e9 // (100·N)`, per-edge `rank // outdeg`,
+    * damped `85·Σ // 100`. DuckDB's `//` floors and Spark's `DIV`
+    * truncates; every operand is non-negative, so they agree. The
+    * `15000000000` literal is written long-form: DuckDB would overflow
+    * a `15 * 1000000000` INT32 product loudly. */
+  val graphPagerank: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         15000000000 // (100 * (SELECT count(*) FROM nodes))
+         |           + (85 * coalesce(c.s, 0)) // 100 AS rank_e9
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank_e9 // e.outdeg) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY 1) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |raw AS (SELECT DISTINCT doc_id % 100 AS src,
+       |               ((doc_id % 100) * (doc_id % 100) + k) % 100 AS dst
+       |        FROM documents, (VALUES (1), (2), (3)) t(k)),
+       |deg AS (SELECT src, count(*) AS outdeg FROM raw GROUP BY 1),
+       |edges AS (SELECT r.src, r.dst, d.outdeg FROM raw r JOIN deg d USING (src)),
+       |r0 AS (SELECT node, 1000000000 // (SELECT count(*) FROM nodes) AS rank_e9
+       |       FROM nodes),
+       |$iters
+       |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Closed-form checks for the fixed-point PageRank: stationary points,
+  * symmetry, mass accounting, and the zero-iteration identity — the
+  * properties a correct BSP implementation cannot fake. */
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  private val Scale = 1000000000L
+
+  private def run(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                  iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRankE9(
+      edges.toDF("src", "dst"), nodes.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two-node cycle is a stationary point: uniform rank survives 10 iterations exactly") {
+    // r = 15e9/(100·2) + 85·(5e8 DIV 1)/100 = 75e6 + 425e6 = 5e8 = init
+    val r = run(Seq(0L -> 1L, 1L -> 0L), Seq(0L, 1L), 10)
+    assert(r == Map(0L -> Scale / 2, 1L -> Scale / 2))
+  }
+
+  test("uniform complete graph (no self-loops) stays uniform") {
+    val nodes = (0L until 4L)
+    val edges = for (a <- nodes; b <- nodes if a != b) yield (a, b)
+    val r = run(edges, nodes, 7)
+    // each node emits 3 contributions of floor(25e7/3), receives 3 back:
+    // base 37500000 + 85·(3·83333333) DIV 100 = 37500000 + 212499999
+    assert(r.values.toSet.size == 1)
+    assert(r(0L) == 37500000L + 85L * (3L * (250000000L / 3L)) / 100L)
+  }
+
+  test("sink-free star: hub outranks leaves, total mass bounded by SCALE") {
+    // leaves 1..4 all link to hub 0; hub links back to every leaf
+    val edges = (1L to 4L).flatMap(l => Seq(l -> 0L, 0L -> l))
+    val r = run(edges, 0L to 4L, 10)
+    assert((1L to 4L).forall(l => r(0L) > r(l)))
+    assert((1L to 4L).map(r).toSet.size == 1)   // leaf symmetry
+    val total = r.values.sum
+    // floor losses only shed mass; 10 iterations of ≤ (outdeg+1) units
+    assert(total <= Scale && total >= Scale - 1000L)
+  }
+
+  test("zero iterations returns the uniform init, node set preserved") {
+    val r = run(Seq(0L -> 1L), Seq(0L, 1L, 2L), 0)
+    assert(r == Map(0L -> Scale / 3, 1L -> Scale / 3, 2L -> Scale / 3))
+  }
+
+  test("dangling node leaks mass but keeps receiving the base share") {
+    // 1 links to 2; 2 links nowhere (dangling): 2's rank decays toward
+    // base + damped inflow, never to zero; node 3 is isolated → base-only
+    val r = run(Seq(1L -> 2L), Seq(1L, 2L, 3L), 10)
+    val base = 15L * Scale / (100L * 3L)
+    assert(r(3L) == base)                       // isolated: exactly base
+    assert(r(1L) == base)                       // no inflow either
+    assert(r(2L) == base + 85L * base / 100L)   // inflow = 1's base rank
+  }
+
+  test("declared graph_pagerank query: 100 domains, outdeg 3, ranks ordered and mass-bounded") {
+    val df = graft.queries.Extensions.graphPagerank(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 100L))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total <= Scale && total > Scale - 100L * 100L)
+    // the d²+k quadratic-residue spread must differentiate the ranks
+    assert(rows.map(_.getLong(1)).distinct.length > 10)
+  }
+}
