@@ -200,6 +200,56 @@ object TextAnalysis {
         round(col("df_sum").cast("double") / col("n_tri"), 4).as("familiarity"))
   }
 
+  /** Bigram language-model quality score — the CCNet-style "how would
+    * a corpus LM rate this document" filter in engine-portable exact
+    * integer form, one conditioning rung above [[familiarity]]: where
+    * familiarity averages the JOINT document frequency of a doc's
+    * char-3-grams, this scores each word-bigram position by the
+    * CONDITIONAL probability estimate c(w₁w₂)/c(w₁) over the corpus —
+    * template spam full of globally common words in unusual ORDER
+    * scores low here while passing a df-based signal. Per position,
+    * `p = (10⁶·c(w₁w₂)) DIV c(w₁)` (≤ 10⁶ since every w₁w₂ occurrence
+    * consumes a w₁ occurrence); per document, the floored mean over its
+    * bigram positions. No log() anywhere — libm rounding differs across
+    * engines — so ranks and values reproduce bit-for-bit in SQL.
+    * (Overflow bound: 10⁶·c(w₁w₂) passes 2⁶³ only past ~9·10¹² corpus
+    * occurrences of one bigram — the tfidf scaling caveat.)
+    *
+    * Shape at scale: ONE tokenize pass (both shingle kernels run in the
+    * same projection over the scan, then `localCheckpoint` — the count
+    * tables and the probe all read the materialized arrays, never the
+    * corpus again). Unigram and bigram count tables are corpus-derived
+    * and unbounded in principle, so each is size-gated after its own
+    * checkpoint and the probe degrades from broadcast to shuffle join
+    * above `broadcastLimit` — [[familiarity]]'s adaptive pattern, per
+    * table. Documents with < 2 kernel tokens have no bigram positions
+    * and drop out (identically on the oracle side). */
+  def lmBigramScore(df: DataFrame, idCol: String, textCol: String,
+                    broadcastLimit: Long = 2_000_000L): DataFrame = {
+    val base = df.select(col(idCol),
+        Sketches.wordShingles(col(textCol), 1).as("uni"),
+        Sketches.wordShingles(col(textCol), 2).as("bi"))
+      .localCheckpoint()   // tokenize once; everything below reads arrays
+    val pairs = base.filter(size(col("uni")) >= 2)
+      .select(col(idCol), explode(col("bi")).as("gram"))
+    val cuTab = base.select(explode(col("uni")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint()   // materialize once: feeds the size gate AND the join
+    val cbTab = pairs.groupBy(col("gram")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    def gated(probe: DataFrame, tab: DataFrame, key: Seq[String]): DataFrame =
+      if (tab.count() <= broadcastLimit) probe.join(broadcast(tab), key)
+      else probe.join(tab, key)   // vocabulary too rich to broadcast
+    val withCb = gated(pairs, cbTab, Seq("gram"))
+      .withColumn("term", substring_index(col("gram"), " ", 1))
+    gated(withCb, cuTab, Seq("term"))
+      .withColumn("p", expr("(1000000 * cb) DIV cu"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sp"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("sp DIV n_bigrams").as("lm_score_ppm"))
+  }
+
   /** Unicode-script profile — the curation filter [[langId]] can't be:
     * stopword language-ID only knows its seeded languages, while script
     * counting classifies ANY text (drop-by-script, mixed-script spam

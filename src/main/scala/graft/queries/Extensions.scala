@@ -1874,6 +1874,16 @@ object Extensions {
       .orderBy("o_orderkey")
   }
 
+  /** Bigram conditional-probability LM quality score
+    * ([[graft.operators.TextAnalysis.lmBigramScore]]) — the
+    * perplexity-shaped corpus filter with real CONDITIONING, exact
+    * integers end to end. Oracle-checked: shingle extraction, both
+    * count tables, the per-position floor division and the floored
+    * mean all reproduce in DuckDB. */
+  def textLmBigram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.lmBigramScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Link-analysis quality prior ([[graft.operators.Graph.pageRankE9]]):
     * 10 fixed-point PageRank iterations over a deterministic domain
     * graph derived from the documents table (synthesize-then-operate —
@@ -3380,6 +3390,31 @@ object ExtensionOracles {
       |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin
+
+  /** [[Extensions.textLmBigram]]: the shingle kernel's tokens (lower,
+    * kernel whitespace class, empties dropped), bigrams only for docs
+    * with ≥ 2 tokens, corpus unigram/bigram counts, then the identical
+    * integer chain — `//` floors where Spark's DIV truncates, equal on
+    * the non-negative operands both sides produce. */
+  val textLmBigram: String = {
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH d AS (SELECT doc_id,
+       |             list_filter(regexp_split_to_array(lower(text), '$kws'),
+       |                         t -> t <> '') AS tk
+       |           FROM documents),
+       |b AS (SELECT doc_id,
+       |        unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS gram
+       |      FROM d WHERE len(tk) >= 2),
+       |u AS (SELECT unnest(tk) AS term FROM d),
+       |cu AS (SELECT term, count(*) AS cu FROM u GROUP BY 1),
+       |cb AS (SELECT gram, count(*) AS cb FROM b GROUP BY 1),
+       |p AS (SELECT b.doc_id, (1000000 * cb.cb) // cu.cu AS p
+       |      FROM b JOIN cb USING (gram)
+       |             JOIN cu ON cu.term = split_part(b.gram, ' ', 1))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       CAST(sum(p) // count(*) AS BIGINT) AS lm_score_ppm
+       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** [[Extensions.graphPagerank]]'s 10 iterations unrolled as chained
     * CTEs (standard SQL forbids aggregation inside a recursive term, so

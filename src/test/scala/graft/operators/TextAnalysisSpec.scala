@@ -33,6 +33,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "el \t perro  y \n el gato en   la casa que no se mueve") == "es")
   }
 
+  test("lmBigramScore: closed-form conditional probabilities, short docs drop out") {
+    // corpus: "a b" x2, "a c", "b" (1 token -> no bigrams), "" (empty)
+    //   c(a)=3 c(b)=3 c(c)=1;  c("a b")=2  c("a c")=1
+    val docs = Seq(
+      (0L, "a b"), (1L, "a  b"), (2L, "a c"), (3L, "b"), (4L, " ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmBigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // p(a b) = 1e6*2 DIV 3 = 666666; p(a c) = 1e6*1 DIV 3 = 333333
+    assert(out == Seq(
+      (0L, 1L, 666666L), (1L, 1L, 666666L), (2L, 1L, 333333L)))
+  }
+
+  test("lmBigramScore: common words in unusual order score below common order") {
+    // "x y" dominates the corpus; one doc reverses it — same unigrams,
+    // rare bigram, lower score: the conditioning df-signals can't see
+    val docs = (0L until 8L).map(i => (i, "x y")) :+ (8L, "y x")
+    val out = TextAnalysis.lmBigramScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    // c(x)=9 c(y)=9 c("x y")=8 c("y x")=1
+    assert(out.take(8).forall(_._3 == 1000000L * 8 / 9))
+    assert(out.last == ((8L, 1L, 1000000L / 9)))
+    assert(out.last._3 < out.head._3)
+  }
+
+  test("lmBigramScore: shuffle-join path (broadcastLimit 0) is answer-identical") {
+    val docs = Seq((0L, "a b c a b"), (1L, "c c a"), (2L, "b a")).toDF("doc_id", "text")
+    val bc = TextAnalysis.lmBigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val sh = TextAnalysis.lmBigramScore(docs, "doc_id", "text", broadcastLimit = 0L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(bc == sh && bc.nonEmpty)
+  }
+
   test("topTermsTfIdf: closed-form scores, term-desc tie-break, empty docs excluded") {
     // N = 5 documents (the blank one still counts toward corpus size);
     // score_ppm = tf * 1e6 * N / df, exact in int64 at this size
