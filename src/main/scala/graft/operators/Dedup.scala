@@ -406,21 +406,11 @@ object Dedup {
       base.join(mapping, base("id") === mapping("m_id"), "left")
         .select(col("id"), coalesce(col("m_cluster"), col("cluster_id")).as("cluster_id"))
     } else {
-      // distributed fallback: min-id label propagation over the edge set
-      val edges = edgeDf.unionByName(
-        edgeDf.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()   // cut candidate-generation lineage once
-      var labels = base
-      var i = 0
-      while (i < maxIter) {
-        val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src").as("id2")).agg(min(col("cluster_id")).as("nbr_min"))
-        labels = labels.join(viaNeighbor, labels("id") === viaNeighbor("id2"), "left")
-          .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-          .localCheckpoint()   // cut lineage each round
-        i += 1
-      }
-      labels
+      // distributed fallback: the shared min-label-propagation operator
+      // (Graph.connectedComponentsMinLabel symmetrizes and checkpoints)
+      Graph.connectedComponentsMinLabel(
+          edgeDf, base.select(col("id").as("node")), maxIter)
+        .select(col("node").as("id"), col("component").as("cluster_id"))
     }
   }
 

@@ -87,4 +87,48 @@ object Graph {
     }
     ranks
   }
+
+  /** Connected components by synchronous min-label propagation: exactly
+    * `iterations` BSP steps over the UNDIRECTED closure of
+    * `edges(src, dst)`, labels initialized to the node id. After step k
+    * every node holds the minimum id within its k-hop neighborhood, so
+    * the result converges to per-component min ids once `iterations`
+    * reaches the largest component radius (from its min-id node) — and
+    * is still a deterministic, engine-reproducible function of
+    * (graph, iterations) before convergence, which is what lets a SQL
+    * oracle unroll the same k steps and hash-match exactly.
+    *
+    * Scale shape (same discipline as [[pageRankE9]]):
+    *  - one symmetrize + `localCheckpoint` of the edge set up front
+    *    (re-read every step; without the cut each step re-unions);
+    *  - each step is join-on-dst + `groupBy(src).min` — min is
+    *    associative/idempotent, so map-side partial aggregation absorbs
+    *    hub skew before the exchange, and the step count is the graph
+    *    diameter, not the node count;
+    *  - labels `localCheckpoint`ed every step (iterative-lineage cut);
+    *  - isolated nodes never join and keep their own id — no special
+    *    casing, no driver state. Near-dup contraction graphs are
+    *    shallow (star-like), so small fixed budgets converge; callers
+    *    needing certainty pick `iterations` ≥ the radius bound they
+    *    can argue (e.g. [[Dedup.clusters]]' verified-edge chains).
+    */
+  def connectedComponentsMinLabel(edges: DataFrame, nodes: DataFrame,
+                                  iterations: Int): DataFrame = {
+    require(iterations >= 0)
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src").as("n2")).agg(min(col("component")).as("nbr_min"))
+      labels = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"),
+          least(col("component"),
+            coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }
