@@ -70,16 +70,8 @@ object SessionStream {
   def run(spark: SparkSession, eventsDir: String, outputTable: String,
           gapUs: Long = 30L * 60 * 1000 * 1000, watermarkDelay: String = "1 hour") = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val events: Dataset[Ev] = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val events: Dataset[Ev] = graft.core.Tables.eventStream(spark, eventsDir)
+      .withColumn("event_time", col("ts"))
       .withWatermark("event_time", watermarkDelay)
       .select(col("user_id"), unix_micros(col("event_time")).as("ts_us"), col("event_time"))
       .as[Ev]

@@ -16,14 +16,6 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamDedup {
 
-  private val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-
   /** Drain `eventsDir` (one file per trigger, so duplicates arrive in
     * DIFFERENT micro-batches and the dedup state is actually exercised)
     * into the in-memory sink `outputTable`, keeping one row per
@@ -31,11 +23,8 @@ object StreamDedup {
     */
   def run(spark: SparkSession, eventsDir: String, outputTable: String,
           delay: String = "40 days") = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(eventsDir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.eventStream(spark, eventsDir, maxFilesPerTrigger = Some(1))
+      .withColumn("event_time", col("ts"))
       .withWatermark("event_time", delay)
       .dropDuplicatesWithinWatermark("event_id")
       .select("event_id", "user_id", "event_type")

@@ -16,20 +16,8 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamJoin {
 
-  private val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-
-  private def eventStream(spark: SparkSession, dir: String, kind: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .filter(col("event_type") === kind)
-  }
+  private def eventStream(spark: SparkSession, dir: String, kind: String): DataFrame =
+    graft.core.Tables.eventStream(spark, dir).filter(col("event_type") === kind)
 
   /** Start the attribution join over a parquet event stream directory,
     * writing (purchase_id, view_id, user_id, lag_us) pairs to an
