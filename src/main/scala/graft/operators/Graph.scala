@@ -36,11 +36,13 @@ import org.apache.spark.sql.functions._
   *    join), analysis/optimization time grows exponentially, and the
   *    physical plan re-executes the whole history. With it, iteration
   *    k is always one join + one aggregate over materialized inputs.
-  *  - Dangling mass: nodes with no out-links leak their rank (the
-  *    standard simplification when link graphs are built so every node
-  *    has out-edges; redistribution would add one scalar aggregate per
-  *    iteration, not a new shuffle — documented rather than silently
-  *    half-implemented).
+  *  - Dangling mass: nodes with no out-links would leak their rank;
+  *    instead each iteration redistributes it uniformly — one scalar
+  *    aggregate over the rank frame (a 1-row DataFrame, broadcast into
+  *    the update via cross join, so no driver collect and no extra
+  *    wide shuffle per iteration). On link graphs built so every node
+  *    has out-edges the term is identically zero and the update
+  *    reduces to the classic two-shuffle step.
   */
 object Graph {
 
@@ -49,11 +51,12 @@ object Graph {
     * `nodes(node)`; returns `(node, rank_e9)` with
     * rank_e9 = floor(1e9 · pagerank) under per-step floor rounding.
     *
-    * Exact update rule (all integer ops):
+    * Exact update rule (all integer ops; D = dangling mass):
     * {{{
     *   r₀(v)   = SCALE div N
+    *   Dₖ      = Σ_{u: outdeg(u)=0} rₖ(u)
     *   rₖ₊₁(v) = (100-d)·SCALE div (100·N)
-    *           + d · Σ_{(u,v)∈E} (rₖ(u) div outdeg(u)) div 100
+    *           + d · (Σ_{(u,v)∈E} (rₖ(u) div outdeg(u)) + Dₖ div N) div 100
     * }}}
     * Overflow bound: d·Σ ≤ 100·SCALE·N_in ≤ 10¹¹·N — past ~9·10⁷ nodes
     * of worst-case concentration the damped sum should move to a
@@ -73,24 +76,41 @@ object Graph {
     // materialized (src, dst, outdeg) table instead of re-aggregating
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesDeg = edges.join(deg, "src").localCheckpoint()
-    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_e9"))
+    // the dangling set is static (a property of the edge list), so the
+    // flag rides along in the node/rank frames and the per-iteration
+    // dangling mass is a filter + scalar aggregate — no join per step
+    val nodesF = nodes
+      .join(deg.select(col("src").as("node"), lit(true).as("has_out")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
+      .localCheckpoint()
+    var ranks = nodesF.select(col("node"), lit(Scale / n).as("rank_e9"), col("has_out"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
+      val dmass = ranks.filter(!col("has_out"))
+        .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("dmass"))
       val contrib = edgesDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank_e9 DIV outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+      ranks = nodesF.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dmass))
         .select(col("node"),
           (lit(base) +
-            expr(s"($dampingPct * coalesce(s, 0L)) DIV 100")).as("rank_e9"))
+            expr(s"($dampingPct * (coalesce(s, 0L) + dmass DIV $n)) DIV 100")).as("rank_e9"),
+          col("has_out"))
         .localCheckpoint()
     }
-    ranks
+    ranks.select(col("node"), col("rank_e9"))
   }
 
   /** Connected components by synchronous min-label propagation: exactly
     * `iterations` BSP steps over the UNDIRECTED closure of
-    * `edges(src, dst)`, labels initialized to the node id. After step k
+    * `edges(src, dst)` restricted to `nodes(node)` — the INDUCED
+    * subgraph: labels exist only for `nodes`, so an edge with either
+    * endpoint outside the node set contributes nothing to propagation
+    * (it is silently dropped, same restriction [[pageRankE9]] applies);
+    * callers whose edge lists aren't closed over `nodes` must union the
+    * extra endpoints in first. Labels are initialized to the node id.
+    * After step k
     * every node holds the minimum id within its k-hop neighborhood, so
     * the result converges to per-component min ids once `iterations`
     * reaches the largest component radius (from its min-id node) — and

@@ -1908,6 +1908,36 @@ object Extensions {
     graft.operators.Graph.pageRankE9(edges, nodes, iterations = 10)
       .orderBy("node")
   }
+
+  /** Corpus-level entity resolution
+    * ([[graft.operators.Graph.connectedComponentsMinLabel]]): the
+    * shared-identifier clustering the reference runs over its
+    * other_ads/phone link graph (frontPage queries.py:64-77 joins ads
+    * on shared phone numbers) — here as min-label components over a
+    * deterministic domain graph (synthesize-then-operate; the testdata
+    * has no link column). Nodes are `doc_id % 100`; edges chain each
+    * domain to its successor within blocks of 7 (`d → d+1` unless
+    * `d ≡ 6 mod 7`), then two long bridges `0→50` and `25→75` merge
+    * four of the ⌈100/7⌉ chains — so components are NOT aligned with
+    * the block structure and the min label must travel a 6-hop path
+    * (e.g. 21→…→25→75→76). 8 synchronous steps ≥ the 6-hop
+    * eccentricity bound, so the result is fully converged AND a
+    * deterministic function of (graph, 8) the oracle reproduces by
+    * unrolling the same steps as chained CTEs. */
+  def graphCc(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val bridges = nodes.filter(col("node").isin(0, 25))
+      .select(col("node").as("src"), (col("node") + 50).as("dst"))
+    // keep the edge list closed over the node set (a sparse sf dir may
+    // miss a residue): induced-subgraph semantics, same as the operator
+    val edges = chain.unionByName(bridges)
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    graft.operators.Graph.connectedComponentsMinLabel(edges, nodes, iterations = 8)
+      .orderBy("node")
+  }
 }
 
 /** DuckDB oracles for the deterministic extension queries. */
@@ -3420,16 +3450,24 @@ object ExtensionOracles {
     * CTEs (standard SQL forbids aggregation inside a recursive term, so
     * a fixed iteration count unrolls instead) — the same all-integer
     * update rule: base `15e9 // (100·N)`, per-edge `rank // outdeg`,
-    * damped `85·Σ // 100`. DuckDB's `//` floors and Spark's `DIV`
-    * truncates; every operand is non-negative, so they agree. The
+    * dangling share `Dₖ // N` (zero on this fixture — every domain has
+    * out-degree 3 — but the term mirrors the operator's redistribution
+    * exactly), damped `85·Σ // 100`. DuckDB's `//` floors and Spark's
+    * `DIV` truncates; every operand is non-negative, so they agree. The
     * `15000000000` literal is written long-form: DuckDB would overflow
-    * a `15 * 1000000000` INT32 product loudly. */
+    * a `15 * 1000000000` INT32 product loudly. Each rₖ is MATERIALIZED:
+    * the dangling-mass subquery makes rₖ₋₁ referenced twice per step,
+    * and inlining (DuckDB's default for CTEs) would re-evaluate the
+    * whole chain 2ᵏ times. */
   val graphPagerank: String = {
     val iters = (1 to 10).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT n.node,
          |         15000000000 // (100 * (SELECT count(*) FROM nodes))
-         |           + (85 * coalesce(c.s, 0)) // 100 AS rank_e9
+         |           + (85 * (coalesce(c.s, 0)
+         |                    + (SELECT coalesce(sum(d.rank_e9), 0) FROM r${i - 1} d
+         |                       WHERE d.node NOT IN (SELECT src FROM deg))
+         |                      // (SELECT count(*) FROM nodes))) // 100 AS rank_e9
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS node, sum(r.rank_e9 // e.outdeg) AS s
          |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
@@ -3445,5 +3483,35 @@ object ExtensionOracles {
        |       FROM nodes),
        |$iters
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphCc]]'s 8 min-label steps unrolled as chained
+    * CTEs — one step = min over the symmetrized neighborhood, `least`
+    * against the node's own label (min is associative and idempotent,
+    * so the duplicate edges symmetrization can produce are harmless in
+    * both engines). Each lₖ is MATERIALIZED: one step reads lₖ₋₁ twice
+    * (own label + neighbor min), and DuckDB's default CTE inlining
+    * would re-evaluate the chain 2ᵏ times. */
+  val graphCc: String = {
+    val steps = (1 to 8).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.node,
+         |         least(l.component, coalesce(m.nbr_min, l.component)) AS component
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT s.src AS node, min(x.component) AS nbr_min
+         |    FROM sym s JOIN l${i - 1} x ON s.dst = x.node
+         |    GROUP BY 1) m USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |raw AS (
+       |  SELECT node AS src, node + 1 AS dst FROM nodes
+       |  WHERE node % 7 <> 6 AND node < 99
+       |  UNION ALL
+       |  SELECT node, node + 50 FROM nodes WHERE node IN (0, 25)),
+       |edges AS (SELECT r.src, r.dst FROM raw r JOIN nodes n ON r.dst = n.node),
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |l0 AS (SELECT node, node AS component FROM nodes),
+       |$steps
+       |SELECT node, CAST(component AS BIGINT) AS component FROM l8 ORDER BY node""".stripMargin
   }
 }

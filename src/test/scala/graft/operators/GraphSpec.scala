@@ -51,14 +51,62 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r == Map(0L -> Scale / 3, 1L -> Scale / 3, 2L -> Scale / 3))
   }
 
-  test("dangling node leaks mass but keeps receiving the base share") {
-    // 1 links to 2; 2 links nowhere (dangling): 2's rank decays toward
-    // base + damped inflow, never to zero; node 3 is isolated → base-only
-    val r = run(Seq(1L -> 2L), Seq(1L, 2L, 3L), 10)
-    val base = 15L * Scale / (100L * 3L)
-    assert(r(3L) == base)                       // isolated: exactly base
-    assert(r(1L) == base)                       // no inflow either
-    assert(r(2L) == base + 85L * base / 100L)   // inflow = 1's base rank
+  test("dangling mass is redistributed uniformly: closed-form one step, mass conserved") {
+    // 1 links to 2; 2 and 3 are dangling. D₀ = 2·(1e9 DIV 3) = 666666666,
+    // share D₀ DIV 3 = 222222222, base = 15e9 DIV 300 = 5e7:
+    //   r₁(1) = r₁(3) = 5e7 + 85·222222222 DIV 100        = 238888888
+    //   r₁(2) =        5e7 + 85·(333333333+222222222) DIV 100 = 522222221
+    val r1 = run(Seq(1L -> 2L), Seq(1L, 2L, 3L), 1)
+    assert(r1 == Map(1L -> 238888888L, 2L -> 522222221L, 3L -> 238888888L))
+    // redistribution conserves total mass up to per-step floor loss
+    val r10 = run(Seq(1L -> 2L), Seq(1L, 2L, 3L), 10)
+    val total = r10.values.sum
+    assert(total <= Scale && total >= Scale - 1000L)
+  }
+
+  private def runCc(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                    iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponentsMinLabel(
+      edges.toDF("src", "dst"), nodes.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("cc: chain converges at iterations = eccentricity of the min node") {
+    // path 0-1-2-3-4: node 4 is 4 hops from the min id
+    val chain = (0L until 4L).map(i => i -> (i + 1))
+    val r = runCc(chain, 0L to 4L, 4)
+    assert(r == (0L to 4L).map(_ -> 0L).toMap)
+  }
+
+  test("cc: one step short of the eccentricity has NOT converged (deterministic partial state)") {
+    val chain = (0L until 4L).map(i => i -> (i + 1))
+    val r = runCc(chain, 0L to 4L, 3)
+    // after k steps a node holds the min over its k-hop neighborhood:
+    // node 4's 3-hop neighborhood is {1,2,3,4} → label 1, not 0
+    assert(r(4L) == 1L)
+    assert((0L to 3L).forall(r(_) == 0L))
+  }
+
+  test("cc: triangle collapses in one step") {
+    val r = runCc(Seq(0L -> 1L, 1L -> 2L, 2L -> 0L), 0L to 2L, 1)
+    assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("cc: isolated node keeps its own id; separate components stay separate") {
+    val r = runCc(Seq(0L -> 1L), Seq(0L, 1L, 5L), 2)
+    assert(r == Map(0L -> 0L, 1L -> 0L, 5L -> 5L))
+  }
+
+  test("cc: zero iterations is the identity labeling") {
+    val r = runCc(Seq(0L -> 1L), Seq(0L, 1L, 2L), 0)
+    assert(r == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("cc: edges with an endpoint outside the node set are dropped (induced subgraph)") {
+    // edge 1-99 has no node 99: propagation must not leak through it
+    val r = runCc(Seq(0L -> 1L, 1L -> 99L), Seq(0L, 1L), 3)
+    assert(r == Map(0L -> 0L, 1L -> 0L))
   }
 
   test("declared graph_pagerank query: 100 domains, outdeg 3, ranks ordered and mass-bounded") {
