@@ -102,6 +102,60 @@ object Graph {
     ranks.select(col("node"), col("rank_e9"))
   }
 
+  /** Harmonic centrality, exact fixed-point form: for every node v,
+    * `harmonic_e9(v) = Σ_{u≠v, d(u,v)≤maxDist} (1e9 div d(u,v))` over
+    * DIRECTED shortest-path distances in `edges(src, dst)` restricted
+    * to `nodes(node)` (induced subgraph — an edge with either endpoint
+    * outside the node set is dropped, as in [[pageRankE9]]). Unreachable
+    * pairs contribute zero, which is exactly why Common Crawl publishes
+    * harmonic (not closeness) centrality for web/domain graphs: it is
+    * well-defined on disconnected graphs. `maxDist` ≥ the directed
+    * diameter gives the exact value; below it, the deterministic
+    * truncated sum — either way a pure integer function of
+    * (graph, maxDist) that a SQL oracle reproduces by unrolling the
+    * same BFS steps.
+    *
+    * Scale shape: this is multi-source BFS with EXPLICIT pair state —
+    * `known` holds one row per (origin, node) pair discovered, i.e.
+    * O(Σ_v |ball(v, maxDist)|). On a bounded-degree domain graph with
+    * small maxDist that is N·O(deg^maxDist); on a full web graph it is
+    * quadratic and this formulation is wrong — there the HyperBall
+    * construction (Boldi & Vigna 2013: one mergeable HLL counter per
+    * node, neighborhood-union per step, harmonic from successive ball-
+    * size deltas) keeps O(N) state at ~1% error, and plugs into this
+    * same two-shuffle BSP loop with the pair frame replaced by a sketch
+    * column. The exact form is the oracle-checkable one, so it is what
+    * the declared query runs (on the 100-node domain graph).
+    * Per-step discipline matches [[pageRankE9]]: frontier and known are
+    * `localCheckpoint`ed every step (lineage cut), candidate expansion
+    * is one join + distinct, dedup against `known` is one anti-join.
+    */
+  def harmonicCentralityE9(edges: DataFrame, nodes: DataFrame,
+                           maxDist: Int): DataFrame = {
+    require(maxDist >= 0)
+    val nset = nodes.select(col("node"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .distinct().localCheckpoint()
+    // (origin, node, dist): shortest directed distance origin→node found
+    var known = nset.select(col("node").as("origin"), col("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = known
+    for (d <- 1 to maxDist) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("origin"), e("dst").as("node")).distinct()
+      frontier = cand.join(known, Seq("origin", "node"), "left_anti")
+        .select(col("origin"), col("node"), lit(d).as("dist"))
+        .localCheckpoint()
+      known = known.unionByName(frontier).localCheckpoint()
+    }
+    val scores = known.filter(col("dist") > 0)
+      .groupBy(col("node")).agg(sum(expr("1000000000L DIV dist")).as("s"))
+    nset.join(scores, Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("harmonic_e9"))
+  }
+
   /** Connected components by synchronous min-label propagation: exactly
     * `iterations` BSP steps over the UNDIRECTED closure of
     * `edges(src, dst)` restricted to `nodes(node)` — the INDUCED

@@ -1938,6 +1938,28 @@ object Extensions {
     graft.operators.Graph.connectedComponentsMinLabel(edges, nodes, iterations = 8)
       .orderBy("node")
   }
+
+  /** The second Common-Crawl-style rank
+    * ([[graft.operators.Graph.harmonicCentralityE9]]): exact integer
+    * harmonic centrality over the SAME chained-blocks-plus-bridges
+    * domain graph as [[graphCc]], taken DIRECTED (chains point forward,
+    * bridges point low→high), so in-path structure differs node to
+    * node: block heads receive nothing, bridge targets accumulate two
+    * chains' worth of origins. The directed diameter of the fixture is
+    * ≤ 12 (a head-to-tail walk through a bridge), so `maxDist = 12`
+    * makes the truncated sum the exact value; the oracle unrolls the
+    * same 12 BFS steps. */
+  def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val bridges = nodes.filter(col("node").isin(0, 25))
+      .select(col("node").as("src"), (col("node") + 50).as("dst"))
+    graft.operators.Graph.harmonicCentralityE9(
+      chain.unionByName(bridges), nodes, maxDist = 12)
+      .orderBy("node")
+  }
 }
 
 /** DuckDB oracles for the deterministic extension queries. */
@@ -3513,5 +3535,40 @@ object ExtensionOracles {
        |l0 AS (SELECT node, node AS component FROM nodes),
        |$steps
        |SELECT node, CAST(component AS BIGINT) AS component FROM l8 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphHarmonic]]'s 12 BFS steps unrolled: fₖ = the
+    * pairs first reached at distance k (candidate expansion minus
+    * already-known), pₖ = all pairs known after step k. Both are
+    * MATERIALIZED — fₖ reads fₖ₋₁ and pₖ₋₁, pₖ reads pₖ₋₁ and fₖ, so
+    * inlining would re-evaluate the chain exponentially. Integer
+    * division `//` against Spark's `DIV` on non-negative operands. */
+  val graphHarmonic: String = {
+    val steps = (1 to 12).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT c.origin, c.node, $i AS dist
+         |  FROM (SELECT DISTINCT f.origin, e.dst AS node
+         |        FROM f${i - 1} f JOIN edges e ON f.node = e.src) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM p${i - 1} p
+         |                    WHERE p.origin = c.origin AND p.node = c.node)),
+         |p$i AS MATERIALIZED (
+         |  SELECT * FROM p${i - 1} UNION ALL SELECT * FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |raw AS (
+       |  SELECT node AS src, node + 1 AS dst FROM nodes
+       |  WHERE node % 7 <> 6 AND node < 99
+       |  UNION ALL
+       |  SELECT node, node + 50 FROM nodes WHERE node IN (0, 25)),
+       |edges AS (SELECT DISTINCT r.src, r.dst
+       |          FROM raw r JOIN nodes n ON r.dst = n.node),
+       |p0 AS MATERIALIZED (SELECT node AS origin, node, 0 AS dist FROM nodes),
+       |f0 AS MATERIALIZED (SELECT * FROM p0),
+       |$steps
+       |SELECT n.node, CAST(coalesce(s.h, 0) AS BIGINT) AS harmonic_e9
+       |FROM nodes n LEFT JOIN (
+       |  SELECT node, sum(1000000000 // dist) AS h
+       |  FROM p12 WHERE dist > 0 GROUP BY 1) s USING (node)
+       |ORDER BY node""".stripMargin
   }
 }

@@ -109,6 +109,46 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 0L))
   }
 
+  private def runHc(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                    maxDist: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.harmonicCentralityE9(
+      edges.toDF("src", "dst"), nodes.toDF("node"), maxDist)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("harmonic: directed path 0→1→2, closed form") {
+    // H(0)=0 (no in-paths); H(1)=1e9/1; H(2)=1e9/1 + 1e9/2
+    val r = runHc(Seq(0L -> 1L, 1L -> 2L), Seq(0L, 1L, 2L), 2)
+    assert(r == Map(0L -> 0L, 1L -> 1000000000L, 2L -> 1500000000L))
+  }
+
+  test("harmonic: maxDist truncates the sum deterministically") {
+    val r = runHc(Seq(0L -> 1L, 1L -> 2L), Seq(0L, 1L, 2L), 1)
+    assert(r(2L) == 1000000000L)   // the dist-2 origin is out of horizon
+  }
+
+  test("harmonic: 3-cycle is symmetric, each node sees dist 1 and 2") {
+    val r = runHc(Seq(0L -> 1L, 1L -> 2L, 2L -> 0L), 0L to 2L, 5)
+    assert(r.values.toSet == Set(1500000000L))
+  }
+
+  test("harmonic: disconnected and unreachable contribute zero (well-defined without ∞)") {
+    val r = runHc(Seq(0L -> 1L), Seq(0L, 1L, 9L), 4)
+    assert(r == Map(0L -> 0L, 1L -> 1000000000L, 9L -> 0L))
+  }
+
+  test("harmonic: edges outside the node set are dropped (induced subgraph)") {
+    // 0→77→1 would give H(1)=5e8 through the ghost node; it must not
+    val r = runHc(Seq(0L -> 77L, 77L -> 1L), Seq(0L, 1L), 4)
+    assert(r == Map(0L -> 0L, 1L -> 0L))
+  }
+
+  test("harmonic: zero horizon is all zeros") {
+    val r = runHc(Seq(0L -> 1L), Seq(0L, 1L), 0)
+    assert(r == Map(0L -> 0L, 1L -> 0L))
+  }
+
   test("declared graph_pagerank query: 100 domains, outdeg 3, ranks ordered and mass-bounded") {
     val df = graft.queries.Extensions.graphPagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
