@@ -59,14 +59,19 @@ object Graph {
     *           + d · (Σ_{(u,v)∈E} (rₖ(u) div outdeg(u)) + Dₖ div N) div 100
     * }}}
     * Overflow bound: d·Σ ≤ 100·SCALE·N_in ≤ 10¹¹·N — past ~9·10⁷ nodes
-    * of worst-case concentration the damped sum should move to a
-    * 128-bit decimal; at that point the oracle side (HUGEINT) already
-    * matches. N itself rides in as two literals derived from ONE
-    * `count()` — a bounded driver scalar (8 bytes), the same class as
-    * the IVF codebook or stratum counts.
+    * of worst-case concentration set `wide = true`: the contribution
+    * sum and the damped product then run in DECIMAL(38,0) (128-bit
+    * Decimal under the hood), lifting the bound to ~10²⁷ nodes, while
+    * per-node ranks (≤ SCALE, total mass is conserved) still return as
+    * i64 — bit-identical to the narrow path wherever the narrow path
+    * doesn't overflow (GraphSpec asserts equality), so the DuckDB
+    * oracle (whose sums are HUGEINT already) matches either. N itself
+    * rides in as two literals derived from ONE `count()` — a bounded
+    * driver scalar (8 bytes), the same class as the IVF codebook or
+    * stratum counts.
     */
   def pageRankE9(edges: DataFrame, nodes: DataFrame, iterations: Int,
-                 dampingPct: Int = 85): DataFrame = {
+                 dampingPct: Int = 85, wide: Boolean = false): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val Scale = 1000000000L
     val n = nodes.count()
@@ -85,17 +90,25 @@ object Graph {
       .localCheckpoint()
     var ranks = nodesF.select(col("node"), lit(Scale / n).as("rank_e9"), col("has_out"))
       .localCheckpoint()
+    // narrow: pure i64. wide: the two expressions that can overflow i64
+    // (the in-edge contribution sum and the damped product) in
+    // DECIMAL(38,0); `DIV` (IntegralDivide) accepts decimals and lands
+    // back in BIGINT, so the rank frame's shape is identical either way.
+    val cExpr = if (wide) expr("CAST(rank_e9 DIV outdeg AS DECIMAL(38,0))")
+                else expr("rank_e9 DIV outdeg")
+    def damped = if (wide)
+      expr(s"($dampingPct * (coalesce(s, CAST(0 AS DECIMAL(38,0))) + CAST(dmass DIV $n AS DECIMAL(38,0)))) DIV 100")
+    else
+      expr(s"($dampingPct * (coalesce(s, 0L) + dmass DIV $n)) DIV 100")
     for (_ <- 1 to iterations) {
       val dmass = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("dmass"))
       val contrib = edgesDeg.join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("rank_e9 DIV outdeg").as("c"))
+        .select(col("dst"), cExpr.as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodesF.join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dmass))
-        .select(col("node"),
-          (lit(base) +
-            expr(s"($dampingPct * (coalesce(s, 0L) + dmass DIV $n)) DIV 100")).as("rank_e9"),
+        .select(col("node"), (lit(base) + damped).as("rank_e9"),
           col("has_out"))
         .localCheckpoint()
     }

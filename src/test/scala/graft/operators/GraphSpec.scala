@@ -64,6 +64,18 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(total <= Scale && total >= Scale - 1000L)
   }
 
+  test("wide (decimal-128) arithmetic path is bit-identical to the i64 path") {
+    import spark.implicits._
+    // a fixture exercising every term: hub skew, dangling mass, isolation
+    val edges = ((1L to 4L).flatMap(l => Seq(l -> 0L, 0L -> l)) :+ (5L -> 6L))
+    val nodes = 0L to 7L
+    def both(wide: Boolean): Map[Long, Long] =
+      Graph.pageRankE9(edges.toDF("src", "dst"), nodes.toDF("node"),
+        iterations = 10, wide = wide)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(both(wide = true) == both(wide = false))
+  }
+
   private def runCc(edges: Seq[(Long, Long)], nodes: Seq[Long],
                     iters: Int): Map[Long, Long] = {
     import spark.implicits._
