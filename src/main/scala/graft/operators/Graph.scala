@@ -169,6 +169,60 @@ object Graph {
       .select(col("node"), coalesce(col("s"), lit(0L)).as("harmonic_e9"))
   }
 
+  /** Harmonic centrality at web scale — the HyperBall construction
+    * (Boldi & Vigna 2013) this module's exact form names as its
+    * replacement past the pair-state bound: each node carries one
+    * m-byte HLL register vector approximating its in-ball, one BSP step
+    * unions every in-neighbor's vector into the node's own (elementwise
+    * register max — associative, commutative, IDEMPOTENT, so map-side
+    * partial aggregation absorbs in-degree skew and re-delivery is
+    * harmless), and the harmonic score accumulates
+    * `(|ball_d| − |ball_{d−1}|) / d` from successive estimates.
+    *
+    * State is O(N·m) bytes TOTAL — 256 B/node at the default m — versus
+    * [[harmonicCentralityE9]]'s O(Σ|ball|) pair rows; that is the
+    * difference between "fits in executor memory at 10⁸ nodes" and
+    * "quadratic blowup". The cost is ~1.04/√m relative error (≈6.5% at
+    * m=256, tighter below 2.5·m where linear counting kicks in), which
+    * is the published accuracy regime of the Common Crawl harmonic
+    * ranks themselves. Deterministic: integer hashing + fixed-order
+    * double loops, and the idempotent union makes the result
+    * partitioning-independent — GraphSpec asserts both accuracy against
+    * the exact form and run-to-run equality. Same per-step discipline
+    * as the rest of the module: edge list induced-restricted and
+    * checkpointed once, state `localCheckpoint`ed every step.
+    */
+  def harmonicCentralityHyperBall(edges: DataFrame, nodes: DataFrame,
+                                  maxDist: Int, m: Int = 256): DataFrame = {
+    require(maxDist >= 0)
+    val nset = nodes.select(col("node"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .distinct().localCheckpoint()
+    var state = nset
+      .select(col("node"), graft.functions.HllF.hllInit(col("node"), m).as("regs"))
+      .withColumn("est", graft.functions.HllF.hllEstimate(col("regs")))
+      .withColumn("h", lit(0.0))
+      .localCheckpoint()
+    for (d <- 1 to maxDist) {
+      val cur = state.select(col("node").as("sn"), col("regs"))
+      val unioned = e.join(cur, e("src") === col("sn"))
+        .select(col("dst").as("node"), col("regs"))
+        .unionByName(state.select(col("node"), col("regs")))
+        .groupBy(col("node"))
+        .agg(graft.functions.HllF.hllUnion(col("regs"), m).as("regs"))
+      state = unioned
+        .join(state.select(col("node"), col("est").as("prev_est"), col("h")), Seq("node"))
+        .withColumn("est", graft.functions.HllF.hllEstimate(col("regs")))
+        .select(col("node"), col("regs"), col("est"),
+          // estimates can jitter down a hair as registers fill; deltas clamp at 0
+          (col("h") + greatest(lit(0.0), (col("est") - col("prev_est")) / d)).as("h"))
+        .localCheckpoint()
+    }
+    state.select(col("node"), col("h").as("harmonic_approx"))
+  }
+
   /** Connected components by synchronous min-label propagation: exactly
     * `iterations` BSP steps over the UNDIRECTED closure of
     * `edges(src, dst)` restricted to `nodes(node)` — the INDUCED

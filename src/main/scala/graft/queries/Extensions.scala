@@ -1960,6 +1960,27 @@ object Extensions {
       chain.unionByName(bridges), nodes, maxDist = 12)
       .orderBy("node")
   }
+
+  /** [[graphHarmonic]]'s web-scale twin
+    * ([[graft.operators.Graph.harmonicCentralityHyperBall]]): the same
+    * directed fixture and 12-step horizon, but O(m)-bytes-per-node
+    * HyperBall sketch state instead of explicit pair rows. Rows-only at
+    * the driver gate (the HLL estimator isn't SQL-expressible);
+    * GraphSpec asserts per-node accuracy against the EXACT
+    * [[graphHarmonic]] result and run-to-run determinism — the same
+    * verification pattern as the ANN/recall family. */
+  def graphHarmonicHll(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val bridges = nodes.filter(col("node").isin(0, 25))
+      .select(col("node").as("src"), (col("node") + 50).as("dst"))
+    graft.operators.Graph.harmonicCentralityHyperBall(
+      chain.unionByName(bridges), nodes, maxDist = 12, m = 256)
+      .select(col("node"), round(col("harmonic_approx"), 6).as("harmonic_approx"))
+      .orderBy("node")
+  }
 }
 
 /** DuckDB oracles for the deterministic extension queries. */

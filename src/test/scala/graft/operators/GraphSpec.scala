@@ -161,6 +161,37 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 0L))
   }
 
+  test("hyperball: small directed path tracks the exact harmonic values") {
+    import spark.implicits._
+    val r = Graph.harmonicCentralityHyperBall(
+      Seq(0L -> 1L, 1L -> 2L).toDF("src", "dst"), (0L to 2L).toDF("node"),
+      maxDist = 2, m = 256)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) == 0.0)                                // no in-paths, exactly
+    assert(math.abs(r(1L) - 1.0) < 0.1)
+    assert(math.abs(r(2L) - 1.5) < 0.15)
+  }
+
+  test("hyperball vs exact on the declared fixture: every node within 12% + 0.5 absolute") {
+    val exact = graft.queries.Extensions.graphHarmonic(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1) / 1e9).toMap
+    val approx = graft.queries.Extensions.graphHarmonicHll(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((n, a) <- approx) {
+      val e = exact(n)
+      assert(math.abs(a - e) <= 0.12 * e + 0.5,
+        s"node $n: hyperball $a vs exact $e out of tolerance")
+      if (e == 0.0) assert(a == 0.0, s"node $n: no in-paths must give exactly 0, got $a")
+    }
+  }
+
+  test("hyperball: deterministic run to run (idempotent union, fixed-order estimator)") {
+    val a = graft.queries.Extensions.graphHarmonicHll(spark, "/root/testdata/sf0.001").collect()
+    val b = graft.queries.Extensions.graphHarmonicHll(spark, "/root/testdata/sf0.001").collect()
+    assert(a.sameElements(b))
+  }
+
   test("declared graph_pagerank query: 100 domains, outdeg 3, ranks ordered and mass-bounded") {
     val df = graft.queries.Extensions.graphPagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
