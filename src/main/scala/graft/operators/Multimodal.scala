@@ -280,9 +280,50 @@ object Multimodal {
     // disk I/O and file churn on executors; the input is already an
     // in-memory byte array, so force the memory-backed stream
     javax.imageio.ImageIO.setUseCache(false)
-    private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: Exception => None }
+
+    // Per-thread per-format cached readers, format picked by magic
+    // bytes — the per-BLOB twin of MjpegAvi's per-frame cache: skips
+    // ImageIO.read's registry scan + reader/stream allocation on every
+    // decode of a 100 TB image sweep. Anything unsniffable (or that the
+    // cached reader rejects) falls back to the generic sniffing path,
+    // so decode semantics are unchanged.
+    private val readerCache =
+      new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+        override def initialValue() = new java.util.HashMap[String, javax.imageio.ImageReader]()
+      }
+
+    private def sniffFormat(b: Array[Byte]): String =
+      if (b.length < 8) null
+      else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+      else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+      else if (b(0) == 'B' && b(1) == 'M') "bmp"
+      else null
+
+    private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      val fmt = sniffFormat(bytes)
+      val fast = if (fmt == null) None else {
+        val cache = readerCache.get()
+        var rd = cache.get(fmt)
+        if (rd == null) {
+          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+          if (it.hasNext) { rd = it.next(); cache.put(fmt, rd) }
+        }
+        if (rd == null) None
+        else {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            rd.setInput(iis, true, true)
+            Option(rd.read(0))
+          } catch { case _: Exception => None }
+          finally { try iis.close() catch { case _: Exception => () } }
+        }
+      }
+      fast.orElse(
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None })
+    }
 
     def decode(bytes: Array[Byte]): MediaMeta = {
       val header = HeaderDecoder.decode(bytes)
@@ -426,12 +467,53 @@ object Multimodal {
       out.toArray
     }
 
+    /** Per-thread cached JPEG reader. `ImageIO.read` scans the reader
+      * registry and allocates a fresh reader + stream cache PER CALL —
+      * at one call per FRAME that registry/alloc churn is the dominant
+      * constant of a frame sweep (and its garbage is exactly the GC
+      * pressure that made mm_video_frames swing 3–8 s between bench
+      * passes). One reader per task thread, reused across
+      * setInput/read cycles (readers are reusable on a single thread,
+      * not thread-safe across threads — hence ThreadLocal, mirroring
+      * the per-task [[MediaDecoder]] seam). */
+    private val jpegReader = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader = {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+        if (it.hasNext) it.next() else null
+      }
+    }
+
+    /** Decode via the cached JPEG reader; anything it rejects falls
+      * back to the generic `ImageIO.read` path (format sniffing), so
+      * semantics for malformed/non-JPEG chunk payloads are unchanged —
+      * the fallback only ever runs for frames the fast path couldn't
+      * decode anyway. */
+    private def readFrame(frame: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      val rd = jpegReader.get()
+      val fast =
+        if (rd == null) None
+        else {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(frame))
+          try {
+            rd.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
+            Option(rd.read(0))
+          } catch { case _: Exception => None }
+          finally {
+            try iis.close() catch { case _: Exception => () }
+          }
+        }
+      fast.orElse(
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame)))
+        catch { case _: Exception => None })
+    }
+
     /** Decode one frame's pixels: (width, height, Σ band-0 samples,
       * Σ (row+1)·sample — the position-weighted form, so a decode that
       * crops, pads, or flips rows cannot checksum-match). None when the
       * frame bytes are not decodable. */
     def framePixels(frame: Array[Byte]): Option[(Int, Int, Long, Long)] =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))).map { img =>
+      try readFrame(frame).map { img =>
         val r = img.getRaster
         val w = img.getWidth
         val h = img.getHeight
@@ -464,7 +546,7 @@ object Multimodal {
       * a sign bit. None when undecodable; cross-multiply stays inside
       * Long for any image under ~2.6 gigapixels. */
     def aHash(frame: Array[Byte]): Option[(Int, Int, Long, Long)] =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))).map { img =>
+      try readFrame(frame).map { img =>
         val r = img.getRaster
         val w = img.getWidth
         val h = img.getHeight
@@ -507,7 +589,7 @@ object Multimodal {
       * the pixel-level fingerprint spec assertions compare against an
       * independently painted raster. −1 when undecodable. */
     def frameChecksum(frame: Array[Byte]): Long =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))).map { img =>
+      try readFrame(frame).map { img =>
         val r = img.getRaster
         val w = img.getWidth
         val crc = new java.util.zip.CRC32

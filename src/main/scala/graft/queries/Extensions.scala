@@ -1909,6 +1909,24 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** [[graphPagerank]] through the decimal-128 arithmetic path
+    * (`wide = true`) — the configuration a >9·10⁷-node graph needs,
+    * declared so the widened damped sum is proven AT THE ORACLE GATE,
+    * not just in a unit test: it shares graph_pagerank's oracle string
+    * verbatim, so a hash match certifies the two paths agree with each
+    * other and with DuckDB's HUGEINT arithmetic in one check (the
+    * stream_funnel ≡ q29 pattern). */
+  def graphPagerankWide(s: SparkSession, dir: String): DataFrame = {
+    val dom = t(s, dir, "documents").select((col("doc_id") % 100).as("node"))
+    val nodes = dom.distinct()
+    val edges = dom
+      .select(col("node").as("src"), explode(array(lit(1), lit(2), lit(3))).as("k"))
+      .select(col("src"), ((col("src") * col("src") + col("k")) % 100).as("dst"))
+      .distinct()
+    graft.operators.Graph.pageRankE9(edges, nodes, iterations = 10, wide = true)
+      .orderBy("node")
+  }
+
   /** Corpus-level entity resolution
     * ([[graft.operators.Graph.connectedComponentsMinLabel]]): the
     * shared-identifier clustering the reference runs over its
