@@ -145,8 +145,45 @@ object Graph {
     */
   def harmonicCentralityE9(edges: DataFrame, nodes: DataFrame,
                            maxDist: Int): DataFrame = {
-    require(maxDist >= 0)
     val nset = nodes.select(col("node"))
+    val known = bfsPairs(edges, nset, maxDist)
+    val scores = known.filter(col("dist") > 0)
+      .groupBy(col("node")).agg(sum(expr("1000000000L DIV dist")).as("s"))
+    nset.join(scores, Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("harmonic_e9"))
+  }
+
+  /** The neighborhood function N(d) — the other statistic the exact
+    * BFS frame yields for free: for every horizon d in 1..maxDist, the
+    * number of ordered pairs (u,v), u≠v, with directed d(u,v) ≤ d. Its
+    * curve is the webgraph's distance distribution (effective diameter
+    * = the first d where N(d) ≥ 90% of N(maxDist) — left to the caller,
+    * it's one scan of the maxDist-row result). Same pair-state bound as
+    * [[harmonicCentralityE9]]; at web scale HyperBall estimates this
+    * same curve from the per-step ball-size sums. The final cumulative
+    * window runs over a maxDist-row frame — a driver-scale artifact,
+    * not a data-scale sort. */
+  def neighborhoodFunction(edges: DataFrame, nodes: DataFrame,
+                           maxDist: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val known = bfsPairs(edges, nodes.select(col("node")), maxDist)
+    val perDist = known.filter(col("dist") > 0)
+      .groupBy(col("dist").cast("long").as("dist")).agg(count(lit(1)).as("c"))
+    val horizons = spark.range(1, maxDist + 1).select(col("id").as("dist"))
+    import org.apache.spark.sql.expressions.Window
+    horizons.join(perDist, Seq("dist"), "left")
+      .select(col("dist"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("pairs", sum(col("c")).over(Window.orderBy("dist")))
+      .select(col("dist"), col("pairs"))
+  }
+
+  /** Shared multi-source directed BFS: one row per discovered
+    * (origin, node, dist) pair over the induced subgraph, dist 0 (self)
+    * through maxDist. The explicit-pair-state core of
+    * [[harmonicCentralityE9]] and [[neighborhoodFunction]]. */
+  private def bfsPairs(edges: DataFrame, nset: DataFrame,
+                       maxDist: Int): DataFrame = {
+    require(maxDist >= 0)
     val e = edges.select(col("src"), col("dst"))
       .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
@@ -163,10 +200,7 @@ object Graph {
         .localCheckpoint()
       known = known.unionByName(frontier).localCheckpoint()
     }
-    val scores = known.filter(col("dist") > 0)
-      .groupBy(col("node")).agg(sum(expr("1000000000L DIV dist")).as("s"))
-    nset.join(scores, Seq("node"), "left")
-      .select(col("node"), coalesce(col("s"), lit(0L)).as("harmonic_e9"))
+    known
   }
 
   /** Harmonic centrality at web scale — the HyperBall construction

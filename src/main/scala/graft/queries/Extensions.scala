@@ -1979,6 +1979,25 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** The distance-distribution statistic on the same fixture
+    * ([[graft.operators.Graph.neighborhoodFunction]]): N(d) = ordered
+    * pairs within directed distance d, for d = 1..12 — the curve whose
+    * 90% crossing is the effective diameter (the Common Crawl/webgraph
+    * headline number). Exact, so the oracle derives the identical
+    * cumulative counts from the same unrolled BFS CTEs as
+    * [[graphHarmonic]]. */
+  def graphNf(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val bridges = nodes.filter(col("node").isin(0, 25))
+      .select(col("node").as("src"), (col("node") + 50).as("dst"))
+    graft.operators.Graph.neighborhoodFunction(
+      chain.unionByName(bridges), nodes, maxDist = 12)
+      .orderBy("dist")
+  }
+
   /** [[graphHarmonic]]'s web-scale twin
     * ([[graft.operators.Graph.harmonicCentralityHyperBall]]): the same
     * directed fixture and 12-step horizon, but O(m)-bytes-per-node
@@ -3609,5 +3628,20 @@ object ExtensionOracles {
        |  SELECT node, sum(1000000000 // dist) AS h
        |  FROM p12 WHERE dist > 0 GROUP BY 1) s USING (node)
        |ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphNf]]: the same 12 unrolled BFS steps, cumulative
+    * pair counts per horizon via a correlated count over the
+    * MATERIALIZED final pair set (12 evaluations of a count over one
+    * materialized table). */
+  val graphNf: String = {
+    val base = graphHarmonic
+    // reuse graphHarmonic's CTE chain up to p12, swap the final SELECT
+    val cut = base.lastIndexOf("SELECT n.node")
+    base.substring(0, cut) +
+      """SELECT d.range AS dist,
+        |       CAST((SELECT count(*) FROM p12 p
+        |             WHERE p.dist > 0 AND p.dist <= d.range) AS BIGINT) AS pairs
+        |FROM range(1, 13) d ORDER BY dist""".stripMargin
   }
 }

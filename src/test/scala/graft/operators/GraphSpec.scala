@@ -161,6 +161,23 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 0L))
   }
 
+  test("neighborhood function: directed path closed form, zero-horizon rows present") {
+    import spark.implicits._
+    val nf = Graph.neighborhoodFunction(
+      Seq(0L -> 1L, 1L -> 2L).toDF("src", "dst"), (0L to 2L).toDF("node"), maxDist = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pairs within d: d=1 → (0,1),(1,2); d=2 → +(0,2); saturated after
+    assert(nf == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("neighborhood function: edgeless graph is all-zero but every horizon row exists") {
+    import spark.implicits._
+    val nf = Graph.neighborhoodFunction(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), (0L to 2L).toDF("node"), maxDist = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nf == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("hyperball: small directed path tracks the exact harmonic values") {
     import spark.implicits._
     val r = Graph.harmonicCentralityHyperBall(
