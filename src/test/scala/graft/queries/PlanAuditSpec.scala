@@ -101,6 +101,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("graph family input: documents scan reads ONLY doc_id (text never leaves parquet)") {
+    // The declared plans checkpoint their iteration inputs, so the
+    // parquet scan is invisible in the final executedPlan — audit the
+    // exact input frame the graph queries materialize instead. `text`
+    // is documents' heavy column; reading it here would multiply the
+    // scan IO of every graph query by the corpus payload size.
+    import org.apache.spark.sql.functions._
+    val dom = graft.core.Tables.t(spark, dir, "documents")
+      .select((col("doc_id") % 100).as("node"))
+    val readSchemas = dom.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(!readSchemas.exists(_.contains("text")),
+      s"graph input reads documents.text:\n${readSchemas.mkString("\n")}")
+    assert(readSchemas.exists(_.contains("doc_id")))
+  }
+
   test("bucketed_join: zero Exchange — the shuffle was paid at write time") {
     // force the shuffled-join regime (sf0.001 would otherwise broadcast,
     // which has no exchange trivially): the bucketed layout must carry
