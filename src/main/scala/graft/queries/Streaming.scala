@@ -100,6 +100,31 @@ object StreamingQueries {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** [[streamJoin]]'s LEFT OUTER twin
+    * ([[StreamJoin.attributionJoinOuter]]): every purchase exactly once,
+    * null view side when nothing in the preceding hour matched. Matched
+    * pairs are the deterministic inner output; an UNMATCHED purchase
+    * emits only once the watermark seals it (p_ts < min(max v_ts,
+    * max p_ts) − 2 h after the drain's final no-data batch), so both
+    * the drained frame and the oracle restrict unmatched rows to the
+    * sealed region — with a 1-second guard band inside it, because
+    * watermarks tick in MILLISECONDS and a microsecond-exact boundary
+    * row could land on either side of the ms truncation. */
+  def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_join_outer_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1)(StreamJoin.attributionJoinOuter(s, _, name))
+    val e = t(s, dir, "events")
+    val Array(wm) = e.filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("mx"))
+      .agg((min(col("mx")) - 7200L * 1000000).as("wm")).collect()
+    val wmUs = wm.getLong(0)
+    drained(s, name)
+      .filter(col("view_id").isNotNull || col("p_ts_us") + 1000000L <= wmUs)
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("lag_us"), col("p_ts_us"))
+      .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
+  }
+
   /** Watermarked tumbling-window aggregation (q18's streaming twin),
     * drained in complete mode: final per-day/per-type counts and sums
     * are the batch answer, oracle-checked with q18's own rounding
@@ -252,6 +277,29 @@ object StreamingOracles {
       |  AND v.v_ts <= p.p_ts
       |  AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
       |ORDER BY purchase_id, view_id""".stripMargin
+
+  /** [[StreamingQueries.streamJoinOuter]]: the batch left join with
+    * unmatched rows restricted to the watermark-sealed region (p_ts +
+    * 1 s guard ≤ min(max v_ts, max p_ts) − 2 h) — exactly the drained
+    * frame's own canonicalization. NULLS FIRST pins view_id null
+    * ordering to Spark's ascending default. */
+  val streamJoinOuter: String =
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |w AS (SELECT least((SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+      |                   (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
+      |             - 7200000000 AS wm)
+      |SELECT p.purchase_id, v.view_id, p.user_id AS user_id,
+      |       epoch_us(p.p_ts) - epoch_us(v.v_ts) AS lag_us,
+      |       epoch_us(p.p_ts) AS p_ts_us
+      |FROM p LEFT JOIN v ON p.user_id = v.user_id
+      |  AND v.v_ts <= p.p_ts
+      |  AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+      |CROSS JOIN w
+      |WHERE v.view_id IS NOT NULL OR epoch_us(p.p_ts) + 1000000 <= w.wm
+      |ORDER BY purchase_id, view_id NULLS FIRST""".stripMargin
 
   /** One survivor per event_id → per-type counts equal distinct counts. */
   val streamDedup: String =

@@ -48,6 +48,43 @@ object StreamJoin {
       .start()
   }
 
+  /** LEFT OUTER variant — the "every purchase exactly once, attributed
+    * or not" report. Same watermarks and time-range condition; the
+    * engine holds an unmatched purchase in state until the watermark
+    * proves no qualifying view can still arrive (every future view has
+    * v_ts ≥ watermark, and the purchase only matches v_ts ≤ p_ts, so a
+    * purchase with p_ts < watermark is sealed), then emits it once with
+    * a null view side. That seal condition is deterministic for a
+    * static drain — the declared query and its oracle restrict to the
+    * sealed region with the same predicate (the stream_window_append
+    * pattern); the emission mechanics are pinned in StreamJoinSpec.
+    * `p_ts_us` rides in the output so the seal predicate is computable
+    * downstream. */
+  def attributionJoinOuter(spark: SparkSession, eventsDir: String, outputTable: String,
+                           windowUs: Long = 3600L * 1000 * 1000) = {
+    val views = eventStream(spark, eventsDir, "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = eventStream(spark, eventsDir, "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowUs MICROSECOND"),
+        "leftOuter")
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"),
+        unix_micros(col("p_ts")).as("p_ts_us"))
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName(outputTable)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Batch twin for the equivalence spec. */
   def attributionBatch(spark: SparkSession, dir: String,
                        windowUs: Long = 3600L * 1000 * 1000): DataFrame = {
