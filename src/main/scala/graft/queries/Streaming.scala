@@ -100,6 +100,27 @@ object StreamingQueries {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** [[streamSession]] through Spark's BUILT-IN `session_window`
+    * aggregation ([[SessionStream.runNative]]) — the
+    * compose-existing-ops twin of the custom-state form. APPEND mode
+    * emits a session once the watermark passes its window end (last
+    * event + gap), so the drained deterministic region is sessions
+    * with `end_us + gap ≤ max ts − 1 h delay` — applied on both sides
+    * with a 1 s guard band (ms-granular watermark). The oracle uses
+    * `diff >= gap` for the session split (half-open per-event windows;
+    * see the operator scaladoc), unlike the islands form's `>`. */
+  def streamSessionNative(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val name = s"stream_session_native_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1)(SessionStream.runNative(s, _, name))
+    val maxUs = t(s, dir, "events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    drained(s, name)
+      .filter(col("end_us") + gapUs + 1000000L <= maxUs - 3600L * 1000000)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   /** [[streamJoin]]'s LEFT OUTER twin
     * ([[StreamJoin.attributionJoinOuter]]): every purchase exactly once,
     * null view side when nothing in the preceding hour matched. Matched
@@ -277,6 +298,33 @@ object StreamingOracles {
       |  AND v.v_ts <= p.p_ts
       |  AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
       |ORDER BY purchase_id, view_id""".stripMargin
+
+  /** [[StreamingQueries.streamSessionNative]]: gap islands with the
+    * session_window split rule (`diff >= gap` — half-open per-event
+    * windows) restricted to watermark-sealed sessions (end + gap +
+    * 1 s guard ≤ max ts − 1 h). */
+  val streamSessionNative: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM x),
+      |s AS (
+      |  SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |         count(*) AS n_events
+      |  FROM y GROUP BY user_id, session_no),
+      |m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+      |SELECT s.user_id AS user_id, s.start_us, s.end_us, s.n_events
+      |FROM s, m
+      |WHERE s.end_us + 1800000000 + 1000000 <= m.mx - 3600000000
+      |ORDER BY user_id, start_us""".stripMargin
 
   /** [[StreamingQueries.streamJoinOuter]]: the batch left join with
     * unmatched rows restricted to the watermark-sealed region (p_ts +

@@ -85,4 +85,34 @@ object SessionStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** The BUILT-IN operator twin: Spark's own `session_window`
+    * aggregation instead of custom state — the compose-existing-ops
+    * path when merged-window semantics fit (per SURVEY's preference
+    * order; the flatMapGroupsWithState form above remains the shape for
+    * semantics session_window can't express, e.g. per-session ordered
+    * folds). Emitted columns are normalized to the custom form's
+    * (start_us, end_us = LAST EVENT, n_events): session_window.end is
+    * last event + gap, so the gap is subtracted back out.
+    *
+    * BOUNDARY SEMANTICS DIFFER from the gap-islands form by design:
+    * per-event windows are half-open [ts, ts+gap), so a successor
+    * exactly gap after its predecessor does NOT overlap and starts a
+    * NEW session — the islands formulation (`diff > gap` stays
+    * together) keeps it. The oracle encodes `>= gap` accordingly. */
+  def runNative(spark: SparkSession, eventsDir: String, outputTable: String,
+                gapUs: Long = 30L * 60 * 1000 * 1000, watermarkDelay: String = "1 hour") =
+    graft.core.Tables.eventStream(spark, eventsDir)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapUs microseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
+        col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName(outputTable)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -86,4 +86,43 @@ class SessionStreamSpec extends AnyFunSuite with SparkSpec {
     }
     assert(fullyEmitted > 0, "no final session ever timed out — timeout path untested")
   }
+
+  test("built-in session_window twin equals batch islands (>= split) on the sealed region") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_native")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    SessionStream.runNative(spark, streamDir.toString, "sessions_native")
+      .awaitTermination()
+    val gapUs = 30L * 60 * 1000 * 1000
+    val e = graft.core.Tables.t(spark, dir, "events")
+    val maxUs = e.agg(max(unix_micros(col("ts")))).as[Long].head()
+    val sealedUs = maxUs - 3600L * 1000000
+
+    val streamed = spark.table("sessions_native")
+      .filter(col("end_us") + gapUs + 1000000L <= sealedUs)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+
+    // batch truth with session_window's half-open split rule (diff >= gap)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = e.select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= gapUs, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .filter(col("end_us") + gapUs + 1000000L <= sealedUs)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+
+    assert(streamed.nonEmpty, "native session stream emitted nothing in the sealed region")
+    assert(streamed == batch)
+  }
 }
