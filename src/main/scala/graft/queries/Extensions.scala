@@ -1998,6 +1998,26 @@ object Extensions {
       .orderBy("dist")
   }
 
+  /** Per-node triangle participation
+    * ([[graft.operators.Graph.triangleCounts]]): the local-clustering
+    * cohesion signal over a triangle-rich deterministic domain graph —
+    * the chain edges (d → d+1 within blocks of 7) plus a skip edge
+    * d → d+2 wherever the whole triple sits inside one block, so every
+    * in-block consecutive triple closes a triangle and block boundaries
+    * provably don't. Exact integer counts; the oracle enumerates
+    * ordered triples x<y<z over the same canonical undirected edge
+    * set. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val skip = nodes.filter(col("node") % 7 < 5 && col("node") < 98)
+      .select(col("node").as("src"), (col("node") + 2).as("dst"))
+    graft.operators.Graph.triangleCounts(chain.unionByName(skip), nodes)
+      .orderBy("node")
+  }
+
   /** [[graphHarmonic]]'s web-scale twin
     * ([[graft.operators.Graph.harmonicCentralityHyperBall]]): the same
     * directed fixture and 12-step horizon, but O(m)-bytes-per-node
@@ -3629,6 +3649,32 @@ object ExtensionOracles {
        |  FROM p12 WHERE dist > 0 GROUP BY 1) s USING (node)
        |ORDER BY node""".stripMargin
   }
+
+  /** [[Extensions.graphTriangles]]: ordered-triple enumeration x<y<z
+    * over the canonical (a < b) undirected edge set — three self-joins,
+    * each triangle exactly once — then per-vertex counts via a
+    * three-way union. */
+  val graphTriangles: String =
+    """WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+      |raw AS (
+      |  SELECT node AS src, node + 1 AS dst FROM nodes
+      |  WHERE node % 7 <> 6 AND node < 99
+      |  UNION ALL
+      |  SELECT node, node + 2 FROM nodes WHERE node % 7 < 5 AND node < 98),
+      |und AS (SELECT DISTINCT least(r.src, r.dst) AS a, greatest(r.src, r.dst) AS b
+      |        FROM raw r JOIN nodes n ON r.dst = n.node
+      |        WHERE r.src <> r.dst),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |      FROM und e1
+      |      JOIN und e2 ON e2.a = e1.b
+      |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |v AS (SELECT x AS node FROM t
+      |      UNION ALL SELECT y FROM t
+      |      UNION ALL SELECT z FROM t)
+      |SELECT n.node, CAST(coalesce(c.t, 0) AS BIGINT) AS triangles
+      |FROM nodes n LEFT JOIN (SELECT node, count(*) AS t FROM v GROUP BY 1) c
+      |  USING (node)
+      |ORDER BY node""".stripMargin
 
   /** [[Extensions.graphNf]]: the same 12 unrolled BFS steps, cumulative
     * pair counts per horizon via a correlated count over the

@@ -178,6 +178,41 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(nf == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  private def runTri(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("src", "dst"), nodes.toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: one triangle counted once per vertex, tail vertex zero") {
+    val r = runTri(Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L), 0L to 3L)
+    assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("triangles: direction, duplication, and self-loops don't change the undirected count") {
+    // same triangle given twice in both directions + a self-loop
+    val r = runTri(Seq(0L -> 1L, 1L -> 0L, 1L -> 2L, 2L -> 1L, 2L -> 0L, 0L -> 2L, 1L -> 1L),
+      0L to 2L)
+    assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("triangles: K4 — every vertex in C(3,2)=3 triangles") {
+    val nodes = 0L until 4L
+    val edges = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val r = runTri(edges, nodes)
+    assert(r == nodes.map(_ -> 3L).toMap)
+  }
+
+  test("triangles: triangle-free chain is all zeros") {
+    val r = runTri((0L until 4L).map(i => i -> (i + 1)), 0L to 4L)
+    assert(r.values.forall(_ == 0L))
+  }
+
+  test("triangles: edges to absent nodes are dropped (induced subgraph)") {
+    val r = runTri(Seq(0L -> 1L, 1L -> 99L, 99L -> 0L), Seq(0L, 1L))
+    assert(r == Map(0L -> 0L, 1L -> 0L))
+  }
+
   test("hyperball: small directed path tracks the exact harmonic values") {
     import spark.implicits._
     val r = Graph.harmonicCentralityHyperBall(
