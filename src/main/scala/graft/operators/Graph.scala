@@ -195,18 +195,24 @@ object Graph {
     * oriented one never exceeds |E|^(3/2) total. Three shuffles
     * (degree, wedge self-join, closing-edge semi-join) + the final
     * explode/count, all on compact (long, long) keys. */
-  def triangleCounts(edges: DataFrame, nodes: DataFrame): DataFrame = {
-    val nset = nodes.select(col("node"))
-    // canonical undirected simple edges (a < b), induced on nodes
-    val und = edges.select(col("src"), col("dst"))
+  /** Canonical undirected simple edge set (a < b), induced on `nset`. */
+  private def canonicalUndirected(edges: DataFrame, nset: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct().localCheckpoint()
-    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+
+  private def undirectedDegree(und: DataFrame): DataFrame =
+    und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  def triangleCounts(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val nset = nodes.select(col("node"))
+    val und = canonicalUndirected(edges, nset)
+    val deg = undirectedDegree(und)
     // orient a→b iff (deg, id) of a < (deg, id) of b (total order, acyclic)
     val oriented = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
@@ -228,6 +234,25 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("t"))
     nset.join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("t"), lit(0L)).as("triangles"))
+  }
+
+  /** Local clustering coefficient in exact parts-per-million:
+    * `ppm(v) = (2·T(v)·1e6) div (d(v)·(d(v)−1))` over the same
+    * undirected simple closure as [[triangleCounts]] (0 when d < 2 —
+    * the coefficient is undefined there and 0 is the fixed convention
+    * both engine and oracle encode). Integer end to end, so the oracle
+    * reproduces it digit-for-digit; cost = [[triangleCounts]] + one
+    * degree join. */
+  def clusteringCoefficientPpm(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val nset = nodes.select(col("node"))
+    val und = canonicalUndirected(edges, nset)
+    val deg = undirectedDegree(und)
+    triangleCounts(edges, nset)
+      .join(deg.select(col("n").as("node"), col("d")), Seq("node"), "left")
+      .select(col("node"),
+        when(coalesce(col("d"), lit(0L)) < 2, lit(0L))
+          .otherwise(expr("(2 * triangles * 1000000) DIV (d * (d - 1))"))
+          .as("clustering_ppm"))
   }
 
   /** Shared multi-source directed BFS: one row per discovered

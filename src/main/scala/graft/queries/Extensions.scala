@@ -2018,6 +2018,21 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** [[graphTriangles]] normalized to the local clustering coefficient
+    * ([[graft.operators.Graph.clusteringCoefficientPpm]]): exact
+    * integer ppm over the same fixture — the per-node cohesion score a
+    * curation pipeline actually thresholds on (link-farm detection). */
+  def graphClustering(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val skip = nodes.filter(col("node") % 7 < 5 && col("node") < 98)
+      .select(col("node").as("src"), (col("node") + 2).as("dst"))
+    graft.operators.Graph.clusteringCoefficientPpm(chain.unionByName(skip), nodes)
+      .orderBy("node")
+  }
+
   /** [[graphHarmonic]]'s web-scale twin
     * ([[graft.operators.Graph.harmonicCentralityHyperBall]]): the same
     * directed fixture and 12-step horizon, but O(m)-bytes-per-node
@@ -3675,6 +3690,25 @@ object ExtensionOracles {
       |FROM nodes n LEFT JOIN (SELECT node, count(*) AS t FROM v GROUP BY 1) c
       |  USING (node)
       |ORDER BY node""".stripMargin
+
+  /** [[Extensions.graphClustering]]: the triangle CTEs plus undirected
+    * degree, combined as `(2·t·1e6) // (d·(d−1))`, 0 below degree 2. */
+  val graphClustering: String = {
+    val base = graphTriangles
+    val cut = base.lastIndexOf("SELECT n.node")
+    base.substring(0, cut) +
+      """,
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) u GROUP BY 1)
+        |SELECT n.node,
+        |       CAST(CASE WHEN coalesce(deg.d, 0) < 2 THEN 0
+        |                 ELSE (2 * coalesce(c.t, 0) * 1000000) // (deg.d * (deg.d - 1))
+        |            END AS BIGINT) AS clustering_ppm
+        |FROM nodes n
+        |LEFT JOIN (SELECT node, count(*) AS t FROM v GROUP BY 1) c USING (node)
+        |LEFT JOIN deg USING (node)
+        |ORDER BY node""".stripMargin
+  }
 
   /** [[Extensions.graphNf]]: the same 12 unrolled BFS steps, cumulative
     * pair counts per horizon via a correlated count over the

@@ -213,6 +213,20 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 0L))
   }
 
+  test("clustering coefficient: closed forms — K4 = 1e6, triangle+tail mixes, chain = 0") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
+      Graph.clusteringCoefficientPpm(edges.toDF("src", "dst"), nodes.toDF("node"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k4 = for (a <- 0L until 4L; b <- 0L until 4L if a < b) yield (a, b)
+    assert(run(k4, 0L until 4L).values.toSet == Set(1000000L))
+    // triangle 0-1-2 with tail 2-3: nodes 0,1 fully clustered; node 2 has
+    // d=3, T=1 → 2e6/6 = 333333; tail node d=1 → 0 by convention
+    assert(run(Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L), 0L to 3L) ==
+      Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 333333L, 3L -> 0L))
+    assert(run((0L until 3L).map(i => i -> (i + 1)), 0L to 3L).values.forall(_ == 0L))
+  }
+
   test("hyperball: small directed path tracks the exact harmonic values") {
     import spark.implicits._
     val r = Graph.harmonicCentralityHyperBall(
