@@ -62,6 +62,11 @@ object Graph {
     * of worst-case concentration set `wide = true`: the contribution
     * sum and the damped product then run in DECIMAL(38,0) (128-bit
     * Decimal under the hood), lifting the bound to ~10²⁷ nodes, while
+    * (caveat: past THAT bound, non-ANSI Spark's decimal sum returns
+    * NULL on overflow, which the coalesce in the update reads as zero
+    * inflow — silently-wrong ranks, not a loud error; run with
+    * `spark.sql.ansi.enabled=true` if the graph can approach 10²⁷
+    * concentrated nodes so overflow fails loudly instead) —
     * per-node ranks (≤ SCALE, total mass is conserved) still return as
     * i64 — bit-identical to the narrow path wherever the narrow path
     * doesn't overflow (GraphSpec asserts equality), so the DuckDB
@@ -77,10 +82,21 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "empty node set")
     val base = (100L - dampingPct) * Scale / (100L * n)
+    // Induced-subgraph restriction BEFORE degree/dangling derivation
+    // (matching harmonicCentralityE9/triangleCounts): on a non-closed
+    // edge list, a node whose out-edges all leave `nodes` must count as
+    // DANGLING — its mass can't follow edges that left the graph — and
+    // its outdeg must not be inflated by dropped edges, or that mass
+    // would neither propagate nor redistribute and total rank mass
+    // would silently leak.
+    val nset = nodes.select(col("node"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
     // degree attached once; checkpoint so 10 iterations re-read a
     // materialized (src, dst, outdeg) table instead of re-aggregating
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(deg, "src").localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(deg, "src").localCheckpoint()
     // the dangling set is static (a property of the edge list), so the
     // flag rides along in the node/rank frames and the per-iteration
     // dangling mass is a filter + scalar aggregate — no join per step

@@ -303,22 +303,29 @@ object Multimodal {
     private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
       val fmt = sniffFormat(bytes)
       val fast = if (fmt == null) None else {
-        val cache = readerCache.get()
-        var rd = cache.get(fmt)
-        if (rd == null) {
-          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
-          if (it.hasNext) { rd = it.next(); cache.put(fmt, rd) }
-        }
-        if (rd == null) None
-        else {
-          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val cache = readerCache.get()
+          var rd = cache.get(fmt)
+          if (rd == null) {
+            // Select via the SAME content-sniffing registry walk
+            // ImageIO.read performs (getImageReaders over the stream,
+            // first match) — not getImageReadersByFormatName, whose
+            // first entry can be a DIFFERENT plugin (e.g. TwelveMonkeys
+            // ahead of the JDK JPEG reader) that decodes CMYK/ICC
+            // variants differently and would silently change checksums
+            // versus the fallback path.
+            val it = javax.imageio.ImageIO.getImageReaders(iis)
+            if (it.hasNext) { rd = it.next(); cache.put(fmt, rd) }
+          }
+          if (rd == null) None
+          else {
             rd.setInput(iis, true, true)
             Option(rd.read(0))
-          } catch { case _: Exception => None }
-          finally { try iis.close() catch { case _: Exception => () } }
-        }
+          }
+        } catch { case _: Exception => None }
+        finally { try iis.close() catch { case _: Exception => () } }
       }
       fast.orElse(
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))

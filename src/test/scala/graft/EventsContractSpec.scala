@@ -19,6 +19,14 @@ class EventsContractSpec extends AnyFunSuite with SparkSpec {
   private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     .filter(d => new java.io.File(s"$d/events.parquet").exists())
 
+  /** Every test goes through this accessor so a machine without
+    * /root/testdata fails each test with the intended message, not a
+    * bare NoSuchElementException from `sfDirs.head`. */
+  private def firstDir: String = {
+    assert(sfDirs.nonEmpty, "no testdata dirs found")
+    sfDirs.head
+  }
+
   test("batch events.ts normalizes to TimestampType in every sf dir") {
     assert(sfDirs.nonEmpty, "no testdata dirs found")
     for (dir <- sfDirs) {
@@ -31,7 +39,7 @@ class EventsContractSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("streaming source yields the identical ts instants as the batch reader") {
-    val dir = sfDirs.head
+    val dir = firstDir
     // Stage the single parquet into a directory, as the stream queries do.
     val staged = java.nio.file.Files.createTempDirectory("events_contract")
     java.nio.file.Files.copy(
@@ -56,7 +64,7 @@ class EventsContractSpec extends AnyFunSuite with SparkSpec {
   test("event timestamps span the multi-day fixture range (micros, not ms or ns)") {
     // Guards the ÷1000 class of bug: if micros were divided (or nanos
     // passed through), the span collapses to minutes or explodes by 1000×.
-    val df = Tables.t(spark, sfDirs.head, "events")
+    val df = Tables.t(spark, firstDir, "events")
     val Array(row) = df.agg(
       (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us")).collect()
     val spanDays = row.getLong(0).toDouble / (24L * 3600 * 1000 * 1000)

@@ -64,6 +64,19 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(total <= Scale && total >= Scale - 1000L)
   }
 
+  test("pagerank: edges leaving the node set are dropped; boundary node counts as dangling") {
+    // 1→2 inside; 2's only out-edge points OUTSIDE the node set {1,2,3}.
+    // Induced restriction must (a) drop 2→9, (b) therefore mark 2 as
+    // dangling so its mass redistributes instead of silently vanishing.
+    val open = Seq(1L -> 2L, 2L -> 9L)
+    val r = run(open, Seq(1L, 2L, 3L), 1)
+    // identical to the closed fixture above with the leaving edge gone
+    assert(r == run(Seq(1L -> 2L), Seq(1L, 2L, 3L), 1))
+    // mass is conserved up to floor loss over many iterations
+    val total = run(open, Seq(1L, 2L, 3L), 10).values.sum
+    assert(total <= Scale && total >= Scale - 1000L)
+  }
+
   test("wide (decimal-128) arithmetic path is bit-identical to the i64 path") {
     import spark.implicits._
     // a fixture exercising every term: hub skew, dangling mass, isolation
