@@ -400,4 +400,106 @@ object Graph {
     }
     labels
   }
+
+  /** Per-node core number (k-core decomposition) via iterated
+    * neighborhood h-index (Lü, Zhou, Zhang & Stanley 2016, "The
+    * H-index of a network node and its relation to degree and
+    * coreness"): c₀(v) = deg(v); cₖ(v) = H({cₖ₋₁(u) : u ∈ N(v)}),
+    * where H is the h-index — the largest h such that at least h
+    * neighbors carry value ≥ h. The sequence is pointwise
+    * non-increasing and converges to the coreness; a fixed iteration
+    * count makes the partial state a deterministic integer function of
+    * (graph, k) that a SQL oracle unrolls step for step. Runs over the
+    * undirected simple closure of `edges` induced on `nodes` (the
+    * curation signal: a document/domain's coreness in the link graph
+    * separates densely-embedded boilerplate/spam clusters — high core —
+    * from organically-linked content, and is the standard "dense
+    * subgraph" prior alongside [[clusteringCoefficientPpm]]).
+    *
+    * Scale shape — the h-index is computed from the neighbor-value
+    * HISTOGRAM, never a per-node sorted list: join values onto edges,
+    * `groupBy(node, c).count` (map-side combine absorbs in-degree skew
+    * — a celebrity node's million equal-valued neighbors collapse to
+    * one partial per map task), a per-node cumulative window over at
+    * most deg distinct values, then `max(least(c, n≥c))` — the
+    * classical identity H = max_v min(v, #{values ≥ v}). Per-step state
+    * is one long per node; no collect, no unbounded per-group buffer.
+    * Same lineage discipline as [[pageRankE9]]: closure checkpointed
+    * once, the value frame checkpointed every step. */
+  def corenessHIndex(edges: DataFrame, nodes: DataFrame,
+                     iterations: Int): DataFrame = {
+    require(iterations >= 0)
+    val nset = nodes.select(col("node"))
+    val und = canonicalUndirected(edges, nset)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var cur = nset
+      .join(undirectedDegree(und).select(col("n").as("node"), col("d")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("d"), lit(0L)).as("c"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nn")).orderBy(col("c").desc)
+    for (_ <- 1 to iterations) {
+      val hist = sym.join(cur, sym("dst") === cur("node"))
+        .groupBy(sym("src").as("nn"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val h = hist
+        .withColumn("n_ge", sum(col("cnt")).over(w))
+        .groupBy(col("nn")).agg(max(least(col("c"), col("n_ge"))).as("h"))
+      cur = nset.join(h, nset("node") === h("nn"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("c"))
+        .localCheckpoint()
+    }
+    cur.select(col("node"), col("c").as("coreness"))
+  }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    * with a DETERMINISTIC tie-break: l₀(v) = v; lₖ(v) = the label
+    * occurring most often among neighbors' lₖ₋₁, smallest label on a
+    * count tie, own label kept when v has no neighbors. Classic LPA
+    * breaks ties randomly and updates asynchronously — fine for
+    * community quality, useless for an oracle; the (count DESC,
+    * label ASC) total order makes k synchronous steps a pure integer
+    * function of (graph, k) that SQL unrolls exactly (the known
+    * bipartite two-cycling of synchronous LPA is harmless under a
+    * fixed step count — both engines land on the same side of the
+    * cycle). Undirected simple closure induced on `nodes`; this is the
+    * cheap community/mirror-cluster assignment a crawl corpus runs
+    * when components ([[connectedComponentsMinLabel]]) are too coarse
+    * (one giant web component) and modularity methods too heavy.
+    *
+    * Scale shape: per step, one join to ship labels onto edges, one
+    * `groupBy(node, label).count` (map-side combine soaks up skew: a
+    * node's million same-labeled neighbors pre-aggregate per map
+    * task), then ONE more `groupBy(node)` taking
+    * `max(struct(cnt, -label))` — the argmax-with-min-tie-break as a
+    * single associative aggregate, no window, no sorted list. Two
+    * shuffles per step on (long, long) keys; label frame checkpointed
+    * every step. */
+  def labelPropagationMinTie(edges: DataFrame, nodes: DataFrame,
+                             iterations: Int): DataFrame = {
+    require(iterations >= 0)
+    val nset = nodes.select(col("node"))
+    val und = canonicalUndirected(edges, nset)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = nset.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val votes = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(sym("src").as("nn"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val win = votes
+        .groupBy(col("nn"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("nn"), (-col("m.nl")).as("winner"))
+      labels = labels.join(win, labels("node") === win("nn"), "left")
+        .select(col("node"), coalesce(col("winner"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -2053,6 +2053,52 @@ object Extensions {
       .select(col("node"), round(col("harmonic_approx"), 6).as("harmonic_approx"))
       .orderBy("node")
   }
+
+  /** Per-node core number ([[graft.operators.Graph.corenessHIndex]]):
+    * the dense-subgraph prior over the triangle fixture's chain+skip
+    * edges PLUS a 5-clique on domains {10,30,50,70,90} — so the
+    * decomposition has real structure to find: clique members sit in a
+    * 4-core, in-block triangle runs in a 2-core, bare chain links and
+    * block boundaries in the 1-core. 8 h-index iterations (≥ the
+    * fixture's convergence depth); the oracle unrolls the same 8 steps
+    * from the same degree init. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val skip = nodes.filter(col("node") % 7 < 5 && col("node") < 98)
+      .select(col("node").as("src"), (col("node") + 2).as("dst"))
+    val cl = nodes.filter(col("node") % 20 === 10)
+    val clique = cl.select(col("node").as("src"))
+      .crossJoin(cl.select(col("node").as("dst")))
+      .filter(col("src") < col("dst"))
+    graft.operators.Graph.corenessHIndex(
+      chain.unionByName(skip).unionByName(clique), nodes, iterations = 8)
+      .orderBy("node")
+  }
+
+  /** Deterministic label-propagation communities
+    * ([[graft.operators.Graph.labelPropagationMinTie]]) over a
+    * block-community fixture: blocks of 10 made cohesive by chain
+    * (d → d+1) and skip (d → d+2) edges entirely inside each block,
+    * loosely coupled by ONE bridge per block pair (b·10+5 → b·10+15) —
+    * dense-inside/sparse-between, the regime LPA is built for. 8
+    * synchronous (count DESC, label ASC) steps; the oracle unrolls the
+    * identical vote/argmax per step. */
+  def graphLpa(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 10 < 9 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val skip = nodes.filter(col("node") % 10 < 8 && col("node") < 98)
+      .select(col("node").as("src"), (col("node") + 2).as("dst"))
+    val bridges = nodes.filter(col("node") % 10 === 5 && col("node") < 90)
+      .select(col("node").as("src"), (col("node") + 10).as("dst"))
+    graft.operators.Graph.labelPropagationMinTie(
+      chain.unionByName(skip).unionByName(bridges), nodes, iterations = 8)
+      .orderBy("node")
+  }
 }
 
 /** DuckDB oracles for the deterministic extension queries. */
@@ -3723,5 +3769,78 @@ object ExtensionOracles {
         |       CAST((SELECT count(*) FROM p12 p
         |             WHERE p.dist > 0 AND p.dist <= d.range) AS BIGINT) AS pairs
         |FROM range(1, 13) d ORDER BY dist""".stripMargin
+  }
+
+  /** [[Extensions.graphKcore]]'s 8 h-index steps unrolled: per step,
+    * the neighbor-value histogram, a per-node cumulative count ordered
+    * value-DESC, and `max(least(c, n_ge))` — the identity
+    * H = max_v min(v, #{values ≥ v}). Each cₖ is MATERIALIZED (read by
+    * the next step's join; inlining re-evaluates the chain
+    * exponentially). Init c₀ = undirected simple degree. */
+  val graphKcore: String = {
+    val steps = (1 to 8).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT n.node, coalesce(m.h, 0) AS c
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT nn, max(least(c, n_ge)) AS h FROM (
+         |      SELECT nn, c, sum(cnt) OVER (PARTITION BY nn ORDER BY c DESC) AS n_ge
+         |      FROM (SELECT s.src AS nn, x.c, count(*) AS cnt
+         |            FROM sym s JOIN c${i - 1} x ON s.dst = x.node
+         |            GROUP BY 1, 2) q1) q2
+         |    GROUP BY 1) m ON m.nn = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |raw AS (
+       |  SELECT node AS src, node + 1 AS dst FROM nodes
+       |  WHERE node % 7 <> 6 AND node < 99
+       |  UNION ALL
+       |  SELECT node, node + 2 FROM nodes WHERE node % 7 < 5 AND node < 98
+       |  UNION ALL
+       |  SELECT a.node, b.node FROM nodes a JOIN nodes b
+       |    ON a.node % 20 = 10 AND b.node % 20 = 10 AND a.node < b.node),
+       |und AS (SELECT DISTINCT least(r.src, r.dst) AS a, greatest(r.src, r.dst) AS b
+       |        FROM raw r JOIN nodes n ON r.dst = n.node
+       |        WHERE r.src <> r.dst),
+       |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+       |c0 AS MATERIALIZED (
+       |  SELECT n.node, coalesce(d.d, 0) AS c
+       |  FROM nodes n LEFT JOIN
+       |    (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1) d USING (node)),
+       |$steps
+       |SELECT node, CAST(c AS BIGINT) AS coreness FROM c8 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphLpa]]'s 8 synchronous vote steps unrolled: per
+    * step the (node, label) vote counts, a per-node max-count window,
+    * then `min(label)` among the max-count labels — the deterministic
+    * (count DESC, label ASC) argmax. lₖ₋₁ is read twice per step
+    * (votes + own-label fallback), so every lₖ is MATERIALIZED. */
+  val graphLpa: String = {
+    val steps = (1 to 8).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.node, coalesce(m.lab, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT nn, min(label) AS lab FROM (
+         |      SELECT nn, label, cnt, max(cnt) OVER (PARTITION BY nn) AS mx
+         |      FROM (SELECT s.src AS nn, x.label, count(*) AS cnt
+         |            FROM sym s JOIN l${i - 1} x ON s.dst = x.node
+         |            GROUP BY 1, 2) q1) q2
+         |    WHERE cnt = mx GROUP BY 1) m ON m.nn = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |raw AS (
+       |  SELECT node AS src, node + 1 AS dst FROM nodes
+       |  WHERE node % 10 < 9 AND node < 99
+       |  UNION ALL
+       |  SELECT node, node + 2 FROM nodes WHERE node % 10 < 8 AND node < 98
+       |  UNION ALL
+       |  SELECT node, node + 10 FROM nodes WHERE node % 10 = 5 AND node < 90),
+       |und AS (SELECT DISTINCT least(r.src, r.dst) AS a, greatest(r.src, r.dst) AS b
+       |        FROM raw r JOIN nodes n ON r.dst = n.node
+       |        WHERE r.src <> r.dst),
+       |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+       |$steps
+       |SELECT node, CAST(label AS BIGINT) AS label FROM l8 ORDER BY node""".stripMargin
   }
 }

@@ -271,6 +271,90 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(a.sameElements(b))
   }
 
+  private def runKcore(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                       iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.corenessHIndex(edges.toDF("src", "dst"), nodes.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kcore: K5 clique is a 4-core; direction/duplicates/self-loops don't matter") {
+    val nodes = 0L until 5L
+    val clique = for (a <- nodes; b <- nodes if a != b) yield (a, b) // both directions
+    val noisy = clique ++ Seq(0L -> 0L, 1L -> 2L, 1L -> 2L)
+    assert(runKcore(noisy, nodes, 4) == nodes.map(_ -> 4L).toMap)
+  }
+
+  test("kcore: chain is a 1-core, triangle run a 2-core, isolated node 0") {
+    val chain = (0L until 4L).map(i => i -> (i + 1))
+    val r = runKcore(chain, 0L to 5L, 8)
+    assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+    // chain + skips: every consecutive triple is a triangle → 2-core
+    val tri = chain ++ (0L until 3L).map(i => i -> (i + 2))
+    val rt = runKcore(tri, 0L to 4L, 8)
+    assert(rt == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("kcore: star collapses to 1 in one h-index step from the degree init") {
+    val star = (1L to 6L).map(l => 0L -> l)
+    assert(runKcore(star, 0L to 6L, 1) == (0L to 6L).map(_ -> 1L).toMap)
+  }
+
+  test("kcore: clique hanging off a chain — mixed core numbers, converged == extra iterations") {
+    // clique {0..3} (4 nodes, 3-core), chain 3-4-5-6 (1-core tail)
+    val cnodes = 0L until 4L
+    val edges = (for (a <- cnodes; b <- cnodes if a < b) yield (a, b)) ++
+      Seq(3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val r8 = runKcore(edges, 0L to 6L, 8)
+    assert(r8 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 1L, 5L -> 1L, 6L -> 1L))
+    assert(r8 == runKcore(edges, 0L to 6L, 12)) // fixed point reached
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                     iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagationMinTie(edges.toDF("src", "dst"), nodes.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("lpa: triangle converges to the min label; isolated node keeps its own") {
+    // K3 sync trace: l1 = (1,0,0), l2 = (0,0,0) — fixed point from step 2
+    assert(runLpa(Seq(0L -> 1L, 1L -> 2L, 2L -> 0L), 0L to 3L, 1) ==
+      Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    assert(runLpa(Seq(0L -> 1L, 1L -> 2L, 2L -> 0L), 0L to 3L, 3) ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+  }
+
+  test("lpa: count beats label — a doubly-backed larger label wins over a smaller singleton") {
+    // triangle {5,6,7}; 9–6, 9–7, 9–1; 1–0. Step 1: l1(6)=l1(7)=5
+    // (each sees {5, other, 9}), l1(1)=min(0,9)=0, l1(9)=min(6,7,1)=1.
+    // Step 2, node 9: votes {5:2, 0:1} → 5 by COUNT; a min-label rule
+    // would say 0 — this pins the (count DESC, label ASC) order.
+    val edges = Seq(5L -> 6L, 6L -> 7L, 5L -> 7L,
+      9L -> 6L, 9L -> 7L, 9L -> 1L, 1L -> 0L)
+    val nodes = Seq(0L, 1L, 5L, 6L, 7L, 9L)
+    val r1 = runLpa(edges, nodes, 1)
+    assert(r1(6L) == 5L && r1(7L) == 5L && r1(1L) == 0L && r1(9L) == 1L)
+    val r2 = runLpa(edges, nodes, 2)
+    assert(r2(9L) == 5L)
+    // singleton ties still break to the min: node 9 at step 1 saw
+    // {6, 7, 1} all count-1 and took 1
+    assert(r1(9L) == 1L)
+  }
+
+  test("lpa: zero iterations is the identity labeling; deterministic run to run") {
+    val edges = Seq(0L -> 1L, 1L -> 2L, 3L -> 4L)
+    assert(runLpa(edges, 0L to 4L, 0) == (0L to 4L).map(n => n -> n).toMap)
+    assert(runLpa(edges, 0L to 4L, 5) == runLpa(edges, 0L to 4L, 5))
+  }
+
+  test("lpa/kcore: edges with an endpoint outside the node set are dropped (induced subgraph)") {
+    val edges = Seq(0L -> 1L, 1L -> 9L) // 9 absent
+    assert(runKcore(edges, 0L to 2L, 8) == Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
+    assert(runLpa(edges, 0L to 2L, 4)(2L) == 2L)
+  }
+
   test("declared graph_pagerank query: 100 domains, outdeg 3, ranks ordered and mass-bounded") {
     val df = graft.queries.Extensions.graphPagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
