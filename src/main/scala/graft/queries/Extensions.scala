@@ -2099,6 +2099,43 @@ object Extensions {
       chain.unionByName(skip).unionByName(bridges), nodes, iterations = 8)
       .orderBy("node")
   }
+
+  /** SCD type-2 dimension history
+    * ([[graft.operators.Temporal.scd2History]]) over the orders change
+    * log: per customer, consecutive equal order priorities collapse and
+    * the survivors carry half-open `[valid_from, valid_to)` validity
+    * ranges, `valid_to IS NULL` flagging the current row — the proper
+    * warehouse form of the reference's raw-vs-clean reconciliation
+    * (frontPage etl_process.py:227-241). The final sort includes
+    * `valid_to NULLS FIRST` on both engines so the row order is total
+    * even when one customer changes priority twice on one date. */
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.scd2History(
+      t(s, dir, "orders"), "o_custkey", "o_orderpriority",
+      "o_orderdate", "o_orderkey")
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("custkey"), col("valid_from"), col("priority"),
+        col("valid_to").asc_nulls_first)
+
+  /** Gaps-and-islands interval merge
+    * ([[graft.operators.Temporal.mergeIntervals]]): each event opens a
+    * VARIABLE-LENGTH activity interval `[ts, ts + (event_id%600+60)s)`
+    * and overlapping/touching intervals per user coalesce into islands
+    * via the cumulative-max-end construction — deliberately NOT
+    * equivalent to q23's lag-gap sessionization: a long early interval
+    * swallows later short ones, which the lag test mis-splits. Output
+    * is one row per island in epoch micros. */
+  def intervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val sUs = unix_micros(col("ts"))
+    val eUs = sUs + (col("event_id") % 600 + 60) * lit(1000000L)
+    graft.operators.Temporal.mergeIntervals(
+      t(s, dir, "events"), "user_id", sUs, eUs, "event_id")
+      .select(col("user_id"), col("island_no"),
+        col("start_us"), col("end_us"), col("n").as("n_events"))
+      .orderBy("user_id", "island_no")
+  }
 }
 
 /** DuckDB oracles for the deterministic extension queries. */
@@ -3843,4 +3880,47 @@ object ExtensionOracles {
        |$steps
        |SELECT node, CAST(label AS BIGINT) AS label FROM l8 ORDER BY node""".stripMargin
   }
+
+  /** [[Extensions.scd2History]]: lag-based change detection, lead-based
+    * range close, identical `(ts, orderkey)` total order; the final
+    * `NULLS FIRST` matches Spark's asc_nulls_first default. */
+  val scd2History: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+      |         o_orderdate, o_orderkey,
+      |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |ch AS (SELECT custkey, priority, o_orderdate, o_orderkey FROM o
+      |       WHERE prev IS NULL OR prev <> priority),
+      |r AS (SELECT custkey, priority, o_orderdate AS valid_from,
+      |             lead(o_orderdate) OVER (PARTITION BY custkey
+      |               ORDER BY o_orderdate, o_orderkey) AS valid_to
+      |      FROM ch)
+      |SELECT custkey, priority, valid_from, valid_to,
+      |       (valid_to IS NULL) AS is_current
+      |FROM r
+      |ORDER BY custkey, valid_from, priority, valid_to ASC NULLS FIRST""".stripMargin
+
+  /** [[Extensions.intervalMerge]]: the cumulative-max-end island flag
+    * (`1 PRECEDING` upper bound excludes the current row) and running
+    * island ids, grouped to island extents. Sums over int flags land in
+    * HUGEINT in DuckDB — cast back to BIGINT. */
+  val intervalMerge: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |         epoch_us(ts) + (event_id % 600 + 60) * 1000000 AS e
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, s, e,
+      |             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |      FROM iv),
+      |g AS (SELECT *, sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_no
+      |      FROM m)
+      |SELECT user_id, CAST(island_no AS BIGINT) AS island_no,
+      |       min(s) AS start_us, max(e) AS end_us,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM g GROUP BY 1, 2 ORDER BY user_id, island_no""".stripMargin
 }
