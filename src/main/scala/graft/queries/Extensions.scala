@@ -2100,6 +2100,36 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** Exact k-NN graph over the embedding table — the all-pairs
+    * construction semantic-dedup clustering and diversity sampling
+    * start from: each probe vector (every 10th `vec_id`, the bounded
+    * probe batch of a full-corpus sweep) gets its 5 nearest neighbors
+    * by cosine, ranked (sim DESC, id ASC) on the SAME round-4 values
+    * the oracle ranks on. Scale shape: probes broadcast against the
+    * corpus scan, and the per-probe top-k runs through
+    * [[graft.functions.TopKAgg]] — map-side k-sized partials, ONE
+    * shuffle of k-row states on `qid`, no window over the pair set (a
+    * window formulation shuffles |corpus|·|probes| rows; this shuffles
+    * |probes|·k). The ANN family (ann_lsh/ivf/ivfpq) is the sublinear
+    * path; this is the exact baseline that defines their recall. */
+  def embKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(graft.functions.Vecs.cosineSim(col("v"), col("qv")), 4).as("sim"))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("sim"), (-col("id")).as("nid")), 5).as("t"))
+      .select(col("qid"), posexplode(col("t")).as(Seq("i", "s")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rank"),
+        (-col("s.nid")).as("nbr"), col("s.sim").as("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** SCD type-2 dimension history
     * ([[graft.operators.Temporal.scd2History]]) over the orders change
     * log: per customer, consecutive equal order priorities collapse and
@@ -3880,6 +3910,21 @@ object ExtensionOracles {
        |$steps
        |SELECT node, CAST(label AS BIGINT) AS label FROM l8 ORDER BY node""".stripMargin
   }
+
+  /** [[Extensions.embKnnGraph]]: the same probe set, round-4 cosine,
+    * and (sim DESC, nbr ASC) ranking via row_number — the window
+    * formulation is fine HERE (the oracle runs once over sf0.01); the
+    * engine side uses the partial-aggregating top-k instead. */
+  val embKnnGraph: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 10 = 0),
+      |m AS (SELECT q.qid, e.vec_id AS nbr,
+      |             round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+      |      FROM e, q WHERE e.vec_id <> q.qid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |               ORDER BY sim DESC, nbr) AS rk FROM m)
+      |SELECT qid, CAST(rk AS INT) AS "rank", nbr, sim
+      |FROM r WHERE rk <= 5 ORDER BY qid, "rank"""".stripMargin
 
   /** [[Extensions.scd2History]]: lag-based change detection, lead-based
     * range close, identical `(ts, orderkey)` total order; the final

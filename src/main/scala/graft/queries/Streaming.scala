@@ -146,6 +146,29 @@ object StreamingQueries {
       .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
   }
 
+  /** Windowed backward AS-OF join as a streaming pipeline — q22's
+    * semantics made streamable. An UNBOUNDED backward as-of join cannot
+    * bound stream state (any future purchase may still match an
+    * arbitrarily old view), so the streaming form restricts the
+    * lookback to 1 h: the watermark-bounded interval join
+    * ([[StreamJoin.attributionJoin]], state O(events in window)) emits
+    * every qualifying pair exactly once, and the drain reduces each
+    * purchase to its LATEST view — `min(struct(lag_us, view_id))`, one
+    * associative aggregate (at scale this reduce rides map-side
+    * combine; it could equally run as a second streaming stage). The
+    * pair emission is deterministic for the inner join, so the whole
+    * result is oracle-checked — no sealed-region carve-out needed. */
+  def streamAsof(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_asof_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1)(StreamJoin.attributionJoin(s, _, name))
+    drained(s, name)
+      .groupBy(col("purchase_id").as("event_id"), col("user_id"))
+      .agg(min(struct(col("lag_us"), col("view_id"))).as("m"))
+      .select(col("event_id"), col("user_id"),
+        col("m.view_id").as("matched_view_id"), col("m.lag_us").as("lag_us"))
+      .orderBy("event_id")
+  }
+
   /** Watermarked tumbling-window aggregation (q18's streaming twin),
     * drained in complete mode: final per-day/per-type counts and sums
     * are the batch answer, oracle-checked with q18's own rounding
@@ -325,6 +348,26 @@ object StreamingOracles {
       |FROM s, m
       |WHERE s.end_us + 1800000000 + 1000000 <= m.mx - 3600000000
       |ORDER BY user_id, start_us""".stripMargin
+
+  /** [[StreamingQueries.streamAsof]]: q22's backward as-of restricted
+    * to the 1 h lookback — latest qualifying view per purchase via
+    * (lag ASC, view_id ASC) row_number, matching the drained
+    * struct-min reduce exactly. */
+  val streamAsof: String =
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT p.purchase_id, p.user_id,
+      |             v.view_id, epoch_us(p.p_ts) - epoch_us(v.v_ts) AS lag_us
+      |      FROM p JOIN v ON p.user_id = v.user_id
+      |        AND v.v_ts <= p.p_ts
+      |        AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+      |               ORDER BY lag_us, view_id) AS rk FROM m)
+      |SELECT purchase_id AS event_id, user_id, view_id AS matched_view_id,
+      |       lag_us
+      |FROM r WHERE rk = 1 ORDER BY event_id""".stripMargin
 
   /** [[StreamingQueries.streamJoinOuter]]: the batch left join with
     * unmatched rows restricted to the watermark-sealed region (p_ts +

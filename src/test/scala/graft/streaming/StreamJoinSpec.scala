@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, unix_micros}
 
 import graft.SparkSpec
 
@@ -71,5 +72,35 @@ class StreamJoinSpec extends AnyFunSuite with SparkSpec {
     assert(emitted.intersect(mustNot).isEmpty,
       s"unsealed purchases emitted early: ${emitted.intersect(mustNot).take(5)}")
     assert(emitted.nonEmpty, "outer join emitted no unmatched purchases")
+  }
+
+  test("windowed streaming as-of == unbounded batch as-of restricted to the window") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // windowed as-of keeps a purchase iff SOME view lands in [p−1h, p],
+    // and then its latest in-window view is the overall latest view —
+    // so the unbounded as-of filtered to lag ≤ 1h is the same relation
+    // (event_id, lag_us) is tie-invariant: equal-ts right rows differ in
+    // view_id (streamAsof takes the min id, AsOfJoin whichever sorts
+    // last) but never in lag — don't let a testdata regeneration with
+    // duplicate (user, ts) views flake this
+    val streamed = graft.queries.StreamingQueries.streamAsof(spark, dir)
+      .select("event_id", "lag_us").as[(Long, Long)].collect().toSet
+    val e = graft.core.Tables.t(spark, dir, "events")
+    val batch = graft.operators.AsOfJoin.asof(
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("v_us")),
+      Seq("user_id"), "ts", Seq("view_id", "v_us"))
+      .filter(col("asof").isNotNull &&
+        unix_micros(col("ts")) - col("asof.v_us") <= 3600L * 1000000)
+      .select(col("event_id"),
+        (unix_micros(col("ts")) - col("asof.v_us")).as("lag_us"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-vs-batch asof diff: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    assert(streamed.nonEmpty)
   }
 }
