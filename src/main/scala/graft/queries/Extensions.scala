@@ -2130,6 +2130,53 @@ object Extensions {
       .orderBy("qid", "rank")
   }
 
+  /** Dominant eigenvector of the embedding Gram matrix by EXACT-INTEGER
+    * power iteration — the spectral drift/collapse statistic an
+    * embedding-quality monitor tracks (a corpus whose top singular
+    * direction swallows the spectrum has collapsed; its drift between
+    * snapshots flags upstream distribution shift). Everything is
+    * engine-portable integer arithmetic so the oracle replays it
+    * digit-for-digit: components quantize to `floor((x+1)·63)` ∈
+    * [0,126] (NON-NEGATIVE, so floor-div and trunc-div agree in every
+    * engine), the Gram matrix C = Σ_r q_r q_rᵀ accumulates exactly in
+    * i64, and 8 iterations of `v ← (C·v) div (max(C·v) div 1e6 + 1)`
+    * (L∞ normalization — max and integer div, no sqrt) converge to the
+    * dominant eigenvector up to the documented fixed-point rounding.
+    *
+    * Scale shape: the Gram accumulation is ONE explode + groupBy with
+    * exactly d² = 4096 distinct keys — map-side combine collapses
+    * every task's contribution to ≤ 4096 partials, so the shuffle is
+    * O(tasks·d²) rows regardless of corpus size. The 64×64 result is a
+    * bounded driver scalar (32 KB — the IVF-codebook class), and the
+    * 8-step iteration runs driver-side in exact Long arithmetic.
+    * Overflow bound: C entries ≤ 126²·N, the matvec ≤ 64·C_max·1e6 —
+    * i64-safe to N ≈ 9·10⁶ rows; past that, rescale the quantization
+    * or lift the matvec to DECIMAL(38,0) (the graph_pagerank_wide
+    * pattern). */
+  def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.select(
+      expr("transform(cast(embedding as array<double>), x -> cast(floor((x + 1) * 63) as bigint))")
+        .as("qv"))
+    val cells = q
+      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j")).agg(sum(col("xi") * col("xj")).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val d = 64
+    val mat = Array.tabulate(d, d)((i, j) => cells.getOrElse((i, j), 0L))
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => mat(i)(j) * v(j)).sum)
+      val div = w.max / 1000000L + 1L
+      v = w.map(_ / div)
+    }
+    import s.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("idx", "loading").orderBy("idx")
+  }
+
   /** SCD type-2 dimension history
     * ([[graft.operators.Temporal.scd2History]]) over the orders change
     * log: per customer, consecutive equal order priorities collapse and
@@ -3925,6 +3972,32 @@ object ExtensionOracles {
       |               ORDER BY sim DESC, nbr) AS rk FROM m)
       |SELECT qid, CAST(rk AS INT) AS "rank", nbr, sim
       |FROM r WHERE rk <= 5 ORDER BY qid, "rank"""".stripMargin
+
+  /** [[Extensions.embPcaPower]]: the identical quantization, exact
+    * Gram cells over 1-based list indices, and 8 unrolled
+    * matvec+normalize steps — every operand non-negative, so DuckDB's
+    * flooring `//` equals the engine's truncating Long division. */
+  val embPcaPower: String = {
+    val steps = (1 to 8).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT c.i, sum(c.c * v.x) AS w
+         |  FROM cells c JOIN v${k - 1} v ON c.j = v.i GROUP BY 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, w // ((SELECT max(w) FROM w$k) // 1000000 + 1) AS x
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT [CAST(floor((x + 1) * 63) AS BIGINT)
+       |                   FOR x IN CAST(embedding AS DOUBLE[])] AS qv
+       |           FROM embeddings),
+       |idx AS (SELECT range AS i FROM range(1, 65)),
+       |cells AS MATERIALIZED (
+       |  SELECT i.i AS i, j.i AS j, sum(qv[i.i] * qv[j.i]) AS c
+       |  FROM q, idx i, idx j GROUP BY 1, 2),
+       |v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS x FROM idx),
+       |$steps
+       |SELECT i - 1 AS idx, CAST(x AS BIGINT) AS loading
+       |FROM v8 ORDER BY idx""".stripMargin
+  }
 
   /** [[Extensions.scd2History]]: lag-based change detection, lead-based
     * range close, identical `(ts, orderkey)` total order; the final

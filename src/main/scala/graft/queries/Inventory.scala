@@ -557,6 +557,26 @@ object Inventory {
       FROM walk GROUP BY start_key ORDER BY c_custkey""")
   }
 
+  /** Q34 — RANGE-frame window: per event, the same user's trailing-hour
+    * event count and value sum — the frame class q10's ROWS frame
+    * doesn't cover (value-based bounds: all equal-ts rows enter the
+    * frame together, so ties need no ordering tiebreak at all). The
+    * summed measure is integer CENTS (`round(value·100)`): engines
+    * disagree on double addition ORDER inside sliding frames (running
+    * accumulation vs segment trees), and integers make any order
+    * exact. One exchange on user_id, both windows share it. */
+  def q34RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000, 0)
+    e.select(col("event_id"), col("user_id"),
+        sum(col("cents")).over(w).as("hour_sum_cents"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy("event_id")
+  }
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

@@ -302,4 +302,19 @@ object Oracles {
       |SELECT '3_purchase', count(*),
       |       CAST(sum(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) FROM p
       |ORDER BY stage""".stripMargin
+
+  /** [[Inventory.q34RangeFrame]]: the identical value-based frame;
+    * cents are integers so the sliding sum is addition-order-exact,
+    * and DuckDB's HUGEINT sum is cast back to BIGINT. */
+  val q34RangeFrame: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events)
+      |SELECT event_id, user_id,
+      |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS hour_sum_cents,
+      |       count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
+      |FROM e ORDER BY event_id""".stripMargin
 }
