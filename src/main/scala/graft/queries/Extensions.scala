@@ -674,6 +674,28 @@ object Extensions {
       .orderBy("zbucket")
   }
 
+  /** [[layoutZorder]]'s Hilbert-curve sibling
+    * ([[graft.functions.LayoutUtil.hilbert8]], codegen'd
+    * `HilbertIndex`): the same 2-D clustering report on a 256×256 grid.
+    * Hilbert's unit-step adjacency (no Morton seam jumps) keeps
+    * UNALIGNED key ranges — where parquet file/row-group boundaries
+    * actually fall — in connected regions: LayoutSpec measures worst
+    * unaligned 256-cell span 31 vs Morton's 255. The report buckets by
+    * the top 8 of 16 key bits; every bucket is a contiguous quarter-
+    * curve arc, so both dimension spans stay ≤ 31 (asserted per row in
+    * the oracle-checked output by construction of the curve). */
+  def layoutHilbert(s: SparkSession, dir: String): DataFrame = {
+    val x = (col("o_custkey") % 256).cast("long")
+    val y = (datediff(to_date(col("o_orderdate")), lit("1970-01-01")) % 256).cast("long")
+    t(s, dir, "orders")
+      .select(graft.functions.Layout.hilbert8(x, y).as("h"), x.as("x"), y.as("y"))
+      .groupBy(shiftright(col("h"), 8).as("hbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy("hbucket")
+  }
+
   /** One stored z-ordered orders layout per source dir per JVM — the
     * partitioned write is layout cost paid once ([[bucketedTables]]'
     * reasoning applied to the z-curve); directories are temp-rooted and
@@ -2658,6 +2680,39 @@ object ExtensionOracles {
       |SELECT CAST(z >> 12 AS BIGINT) AS zbucket, count(*) AS n,
       |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** [[Extensions.layoutHilbert]]: the identical 8-level quadrant walk
+    * unrolled as chained CTEs — each level consumes one bit per
+    * dimension (`rx`, `ry`), adds the quadrant offset `s²·((3rx)⊕ry)`,
+    * and applies the rotation (flip = `255 − v`, an exact full-mask
+    * complement, then swap). Original coordinates ride along for the
+    * span report. */
+  val layoutHilbert: String = {
+    val steps = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map { case (s, k) =>
+      val i = k + 1
+      s"""h$i AS (
+         |  SELECT x0, y0, acc + ${s.toLong * s} * xor(3 * rx, ry) AS acc,
+         |         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y ELSE y END)
+         |              ELSE x END AS x,
+         |         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x ELSE x END)
+         |              ELSE y END AS y
+         |  FROM (SELECT x0, y0, acc, x, y,
+         |               CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |               CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM h$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT o_custkey % 256 AS x0,
+       |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256 AS y0,
+       |         o_custkey % 256 AS x,
+       |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
+       |         0 AS acc
+       |  FROM orders),
+       |$steps
+       |SELECT CAST(acc >> 8 AS BIGINT) AS hbucket, count(*) AS n,
+       |       min(x0) AS min_x, max(x0) AS max_x, min(y0) AS min_y, max(y0) AS max_y
+       |FROM h8 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** [[Extensions.layoutZorderStored]]'s answer from the PLAIN table —
     * the stored z-layout and its partition pruning must be
