@@ -577,6 +577,27 @@ object Inventory {
       .orderBy("event_id")
   }
 
+  /** Q35 — DISTINCT aggregation inside a sliding window: per event, how
+    * many distinct event types the user produced in the trailing hour
+    * (the behavioral-diversity signal sessions/funnels threshold on).
+    * Spark windows don't accept `count(DISTINCT …)` — the composition
+    * is `size(collect_set(…))`, exact and deterministic because sets
+    * have no order. The per-row set buffer is bounded by the TYPE
+    * cardinality (a handful), not the frame length; for high-cardinality
+    * measures (distinct users per domain-hour at 100 TB) the same frame
+    * swaps collect_set for the mergeable HLL sketch ([[graft.functions
+    * .HllAgg]]) — this query pins the exact form the sketch
+    * approximates. Value-based frame ⇒ tie-insensitive. */
+  def q35WindowDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000, 0)
+    e.select(col("event_id"), col("user_id"),
+        size(collect_set(col("event_type")).over(w)).as("distinct_types"))
+      .orderBy("event_id")
+  }
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

@@ -317,4 +317,17 @@ object Oracles {
       |       count(*) OVER (PARTITION BY user_id ORDER BY ts_us
       |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
       |FROM e ORDER BY event_id""".stripMargin
+
+  /** [[Inventory.q35WindowDistinct]]: DuckDB windows DO accept
+    * `count(DISTINCT …)` — the direct form of Spark's
+    * size∘collect_set composition. */
+  val q35WindowDistinct: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      |           FROM events)
+      |SELECT event_id, user_id,
+      |       CAST(count(DISTINCT event_type) OVER (
+      |         PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS distinct_types
+      |FROM e ORDER BY event_id""".stripMargin
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.t
-import graft.streaming.{SessionStream, StreamDedup, StreamJoin}
+import graft.streaming.{IntervalStream, SessionStream, StreamDedup, StreamJoin}
 
 /** The §2.7 streaming operators surfaced as declared driver queries: an
   * AvailableNow drain into a memory sink, canonicalized to a
@@ -144,6 +144,28 @@ object StreamingQueries {
       .select(col("purchase_id"), col("view_id"), col("user_id"),
         col("lag_us"), col("p_ts_us"))
       .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
+  }
+
+  /** Gaps-and-islands interval merge as a stream
+    * ([[IntervalStream]]; interval_merge's streaming twin): the one
+    * open island per user rides as state, closed islands emit in
+    * APPEND mode. Canonical region = islands CLOSED BY A LATER EVENT:
+    * a closed island's end is strictly below the user's next island
+    * start (≤ the user's max event ts), while the final open island —
+    * whose emission depends on whether its timeout fired during the
+    * drain — ends ≥ max ts + its last interval's 60 s minimum
+    * duration; `end_us < max user ts` separates the two exactly, on
+    * both sides (the streamSession exclusion rule). */
+  def streamInterval(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_interval_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1)(IntervalStream.run(s, _, name))
+    val userMax = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("max_ts_us"))
+    drained(s, name)
+      .join(userMax, Seq("user_id"))
+      .filter(col("end_us") < col("max_ts_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
   }
 
   /** Windowed backward AS-OF join as a streaming pipeline — q22's
@@ -347,6 +369,32 @@ object StreamingOracles {
       |SELECT s.user_id AS user_id, s.start_us, s.end_us, s.n_events
       |FROM s, m
       |WHERE s.end_us + 1800000000 + 1000000 <= m.mx - 3600000000
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** [[StreamingQueries.streamInterval]]: the batch gaps-and-islands
+    * CTEs ([[ExtensionOracles.intervalMerge]]'s construction) with the
+    * same closed-by-a-later-event restriction — island end strictly
+    * below the user's max event timestamp. */
+  val streamInterval: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |         epoch_us(ts) + (event_id % 600 + 60) * 1000000 AS e
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, s, e,
+      |             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |      FROM iv),
+      |g AS (SELECT *, sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_no
+      |      FROM m),
+      |isl AS (SELECT user_id, island_no, min(s) AS start_us, max(e) AS end_us,
+      |               count(*) AS n_events
+      |        FROM g GROUP BY 1, 2),
+      |mx AS (SELECT user_id, max(epoch_us(ts)) AS mts FROM events GROUP BY 1)
+      |SELECT i.user_id, i.start_us, i.end_us, CAST(i.n_events AS BIGINT) AS n_events
+      |FROM isl i JOIN mx USING (user_id)
+      |WHERE i.end_us < mx.mts
       |ORDER BY user_id, start_us""".stripMargin
 
   /** [[StreamingQueries.streamAsof]]: q22's backward as-of restricted
