@@ -747,6 +747,47 @@ object Extensions {
       .orderBy("x")
   }
 
+  /** One stored Hilbert-ordered orders layout per source dir per JVM —
+    * [[zorderStore]]'s discipline on the tighter curve. */
+  private val hilbertStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hilbertStore(s: SparkSession, dir: String): String =
+    hilbertStores.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_hilbert_q")
+      ivfTmpRoots.add(root)
+      val st = root.toString + "/orders_h"
+      val x = (col("o_custkey") % 256).cast("long")
+      val y = (datediff(to_date(col("o_orderdate")), lit("1970-01-01")) % 256).cast("long")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), x.as("x"), y.as("y"),
+          shiftright(graft.functions.Layout.hilbert8(x, y), 8).as("hbucket"))
+        .repartition(col("hbucket"))   // cluster each bucket's rows, not 256 slivers per task
+        .write.partitionBy("hbucket").mode("overwrite").parquet(st)
+      st
+    })
+
+  /** [[layoutZorderStored]] on the Hilbert layout: orders materialized
+    * `partitionBy(hbucket)`, an x-range predicate turned into a static
+    * partition filter by DRIVER-SIDE curve evaluation — the bucket set
+    * for `x ∈ [64,127]` is `{hilbert8(x,y) >> 8}` over the 16 K grid
+    * cells of the strip, a pure-function enumeration (microseconds, no
+    * data read). On the order-8 curve each bucket IS one level-4 16×16
+    * quadrant block (a contiguous 256-cell arc), so the 64-column
+    * strip touches exactly 64 of 256 directories — pruning exactly
+    * equal to the predicate's selectivity, asserted in PlanAuditSpec;
+    * oracle = the plain unstored scan (layout answer-invisibility). */
+  def layoutHilbertStored(s: SparkSession, dir: String): DataFrame = {
+    val stored = s.read.parquet(hilbertStore(s, dir))
+    val (lo, hi) = (64L, 127L)
+    val buckets = (for (x <- lo to hi; y <- 0L until 256L)
+      yield graft.functions.LayoutUtil.hilbert8(x, y) >> 8).distinct.sorted
+    stored
+      .filter(col("hbucket").isin(buckets: _*) && col("x").between(lo, hi))
+      .groupBy("x")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sum_y"))
+      .orderBy("x")
+  }
+
   /** Global token-offset assignment
     * ([[graft.operators.Packing.assignOffsets]]): each document's
     * exclusive prefix sum of whitespace-token counts in doc_id order —
@@ -2713,6 +2754,19 @@ object ExtensionOracles {
        |       min(x0) AS min_x, max(x0) AS max_x, min(y0) AS min_y, max(y0) AS max_y
        |FROM h8 GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** [[Extensions.layoutHilbertStored]]'s answer from the PLAIN table —
+    * the stored Hilbert layout and its partition pruning must be
+    * answer-invisible, the same invariance contract as the z-order
+    * store. */
+  val layoutHilbertStored: String =
+    """WITH o AS (
+      |  SELECT o_custkey % 256 AS x,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+      |  FROM orders)
+      |SELECT x, count(*) AS n, CAST(sum(y) AS BIGINT) AS sum_y
+      |FROM o WHERE x BETWEEN 64 AND 127
+      |GROUP BY x ORDER BY x""".stripMargin
 
   /** [[Extensions.layoutZorderStored]]'s answer from the PLAIN table —
     * the stored z-layout and its partition pruning must be

@@ -220,6 +220,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(df.collect().toSeq == plain)
   }
 
+  test("layout_hilbert_stored: x-range filter prunes exactly the strip's 16x16 blocks") {
+    val df = graft.SparkEntry.queries("layout_hilbert_stored")(spark, dir)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in layout_hilbert_stored plan"))
+    assert(scan.toString.contains("PartitionFilters: [hbucket"),
+      s"hbucket candidates not applied as a partition filter:\n${scan.toString.take(2000)}")
+    // each bucket is one level-4 quadrant block; the 64-column strip
+    // touches exactly 64 of 256 — pruning == predicate selectivity
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(parts.size <= 64, s"${parts.size} hilbert dirs listed; pruning must keep <= 64 of 256")
+    import org.apache.spark.sql.functions._
+    val plain = graft.core.Tables.t(spark, dir, "orders")
+      .select((col("o_custkey") % 256).cast("long").as("x"),
+        (datediff(to_date(col("o_orderdate")), lit("1970-01-01")) % 256).cast("long").as("y"))
+      .filter(col("x").between(64, 127))
+      .groupBy("x").agg(count(lit(1)).as("n"), sum(col("y")).as("sum_y"))
+      .orderBy("x").collect().toSeq
+    assert(df.collect().toSeq == plain)
+  }
+
   test("q14_range_join: shuffle key is (user_id, hour_bucket), never bare user_id") {
     // at sf0.001 the tiny side broadcasts (fine); what must hold at any
     // plan choice is the equi-key arity — (user_id, hour_bucket), so a
