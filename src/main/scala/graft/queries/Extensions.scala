@@ -2117,6 +2117,35 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** Bipartite → unipartite co-occurrence projection: users who act in
+    * the same (hour, event_type) bucket become weighted user–user
+    * edges — the graph-CONSTRUCTION step feeding the BSP family (the
+    * reference builds exactly this from shared phone numbers,
+    * frontPage queries.py:64-77; a corpus pipeline builds it from
+    * shared hosts/templates before running cc/pagerank/kcore on it).
+    * Membership is deduplicated per (user, bucket) first, pairs are
+    * oriented `a < b` so each undirected edge counts once, and the
+    * long tail is pruned at weight ≥ 2 (the standard projection
+    * hygiene). Scale shape: the self-join fans out quadratically in
+    * PER-BUCKET cardinality — bounded here by design (distinct users
+    * per hour-type bucket), and the groupBy behind it rides map-side
+    * combine; a heavy-hitter bucket at web scale gets the
+    * [[graft.operators.SkewJoin]] salting or a per-bucket top-B cap
+    * BEFORE the join, never after. */
+  def graphCoaccess(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("event_type"))
+      .distinct()
+    val a = m.select(col("h"), col("event_type"), col("user_id").as("ua"))
+    val b = m.select(col("h"), col("event_type"), col("user_id").as("ub"))
+    a.join(b, Seq("h", "event_type"))
+      .filter(col("ua") < col("ub"))
+      .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .orderBy("ua", "ub")
+  }
+
   /** Per-node core number ([[graft.operators.Graph.corenessHIndex]]):
     * the dense-subgraph prior over the triangle fixture's chain+skip
     * edges PLUS a 5-clique on domains {10,30,50,70,90} — so the
@@ -3993,6 +4022,17 @@ object ExtensionOracles {
         |             WHERE p.dist > 0 AND p.dist <= d.range) AS BIGINT) AS pairs
         |FROM range(1, 13) d ORDER BY dist""".stripMargin
   }
+
+  /** [[Extensions.graphCoaccess]]: the same dedup → oriented self-join
+    * → weight count → tail prune. */
+  val graphCoaccess: String =
+    """WITH m AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+      |           FROM events)
+      |SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS w
+      |FROM m a JOIN m b ON a.h = b.h AND a.event_type = b.event_type
+      |  AND a.user_id < b.user_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY ua, ub""".stripMargin
 
   /** [[Extensions.graphKcore]]'s 8 h-index steps unrolled: per step,
     * the neighbor-value histogram, a per-node cumulative count ordered
