@@ -2117,6 +2117,35 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** CDC log application (merge-on-read compaction): reduce a change
+    * log of upserts and deletes to the current snapshot — the
+    * last-writer-wins-by-sequence primitive behind every
+    * Delta/Hudi-style warehouse merge, and the proper form of the
+    * reference's conform loop (frontPage etl_process.py:227-241
+    * reconciles raw vs clean by re-scanning; a log-structured
+    * warehouse replays the tail instead). The log is synthesized
+    * deterministically from orders: key = `o_orderkey % 5000`
+    * (collisions intended — multiple versions per key), sequence =
+    * `o_orderkey`, op = DELETE on every 11th version else UPSERT,
+    * payload = price in integer cents. Winner per key = one
+    * associative `max(struct(seq, op, payload))` — seq is UNIQUE per
+    * key so the struct tiebreak never engages and map-side combine
+    * applies; keys whose winning op is DELETE vanish. ONE shuffle on
+    * the key, no window, no sort — the compaction shape that holds at
+    * a 100 TB change log. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val log = t(s, dir, "orders").select(
+      (col("o_orderkey") % 5000).as("k"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 11 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    log.groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("cents"))).as("m"))
+      .filter(col("m.op") =!= "D")
+      .select(col("k"), col("m.seq").as("seq"), col("m.cents").as("cents"))
+      .orderBy("k")
+  }
+
   /** Bipartite → unipartite co-occurrence projection: users who act in
     * the same (hour, event_type) bucket become weighted user–user
     * edges — the graph-CONSTRUCTION step feeding the BSP family (the
@@ -4022,6 +4051,20 @@ object ExtensionOracles {
         |             WHERE p.dist > 0 AND p.dist <= d.range) AS BIGINT) AS pairs
         |FROM range(1, 13) d ORDER BY dist""".stripMargin
   }
+
+  /** [[Extensions.cdcApply]]: the row_number formulation of the same
+    * last-writer-wins merge — seq is unique per key, so the window
+    * argmax and the engine's struct-max agree exactly. */
+  val cdcApply: String =
+    """WITH log AS (
+      |  SELECT o_orderkey % 5000 AS k, o_orderkey AS seq,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |      FROM log)
+      |SELECT k, seq, cents FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY k""".stripMargin
 
   /** [[Extensions.graphCoaccess]]: the same dedup → oriented self-join
     * → weight count → tail prune. */
