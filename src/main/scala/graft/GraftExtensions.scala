@@ -111,6 +111,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("interleave_bits", "interleave_bits(x, y) - 2-D Morton (Z-order) key over the low 16 bits") {
       es => InterleaveBits(es.head, es(1))
     }
+    reg("hilbert_index", "hilbert_index(x, y) - order-8 Hilbert curve key over the low 8 bits") {
+      es => HilbertIndex(es.head, es(1))
+    }
     reg("bpe_stats", "bpe_stats(text, a1, b1, a2, b2, ...) - [n_pre, n_sub] under the literal merge table") {
       es => BpeStats(es.head, es.tail.map(strArg(_, "merge symbol")).toArray)
     }

@@ -598,6 +598,35 @@ object Inventory {
       .orderBy("event_id")
   }
 
+  /** Q36 — the remaining ranking-function family in one query: decile
+    * buckets (`ntile`), `percent_rank`, and `cume_dist` of order value
+    * within each customer segment — the stratified-bucketing primitives
+    * a curation pipeline uses to carve quality strata per domain. The
+    * within-partition order is `(price, orderkey)` — the double tie is
+    * broken by the unique key, so positions (hence all three
+    * functions) are engine-identical; percent_rank and cume_dist are
+    * small exact rationals in double, bit-equal across engines.
+    * Deciles roll up to per-(segment, decile) counts + integer-cent
+    * sums; one exchange on the segment key. */
+  def q36Ntile(s: SparkSession, dir: String): DataFrame = {
+    val seg = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = t(s, dir, "orders")
+      .join(seg, col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        ntile(10).over(w).as("decile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        round(min(col("pr")), 6).as("min_pr"),
+        round(max(col("cd")), 6).as("max_cd"))
+      .orderBy("c_mktsegment", "decile")
+  }
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

@@ -330,4 +330,21 @@ object Oracles {
       |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
       |         AS distinct_types
       |FROM e ORDER BY event_id""".stripMargin
+
+  /** [[Inventory.q36Ntile]]: identical `(price, orderkey)` total order,
+    * identical decile rollup; HUGEINT sums cast back. */
+  val q36Ntile: String =
+    """WITH o AS (
+      |  SELECT c.c_mktsegment,
+      |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+      |         ntile(10) OVER w AS decile,
+      |         percent_rank() OVER w AS pr,
+      |         cume_dist() OVER w AS cd
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WINDOW w AS (PARTITION BY c.c_mktsegment
+      |               ORDER BY o.o_totalprice, o.o_orderkey))
+      |SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+      |       count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       round(min(pr), 6) AS min_pr, round(max(cd), 6) AS max_cd
+      |FROM o GROUP BY 1, 2 ORDER BY c_mktsegment, decile""".stripMargin
 }

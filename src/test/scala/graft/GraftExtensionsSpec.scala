@@ -40,6 +40,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  quant_stats(array(1.0d, -0.5d)).q_sum AS qsum,
         |  cosine_i8(quantize_i8(array(1.0d, 0.0d)), quantize_i8(array(2.0d, 0.0d))) AS ci8,
         |  interleave_bits(3L, 5L) AS z,
+        |  hilbert_index(0L, 1L) AS h,
         |  bpe_stats('abab ab', 'a', 'b', 'ab', 'ab') AS bpe,
         |  bpe_pre_tokens('Ab1 c-d') AS pre,
         |  shingle_md5_bounds('abcd', 3).n_grams AS shb
@@ -57,6 +58,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("qsum") == 127L - 63L)
     assert(row.getAs[Double]("ci8") == 1.0)   // same direction -> cosine 1 over codes
     assert(row.getAs[Long]("z") == 39L)       // interleave(0b11, 0b101) = 0b100111
+    assert(row.getAs[Long]("h") ==
+      graft.functions.LayoutUtil.hilbert8(0L, 1L))
     assert(row.getSeq[Long](row.fieldIndex("bpe")).toSeq == Seq(2L, 2L))
     assert(row.getSeq[String](row.fieldIndex("pre")).toSeq ==
       Seq("ab", "1", "c", "-", "d"))
