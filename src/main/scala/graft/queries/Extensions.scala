@@ -2298,6 +2298,37 @@ object Extensions {
       .toDF("idx", "loading").orderBy("idx")
   }
 
+  /** Dimension-truncation retrieval evaluation (the Matryoshka-style
+    * accuracy check an embedding pipeline runs before shipping
+    * truncated vectors): per probe, how many of the full-dimension
+    * top-5 neighbors survive when both sides are cut to the first 16
+    * of 64 dims. Everything is exact — same round-4 cosine ranking as
+    * [[embKnnGraph]] on both variants — so the overlap count is a pure
+    * integer the oracle reproduces; the expensive part rides the same
+    * broadcast-probe + [[graft.functions.TopKAgg]] shape (two passes
+    * over the corpus scan, k-row partials, no pair-set shuffle). */
+  def embTruncRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    def top5(vecExpr: String): DataFrame = {
+      val c = emb.select(col("vec_id"), expr(vecExpr).as("v"))
+      val q = c.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      c.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("id"),
+          round(graft.functions.Vecs.cosineSim(col("v"), col("qv")), 4).as("sim"))
+        .groupBy("qid")
+        .agg(graft.functions.TopKAgg.topK(
+          struct(col("sim"), (-col("id")).as("nid")), 5).as("t"))
+        .select(col("qid"), expr("transform(t, s -> -s.nid)").as("ids"))
+    }
+    top5("cast(embedding as array<double>)")
+      .join(top5("cast(slice(embedding, 1, 16) as array<double>)")
+        .withColumnRenamed("ids", "ids16"), Seq("qid"))
+      .select(col("qid"),
+        size(array_intersect(col("ids"), col("ids16"))).as("n_overlap"))
+      .orderBy("qid")
+  }
+
   /** SCD type-2 dimension history
     * ([[graft.operators.Temporal.scd2History]]) over the orders change
     * log: per customer, consecutive equal order priorities collapse and
@@ -4190,6 +4221,32 @@ object ExtensionOracles {
        |SELECT i - 1 AS idx, CAST(x AS BIGINT) AS loading
        |FROM v8 ORDER BY idx""".stripMargin
   }
+
+  /** [[Extensions.embTruncRecall]]: both rankings via row_number over
+    * the identical round-4 cosine + id order, overlap by equijoin on
+    * (qid, nbr); probes with zero overlap still appear (left join,
+    * coalesce 0). */
+  val embTruncRecall: String =
+    """WITH ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |et AS (SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS v FROM embeddings),
+      |f5 AS (SELECT * FROM (
+      |  SELECT q.vec_id AS qid, e.vec_id AS nbr,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(e.v, q.v), 4) DESC, e.vec_id) AS rk
+      |  FROM ef e JOIN ef q ON q.vec_id % 10 = 0 AND e.vec_id <> q.vec_id)
+      |  WHERE rk <= 5),
+      |t5 AS (SELECT * FROM (
+      |  SELECT q.vec_id AS qid, e.vec_id AS nbr,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(e.v, q.v), 4) DESC, e.vec_id) AS rk
+      |  FROM et e JOIN et q ON q.vec_id % 10 = 0 AND e.vec_id <> q.vec_id)
+      |  WHERE rk <= 5),
+      |o AS (SELECT f.qid, count(*) AS n FROM f5 f JOIN t5 t
+      |      ON f.qid = t.qid AND f.nbr = t.nbr GROUP BY 1)
+      |SELECT p.qid, CAST(coalesce(o.n, 0) AS INT) AS n_overlap
+      |FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id % 10 = 0) p
+      |LEFT JOIN o USING (qid)
+      |ORDER BY qid""".stripMargin
 
   /** [[Extensions.scd2History]]: lag-based change detection, lead-based
     * range close, identical `(ts, orderkey)` total order; the final
