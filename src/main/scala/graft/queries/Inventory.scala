@@ -627,6 +627,27 @@ object Inventory {
       .orderBy("c_mktsegment", "decile")
   }
 
+  /** Q37 — forward-fill (gap repair): carry each user's last observed
+    * measurement across nulled-out readings via `last(…, ignoreNulls)`
+    * over a running frame — the time-series repair every sensor/metrics
+    * warehouse applies before aggregation (and the window shape
+    * [[graft.operators.AsOfJoin]] builds its union trick on). Readings
+    * are nulled deterministically (every 3rd event id); integer cents;
+    * users with no prior observation fill with the −1 sentinel. One
+    * exchange on user_id. */
+  def q37GapFill(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      when(col("event_id") % 3 === 0, lit(null))
+        .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("event_id"), col("user_id"),
+        coalesce(last(col("cents"), ignoreNulls = true).over(w), lit(-1L))
+          .as("filled_cents"))
+      .orderBy("event_id")
+  }
+
   /** Q23 — gap-based sessionization (30-min gap) over events: the
     * lag-flag + running-sum window formulation; one shuffle+sort per
     * user ordering, no join. Streaming twin:

@@ -347,4 +347,18 @@ object Oracles {
       |       count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
       |       round(min(pr), 6) AS min_pr, round(max(cd), 6) AS max_cd
       |FROM o GROUP BY 1, 2 ORDER BY c_mktsegment, decile""".stripMargin
+
+  /** [[Inventory.q37GapFill]]: DuckDB's `IGNORE NULLS` window syntax,
+    * identical running frame and (ts, id) order. */
+  val q37GapFill: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |                  CASE WHEN event_id % 3 = 0 THEN NULL
+      |                       ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+      |           FROM events)
+      |SELECT event_id, user_id,
+      |       coalesce(last_value(cents IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY ts_us, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+      |         AS filled_cents
+      |FROM e ORDER BY event_id""".stripMargin
 }
