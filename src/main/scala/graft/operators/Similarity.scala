@@ -330,6 +330,68 @@ object Similarity {
       k)
   }
 
+  /** Batch kNN JOIN — corpus × query-TABLE retrieval, the shape a
+    * training-data pipeline actually runs (retrieval eval over a whole
+    * eval set, SemDeDup candidate generation, hard-negative mining):
+    * unlike [[bruteForceTopK]]/[[ivfTopK]]'s broadcast-a-handful-of-
+    * vectors regime, the query side here is a DataFrame of arbitrary
+    * size, so nothing is broadcast and no cartesian/BNLJ may appear
+    * anywhere in the plan.
+    *
+    * Shape (every stage an equi-join or a bounded aggregate):
+    *  1. IVF-assign BOTH sides against the shared codebook — corpus to
+    *     its single nearest list, queries exploded to their `nprobe`
+    *     nearest (so each (qid, id) candidate pair arises at most once:
+    *     the corpus id lives in exactly one list).
+    *  2. Probe = shuffle equi-join on `list_id`. At 100 TB the corpus
+    *     is stored partitioned by list_id ([[writeIvfCorpus]]), so this
+    *     join co-locates by the storage key and each probe partition
+    *     streams one list; work is |corpus|·nprobe/nlist pairs, never
+    *     |corpus|·|queries|.
+    *  3. Candidate scoring on int8 codes ([[graft.functions.Vecs
+    *     .cosineI8]] — the m-byte-per-vector tier the index would hold
+    *     hot), pruned to k·`refine` per query by the bounded-heap
+    *     [[graft.functions.TopKAgg]]: map-side partial heaps, at most
+    *     k·refine rows per qid cross the shuffle.
+    *  4. Exact re-rank: survivors (|queries|·k·refine rows) fetch full
+    *     vectors by TWO equi-joins (corpus on id, queries on qid) and
+    *     re-score in float — the two-tier codes-hot/vectors-cold
+    *     layout of [[ivfPqTopK]], generalized to an unbounded query
+    *     side. Returned sims are bit-identical to brute force for the
+    *     ids returned (SimilaritySpec asserts), recall < 1 only
+    *     through coarse-probe misses.
+    */
+  def ivfKnnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 qidCol: String, vecCol: String, k: Int,
+                 centroids: Array[(Long, Array[Double])], nprobe: Int,
+                 refine: Int = 4): DataFrame = {
+    import graft.functions.Vecs.{cosineI8, quantizeI8}
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("v"), col("list_id"),
+        quantizeI8(col("v")).as("cc"))
+      .localCheckpoint()   // bucket join must see attributes (see lshTopK)
+    val q0 = queries
+      .select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .localCheckpoint()
+    val q = q0.select(col("qid"), quantizeI8(col("qv")).as("qq"),
+        explode(graft.functions.Vecs.nearestLists(col("qv"), centroids, nprobe))
+          .as("list_id"))
+      .localCheckpoint()
+    val cand = assigned.select(col("id"), col("list_id"), col("cc"))
+      .join(q, Seq("list_id"))
+      .select(col("qid"), col("id"), cosineI8(col("cc"), col("qq")).as("s8"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("s8"), (-col("id")).as("nid")), k * refine).as("t"))
+      .select(col("qid"), explode(col("t")).as("s"))
+      .select(col("qid"), (-col("s.nid")).as("id"))
+    topkRank(
+      cand.join(assigned.select(col("id"), col("v")), Seq("id"))
+        .join(q0, Seq("qid"))
+        .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim")),
+      k)
+  }
+
   /** IVF top-k search: corpus bucketed once by nearest centroid
     * ([[ivfAssign]]); each query probes only its `nprobe` nearest lists
     * and re-ranks candidates exactly. The probe join is an equi-join on

@@ -334,6 +334,24 @@ object Extensions {
       .orderBy("qid", "rank")
   }
 
+  /** Batch kNN join ([[Similarity.ivfKnnJoin]]): every 4th vector is a
+    * QUERY — a query TABLE a quarter the corpus size, far past the
+    * broadcast regime every other ANN query runs in — and each gets
+    * its exact-re-ranked top-5 via IVF-assign-both-sides → equi-join
+    * on list_id → int8 candidate scoring → per-query bounded-heap
+    * top-k → float re-rank of survivors. No cartesian or BNLJ
+    * anywhere (PlanAuditSpec); rows-only at the driver (seeded
+    * codebook), recall vs brute force and re-rank exactness asserted
+    * in SimilaritySpec. */
+  def annKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    Similarity.ivfKnnJoin(emb, emb.filter(col("vec_id") % 4 === 0), "vec_id",
+      "vec_id", "embedding", k = 5, cents, nprobe = 4)
+      .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** ANN over int8-quantized codes: integer-dot-product cosine, no
     * dequantization. Oracle-checked: trunc-based quantization and
     * integer dots are exact in both engines, so even the float ranking

@@ -149,6 +149,42 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit.toDouble / bf.size >= 0.4, s"recall ${hit.toDouble / bf.size}")
   }
 
+  test("ivf knn join: batch query table, exact re-ranked sims, recall floor, equi-only plan") {
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val batch = emb.filter(col("vec_id") % 4 === 0)   // 125 queries — a query TABLE
+    val knn = Similarity.ivfKnnJoin(emb, batch, "vec_id", "vec_id", "embedding",
+      k = 5, cents, nprobe = 4)
+    val got = knn.select("qid", "id", "sim", "rank").as[(Long, Long, Double, Int)].collect()
+    // self is always in its own probed list -> rank 1 at sim 1.0
+    for (q <- got.map(_._1).distinct) {
+      val r1 = got.find(r => r._1 == q && r._4 == 1).get
+      assert(r1._2 == q && math.abs(r1._3 - 1.0) < 1e-9, s"self-match for $q: $r1")
+    }
+    // re-rank exactness: every returned sim equals the float brute-force sim
+    val bf = Similarity.bruteForceTopK(emb, batch, "vec_id", "vec_id", "embedding", 5)
+      .select("qid", "id", "sim").as[(Long, Long, Double)].collect()
+    val bfAll = Similarity.bruteForceTopK(emb, batch, "vec_id", "vec_id", "embedding", 500)
+      .select("qid", "id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, i, s) => (q, i) -> s }.toMap
+    got.foreach { case (q, i, s, _) =>
+      assert(math.abs(s - bfAll((q, i))) < 1e-9, s"re-rank sim drift at ($q,$i)")
+    }
+    // recall@5 with 4/16 lists probed over the whole batch
+    val bfSet = bf.map(r => (r._1, r._2)).toSet
+    val hit = got.count(r => bfSet.contains((r._1, r._2)))
+    assert(hit.toDouble / bfSet.size >= 0.5,
+      s"batch recall ${hit.toDouble / bfSet.size}")
+    // deterministic: a second run returns the identical row set
+    val again = Similarity.ivfKnnJoin(emb, batch, "vec_id", "vec_id", "embedding",
+      k = 5, cents, nprobe = 4)
+      .select("qid", "id", "sim", "rank").as[(Long, Long, Double, Int)].collect()
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    // the probe is an equi-join: no cartesian, no nested-loop join
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in batch knn plan:\n${plan.take(3000)}")
+  }
+
   test("ivf-pq: deterministic codebooks, self at rank 1, exact refined sims, recall floor") {
     val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 8)
     val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 8, ksub = 16)
