@@ -457,6 +457,54 @@ object Dedup {
 
   // ---------- embedding near-dup ----------
 
+  /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embedding space (the caller
+    * trains the codebook — [[Similarity.sampleCentroids]] +
+    * [[Similarity.kmeansRefine]], the same trained-artifact flow as
+    * the IVF index), then compare pairs ONLY within a cluster —
+    * semantic duplicates sit next to each other in embedding space, so
+    * the cluster partition bounds the quadratic pair blowup to
+    * Σ cᵢ², with nlist chosen ∝ N to keep E[c] constant (SemDeDup ran
+    * 110k clusters over LAION; the paper's exact regime). The
+    * intra-cluster comparison is an equi-join on `list_id` —
+    * shuffle-hash, never broadcast (both sides are the corpus) — with
+    * exact cosine verification at `threshold`.
+    *
+    * What this catches that MinHash/SimHash structurally can't:
+    * paraphrases, translations, and re-renders whose SURFACE n-grams
+    * share nothing but whose embeddings nearly coincide. The price is
+    * a cluster-boundary false-negative class (twins split across two
+    * clusters); SemDeDup accepts it, and the declared fixture's specs
+    * measure it at exactly zero on the planted twins.
+    */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Long, Array[Double])],
+                    threshold: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("v"), col("list_id"))
+      .localCheckpoint()   // assign once: both join sides reuse it
+    val a = assigned.select(col("list_id"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("list_id"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b.hint("shuffle_hash"), Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.queries.Inventory.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** [[semanticPairs]] + the shared contracted-graph clustering chain
+    * ([[clusters]]): one row per semantic group — (keep_id, n_dups),
+    * keep = min id, the canonical SemDeDup keep-one-per-group output. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Long, Array[Double])],
+                    threshold: Double): DataFrame =
+    clusters(df.select(col(idCol)), idCol,
+        semanticPairs(df, idCol, vecCol, centroids, threshold))
+      .groupBy("cluster_id")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
   /** Near-duplicate embeddings: sign-LSH bucket candidates verified by
     * exact cosine ≥ threshold. See [[Similarity.signBucket]].
     */

@@ -351,6 +351,60 @@ object Graph {
     state.select(col("node"), col("h").as("harmonic_approx"))
   }
 
+  /** The neighborhood function at web scale — HyperANF (Boldi, Rosa &
+    * Vigna 2011, "HyperANF: Approximating the Neighbourhood Function of
+    * Very Large Graphs on a Budget"): the same per-node HLL ball
+    * sketches as [[harmonicCentralityHyperBall]], but the statistic
+    * read off each step is the GLOBAL ball mass — N(d) ≈ Σ_v |ball(v,d)|
+    * estimated from the registers, minus the step-0 mass so the n self
+    * pairs (and their shared estimator bias) cancel instead of
+    * accumulating. This replaces [[neighborhoodFunction]]'s explicit
+    * pair frame — O(Σ|ball|) rows, quadratic on a dense web graph —
+    * with O(N·m) bytes of state, the same swap HyperBall makes for
+    * harmonic centrality; it is the construction the published web
+    * distance distributions (effective diameter ~6.5 on the Facebook
+    * graph, the Common Crawl curves) were actually computed with.
+    *
+    * Per-step cost: one equi-join to ship sketches along edges + one
+    * idempotent register-max aggregate (map-side combine absorbs
+    * in-degree skew), then ONE scalar aggregate for the step's mass —
+    * a 1-row frame, unioned across steps into the maxDist-row result
+    * (a driver-scale artifact, never a data-scale shuffle).
+    * Deterministic for a fixed m (integer hashing, idempotent union ⇒
+    * partitioning-independent); GraphSpec asserts accuracy against the
+    * exact [[neighborhoodFunction]] on the declared fixture and
+    * run-to-run equality. Returns (dist, pairs_approx), dist 1..maxDist.
+    */
+  def neighborhoodFunctionHyperAnf(edges: DataFrame, nodes: DataFrame,
+                                   maxDist: Int, m: Int = 256): DataFrame = {
+    require(maxDist >= 1)
+    val nset = nodes.select(col("node"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .distinct().localCheckpoint()
+    var state = nset
+      .select(col("node"), graft.functions.HllF.hllInit(col("node"), m).as("regs"))
+      .withColumn("est", graft.functions.HllF.hllEstimate(col("regs")))
+      .localCheckpoint()
+    val mass0 = state.agg(sum(col("est")).as("mass0"))
+    val steps = (1 to maxDist).map { d =>
+      val cur = state.select(col("node").as("sn"), col("regs"))
+      state = e.join(cur, e("src") === col("sn"))
+        .select(col("dst").as("node"), col("regs"))
+        .unionByName(state.select(col("node"), col("regs")))
+        .groupBy(col("node"))
+        .agg(graft.functions.HllF.hllUnion(col("regs"), m).as("regs"))
+        .withColumn("est", graft.functions.HllF.hllEstimate(col("regs")))
+        .localCheckpoint()
+      state.agg(sum(col("est")).as("mass"))
+        .crossJoin(broadcast(mass0))
+        .select(lit(d.toLong).as("dist"),
+          greatest(lit(0.0), col("mass") - col("mass0")).as("pairs_approx"))
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   /** Connected components by synchronous min-label propagation: exactly
     * `iterations` BSP steps over the UNDIRECTED closure of
     * `edges(src, dst)` restricted to `nodes(node)` — the INDUCED

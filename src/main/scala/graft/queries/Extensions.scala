@@ -231,6 +231,35 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-class semantic dedup ([[graft.operators.Dedup
+    * .semanticDedup]]): the dedup class MinHash structurally can't do —
+    * duplicates by MEANING (paraphrase, translation, re-render) found
+    * by k-means-clustering the embedding space and comparing cosines
+    * only within a cluster. Synthesize-then-operate with a planted
+    * truth, the [[mmImageNeardup]] pattern: every 7th vector gets a
+    * semantic twin at `vec_id + 100000` — the same vector under a
+    * deterministic per-dimension perturbation (‖δ‖ ≈ 0.05 against
+    * unit-scale vectors → twin cosine ≥ 0.99) — while the fixture's
+    * organic max cross-pair cosine is ≤ 0.61 at every SF (margin
+    * machine-checked in DedupSpec). Discovery is REAL (trained
+    * codebook, cluster-bounded pair join, exact cosine ≥ 0.9, the
+    * shared contracted-graph clustering) but the truth is closed-form,
+    * so the oracle never trains k-means: groups ARE the plant —
+    * `n_dups = 2 iff vec_id % 7 = 0`. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val twins = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(v, (x, i) -> x + (cast((vec_id * 31 + i) % 7 as double) - 3.0d) * 0.003d)")
+          .as("v"))
+    val corpus = emb.unionByName(twins)
+    val seed = Similarity.sampleCentroids(corpus, "vec_id", "v", nlist = 16)
+    val cents = Similarity.kmeansRefine(corpus, "vec_id", "v", seed, iters = 2)
+    graft.operators.Dedup.semanticDedup(corpus, "vec_id", "v", cents, threshold = 0.9)
+      .orderBy("keep_id")
+  }
+
   /** ANN: LSH-bucketed top-10 for 5 query vectors, exact re-rank on
     * candidates (recall vs brute force asserted in SimilaritySpec). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
@@ -2135,6 +2164,28 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** [[graphNf]]'s web-scale twin
+    * ([[graft.operators.Graph.neighborhoodFunctionHyperAnf]]): the
+    * distance-distribution curve from HyperANF ball-mass sums over the
+    * same directed fixture and 12-step horizon — O(N·m) sketch state
+    * instead of the exact form's pair frame (the one formulation that
+    * goes quadratic on a dense web graph). Rows-only at the driver
+    * (HLL estimator isn't SQL-expressible); GraphSpec asserts curve
+    * accuracy against the EXACT [[graphNf]] result, monotonicity, and
+    * run-to-run determinism — the graph_harmonic_hll pattern. */
+  def graphNfHll(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val bridges = nodes.filter(col("node").isin(0, 25))
+      .select(col("node").as("src"), (col("node") + 50).as("dst"))
+    graft.operators.Graph.neighborhoodFunctionHyperAnf(
+      chain.unionByName(bridges), nodes, maxDist = 12, m = 256)
+      .select(col("dist"), round(col("pairs_approx"), 4).as("pairs_approx"))
+      .orderBy("dist")
+  }
+
   /** CDC log application (merge-on-read compaction): reduce a change
     * log of upserts and deletes to the current snapshot — the
     * last-writer-wins-by-sequence primitive behind every
@@ -3603,6 +3654,17 @@ object ExtensionOracles {
   val mmImageNeardup: String =
     """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
       |FROM documents GROUP BY doc_id % 55 ORDER BY keep_id""".stripMargin
+
+  /** [[Extensions.dedupSemantic]]'s closed form — k-means-free for the
+    * [[mmImageNeardup]] reason: the planted twin cosine (≥ 0.99) vs
+    * organic ceiling (≤ 0.61, machine-checked in DedupSpec) margins
+    * make the discovered groups provably the plant: each mod-7 vector
+    * plus its +100000 twin, everything else a singleton whose keep is
+    * itself. */
+  val dedupSemantic: String =
+    """SELECT CAST(vec_id AS BIGINT) AS keep_id,
+      |       CAST(CASE WHEN vec_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_dups
+      |FROM embeddings ORDER BY keep_id""".stripMargin
 
   /** [[Extensions.mmAudioNeardup]]'s closed form — hash-free for the
     * [[mmImageNeardup]] reason: planted margins make the discovered

@@ -113,6 +113,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semantic dedup: planted twin/organic margins hold and groups are exactly the plant") {
+    import graft.core.Tables.t
+    val sf = "/root/testdata/sf0.001"
+    val emb = t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // margin, organic side: no two DISTINCT fixture vectors are close
+    // enough to be semantic dups (the 0.9 bar has ≥ 0.2 clearance)
+    val organicMax = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .agg(max(graft.queries.Inventory.cosineSim(col("a.v"), col("b.v"))))
+      .head().getDouble(0)
+    assert(organicMax < 0.7, s"organic cosine ceiling drifted: $organicMax")
+    // margin, twin side: every planted perturbation stays ≥ 0.99
+    val twins = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        expr("transform(v, (x, i) -> x + (cast((vec_id * 31 + i) % 7 as double) - 3.0d) * 0.003d)")
+          .as("tv"), col("v"))
+    val twinMin = twins
+      .agg(min(graft.queries.Inventory.cosineSim(col("v"), col("tv"))))
+      .head().getDouble(0)
+    assert(twinMin >= 0.99, s"planted twin cosine floor drifted: $twinMin")
+    // end to end: discovered groups == the planted truth
+    val got = graft.queries.Extensions.dedupSemantic(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = emb.select("vec_id").as[Long].collect()
+      .map(id => id -> (if (id % 7 == 0) 2L else 1L)).toMap
+    assert(got == want)
+  }
+
   test("substringDupStats counts cross-document duplicated window positions") {
     val docs = Seq(
       (1L, "a b c d e"),        // windows: "a b c" "b c d" "c d e"

@@ -271,6 +271,40 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("hyperanf: small directed path tracks the exact pair counts") {
+    import spark.implicits._
+    // 0→1→2: dist-1 pairs {01,12}, dist-2 adds {02} → N(1)=2, N(2)=3
+    val r = Graph.neighborhoodFunctionHyperAnf(
+      Seq(0L -> 1L, 1L -> 2L).toDF("src", "dst"), (0L to 2L).toDF("node"),
+      maxDist = 3, m = 256)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 2.0) < 0.2)
+    assert(math.abs(r(2L) - 3.0) < 0.3)
+    assert(r(3L) == r(2L))   // curve saturates past the diameter
+  }
+
+  test("hyperanf vs exact nf on the declared fixture: every horizon within 10%, monotone") {
+    val exact = graft.queries.Extensions.graphNf(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    val approx = graft.queries.Extensions.graphNfHll(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((d, a) <- approx) {
+      val e = exact(d)
+      assert(math.abs(a - e) <= 0.10 * e + 1.0,
+        s"horizon $d: hyperanf $a vs exact $e out of tolerance")
+    }
+    val curve = approx.toSeq.sortBy(_._1).map(_._2)
+    assert(curve.zip(curve.tail).forall { case (lo, hi) => hi >= lo },
+      s"ball mass must be monotone in the horizon: $curve")
+  }
+
+  test("hyperanf: deterministic run to run") {
+    val a = graft.queries.Extensions.graphNfHll(spark, "/root/testdata/sf0.001").collect()
+    val b = graft.queries.Extensions.graphNfHll(spark, "/root/testdata/sf0.001").collect()
+    assert(a.sameElements(b))
+  }
+
   private def runKcore(edges: Seq[(Long, Long)], nodes: Seq[Long],
                        iters: Int): Map[Long, Long] = {
     import spark.implicits._
