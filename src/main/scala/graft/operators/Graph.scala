@@ -74,14 +74,30 @@ object Graph {
     * rides in as two literals derived from ONE `count()` — a bounded
     * driver scalar (8 bytes), the same class as the IVF codebook or
     * stratum counts.
+    *
+    * `seeds` personalizes the walk (PPR — the per-domain trust rank
+    * link-spam filtering actually runs, TrustRank-style): teleport
+    * mass, the initial distribution, AND the dangling redistribution
+    * all go to the seed set S instead of uniformly to every node —
+    * {{{
+    *   r₀(v)   = [v∈S] · SCALE div |S|
+    *   rₖ₊₁(v) = [v∈S] · (100-d)·SCALE div (100·|S|)
+    *           + d · (Σ_{(u,v)∈E} (rₖ(u) div outdeg(u))
+    *                  + [v∈S] · Dₖ div |S|) div 100
+    * }}}
+    * — so rank can ONLY flow outward along directed paths from S, and
+    * a node unreachable from S scores exactly 0. Seeds are semi-joined
+    * to `nodes` first (a seed outside the graph would silently leak
+    * teleport mass). `None` (the default) is the uniform prior: S =
+    * all nodes, reducing term for term to the classic rule above.
     */
   def pageRankE9(edges: DataFrame, nodes: DataFrame, iterations: Int,
-                 dampingPct: Int = 85, wide: Boolean = false): DataFrame = {
+                 dampingPct: Int = 85, wide: Boolean = false,
+                 seeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val Scale = 1000000000L
     val n = nodes.count()
     require(n > 0, "empty node set")
-    val base = (100L - dampingPct) * Scale / (100L * n)
     // Induced-subgraph restriction BEFORE degree/dangling derivation
     // (matching harmonicCentralityE9/triangleCounts): on a non-closed
     // edge list, a node whose out-edges all leave `nodes` must count as
@@ -97,14 +113,31 @@ object Graph {
     // materialized (src, dst, outdeg) table instead of re-aggregating
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesDeg = e.join(deg, "src").localCheckpoint()
+    // the teleport-set size |S| (= n under the uniform prior) is the
+    // second bounded driver scalar; seeds restricted to the node set
+    // BEFORE counting so an out-of-graph seed can't swallow mass
+    val seedSet = seeds.map(_.select(col("node")).distinct()
+      .join(nset, Seq("node"), "left_semi").localCheckpoint())
+    val nT = seedSet.map(_.count()).getOrElse(n)
+    require(nT > 0, "empty teleport set")
+    val base = (100L - dampingPct) * Scale / (100L * nT)
     // the dangling set is static (a property of the edge list), so the
     // flag rides along in the node/rank frames and the per-iteration
-    // dangling mass is a filter + scalar aggregate — no join per step
-    val nodesF = nodes
+    // dangling mass is a filter + scalar aggregate — no join per step;
+    // same treatment for the seed flag
+    val nodesF0 = nodes
       .join(deg.select(col("src").as("node"), lit(true).as("has_out")), Seq("node"), "left")
       .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
-      .localCheckpoint()
-    var ranks = nodesF.select(col("node"), lit(Scale / n).as("rank_e9"), col("has_out"))
+    val nodesF = (seedSet match {
+      case Some(sd) => nodesF0
+        .join(sd.select(col("node"), lit(true).as("is_seed")), Seq("node"), "left")
+        .select(col("node"), col("has_out"),
+          coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      case None => nodesF0.withColumn("is_seed", lit(true))
+    }).localCheckpoint()
+    var ranks = nodesF.select(col("node"),
+        when(col("is_seed"), lit(Scale / nT)).otherwise(lit(0L)).as("rank_e9"),
+        col("has_out"), col("is_seed"))
       .localCheckpoint()
     // narrow: pure i64. wide: the two expressions that can overflow i64
     // (the in-edge contribution sum and the damped product) in
@@ -113,9 +146,10 @@ object Graph {
     val cExpr = if (wide) expr("CAST(rank_e9 DIV outdeg AS DECIMAL(38,0))")
                 else expr("rank_e9 DIV outdeg")
     def damped = if (wide)
-      expr(s"($dampingPct * (coalesce(s, CAST(0 AS DECIMAL(38,0))) + CAST(dmass DIV $n AS DECIMAL(38,0)))) DIV 100")
+      expr(s"($dampingPct * (coalesce(s, CAST(0 AS DECIMAL(38,0))) + CAST(IF(is_seed, dmass DIV $nT, 0L) AS DECIMAL(38,0)))) DIV 100")
     else
-      expr(s"($dampingPct * (coalesce(s, 0L) + dmass DIV $n)) DIV 100")
+      expr(s"($dampingPct * (coalesce(s, 0L) + IF(is_seed, dmass DIV $nT, 0L))) DIV 100")
+    val baseExpr = expr(s"IF(is_seed, ${base}L, 0L)")
     for (_ <- 1 to iterations) {
       val dmass = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("dmass"))
@@ -124,8 +158,8 @@ object Graph {
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodesF.join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dmass))
-        .select(col("node"), (lit(base) + damped).as("rank_e9"),
-          col("has_out"))
+        .select(col("node"), (baseExpr + damped).as("rank_e9"),
+          col("has_out"), col("is_seed"))
         .localCheckpoint()
     }
     ranks.select(col("node"), col("rank_e9"))

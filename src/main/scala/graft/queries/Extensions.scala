@@ -2019,6 +2019,28 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** Personalized PageRank over the [[graphPagerank]] fixture: the
+    * teleport set is the mod-10 residues (the "trusted domains"), so
+    * rank flows ONLY along directed paths out of the seeds — the
+    * TrustRank-form link-spam prior (Gyöngyi, Garcia-Molina & Pedersen
+    * 2004), one `seeds` parameter on the same BSP chassis. Same
+    * all-integer update rule with the base, init, and dangling terms
+    * seed-restricted, so the oracle unrolls the same 10 iterations
+    * with a `node % 10 = 0` conditional replacing the uniform base and
+    * hash-matches exactly. */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val dom = t(s, dir, "documents").select((col("doc_id") % 100).as("node"))
+    val nodes = dom.distinct()
+    val edges = dom
+      .select(col("node").as("src"), explode(array(lit(1), lit(2), lit(3))).as("k"))
+      .select(col("src"), ((col("src") * col("src") + col("k")) % 100).as("dst"))
+      .distinct()
+    val seeds = nodes.filter(col("node") % 10 === 0)
+    graft.operators.Graph.pageRankE9(edges, nodes, iterations = 10,
+        seeds = Some(seeds))
+      .orderBy("node")
+  }
+
   /** [[graphPagerank]] through the decimal-128 arithmetic path
     * (`wide = true`) — the configuration a >9·10⁷-node graph needs,
     * declared so the widened damped sum is proven AT THE ORACLE GATE,
@@ -4033,6 +4055,46 @@ object ExtensionOracles {
        |deg AS (SELECT src, count(*) AS outdeg FROM raw GROUP BY 1),
        |edges AS (SELECT r.src, r.dst, d.outdeg FROM raw r JOIN deg d USING (src)),
        |r0 AS (SELECT node, 1000000000 // (SELECT count(*) FROM nodes) AS rank_e9
+       |       FROM nodes),
+       |$iters
+       |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphPpr]]: the same 10 unrolled iterations with the
+    * base, init, and dangling terms gated on seed membership
+    * (`node % 10 = 0`) and divided by |seeds| instead of |nodes| —
+    * every operand non-negative, so DuckDB's flooring `//` equals the
+    * engine's truncating `DIV`. (The fixture has out-degree 3
+    * everywhere, so the dangling subquery is identically zero — kept
+    * for rule faithfulness; the seed-restricted dangling return is
+    * exercised closed-form in GraphSpec.) */
+  val graphPpr: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         (CASE WHEN n.node % 10 = 0
+         |               THEN 15000000000 // (100 * (SELECT count(*) FROM seeds)) ELSE 0 END)
+         |           + (85 * (coalesce(c.s, 0)
+         |                    + CASE WHEN n.node % 10 = 0
+         |                           THEN (SELECT coalesce(sum(d.rank_e9), 0) FROM r${i - 1} d
+         |                                 WHERE d.node NOT IN (SELECT src FROM deg))
+         |                                // (SELECT count(*) FROM seeds)
+         |                           ELSE 0 END)) // 100 AS rank_e9
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank_e9 // e.outdeg) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY 1) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |seeds AS (SELECT node FROM nodes WHERE node % 10 = 0),
+       |raw AS (SELECT DISTINCT doc_id % 100 AS src,
+       |               ((doc_id % 100) * (doc_id % 100) + k) % 100 AS dst
+       |        FROM documents, (VALUES (1), (2), (3)) t(k)),
+       |deg AS (SELECT src, count(*) AS outdeg FROM raw GROUP BY 1),
+       |edges AS (SELECT r.src, r.dst, d.outdeg FROM raw r JOIN deg d USING (src)),
+       |r0 AS (SELECT node, CASE WHEN node % 10 = 0
+       |                         THEN 1000000000 // (SELECT count(*) FROM seeds)
+       |                         ELSE 0 END AS rank_e9
        |       FROM nodes),
        |$iters
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin

@@ -271,6 +271,59 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(a.sameElements(b))
   }
 
+  private def runPpr(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                     seeds: Seq[Long], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRankE9(
+      edges.toDF("src", "dst"), nodes.toDF("node"), iters,
+      seeds = Some(seeds.toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("ppr: seeding every node IS the uniform prior, bit for bit") {
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 0L -> 2L)
+    val uniform = run(edges, 0L to 2L, 6)
+    assert(runPpr(edges, 0L to 2L, 0L to 2L, 6) == uniform)
+  }
+
+  test("ppr: single seed on 0->1, closed form with seed-restricted dangling return") {
+    // r1: seed base 15e8/10? no — base = 0.15*SCALE = 150e6 to the seed;
+    // leaf gets the full damped push 85e7; r2 returns the leaf's dangling
+    // mass to the SEED only: 15e7 + 85*(85e7 DIV 1) DIV 100 = 872500000
+    val edges = Seq(0L -> 1L)
+    val r1 = runPpr(edges, Seq(0L, 1L), Seq(0L), 1)
+    assert(r1 == Map(0L -> 150000000L, 1L -> 850000000L))
+    val r2 = runPpr(edges, Seq(0L, 1L), Seq(0L), 2)
+    assert(r2 == Map(0L -> 872500000L, 1L -> 127500000L))
+  }
+
+  test("ppr: nodes unreachable from the seed set score exactly zero") {
+    // two components: seed lives in {0,1}; {2,3} must stay at 0
+    val edges = Seq(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L)
+    val r = runPpr(edges, 0L to 3L, Seq(0L), 8)
+    assert(r(2L) == 0L && r(3L) == 0L)
+    assert(r(0L) > 0L && r(1L) > 0L)
+  }
+
+  test("ppr: out-of-graph seed ids are ignored, not mass sinks") {
+    val edges = Seq(0L -> 1L, 1L -> 0L)
+    // seed 99 isn't a node: |S| must be 1, so results match seeding {0} alone
+    assert(runPpr(edges, Seq(0L, 1L), Seq(0L, 99L), 5) ==
+      runPpr(edges, Seq(0L, 1L), Seq(0L), 5))
+  }
+
+  test("ppr: wide decimal path is bit-identical to narrow on a seeded graph") {
+    import spark.implicits._
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L).toDF("src", "dst")
+    val nodes = (0L to 2L).toDF("node")
+    val seeds = Some(Seq(0L).toDF("node"))
+    val narrow = Graph.pageRankE9(edges, nodes, 6, seeds = seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = Graph.pageRankE9(edges, nodes, 6, wide = true, seeds = seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow == wide)
+  }
+
   test("hyperanf: small directed path tracks the exact pair counts") {
     import spark.implicits._
     // 0→1→2: dist-1 pairs {01,12}, dist-2 adds {02} → N(1)=2, N(2)=3
