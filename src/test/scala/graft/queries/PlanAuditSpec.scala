@@ -259,6 +259,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q14 self-join shuffles on a single key — hot-user skew guard lost:\n$sp")
   }
 
+  test("BSP lineage discipline: optimized plan size of iteration k is CONSTANT in k") {
+    // The per-iteration localCheckpoint in the Graph module is what
+    // prevents the classic iterative-Spark failure: without the cut,
+    // iteration k's logical plan contains every prior join and grows
+    // exponentially (analysis time AND re-execution). Pin it: the
+    // returned frame's optimized plan must be the same size whether the
+    // loop ran 2 times or 8 — if anyone removes a checkpoint, the node
+    // count becomes a function of k and this fails loudly.
+    import spark.implicits._
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L).toDF("src", "dst")
+    val nodes = (0L to 3L).toDF("node")
+    def planSize(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      df.queryExecution.optimizedPlan.foreach(_ => n += 1)
+      n
+    }
+    val prSizes = Seq(2, 5, 8).map(k =>
+      planSize(graft.operators.Graph.pageRankE9(edges, nodes, k)))
+    assert(prSizes.distinct.size == 1,
+      s"pageRankE9 plan grows with iterations: $prSizes — a lineage cut was lost")
+    val ccSizes = Seq(2, 5, 8).map(k =>
+      planSize(graft.operators.Graph.connectedComponentsMinLabel(edges, nodes, k)))
+    assert(ccSizes.distinct.size == 1,
+      s"connectedComponentsMinLabel plan grows with iterations: $ccSizes — a lineage cut was lost")
+  }
+
   test("q14_range_join: hot-user fixture — operator exact, bucket bounds the key") {
     // one hot user, 2000 events spread uniformly over 100 hours: with
     // the bare user_id key every event lands on ONE shuffle key
