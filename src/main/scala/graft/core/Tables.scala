@@ -52,11 +52,22 @@ object Tables {
   def eventStream(spark: SparkSession, dir: String,
                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(parquetStream(spark, dir, maxFilesPerTrigger), "ts")
+  }
+
+  /** Generic streaming parquet-directory source (schema probed once,
+    * driver-side, from the footer — streaming sources need it up
+    * front). [[eventStream]] is this plus the `ts` normalization; the
+    * document-stream operators (ingest-time decontam, LSH index
+    * maintenance) read their staged corpus directories through it
+    * unmodified. */
+  def parquetStream(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val onDisk = spark.read.parquet(dir).schema
     val reader = spark.readStream.schema(onDisk)
     val withOpts = maxFilesPerTrigger.fold(reader)(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    normalizeTs(withOpts.parquet(dir), "ts")
+    withOpts.parquet(dir)
   }
 
   /** Normalize an event-time column to TimestampType micros whatever

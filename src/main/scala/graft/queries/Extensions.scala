@@ -2130,6 +2130,40 @@ object Extensions {
       .orderBy("dist")
   }
 
+  /** Strongly connected components
+    * ([[graft.operators.Graph.stronglyConnectedComponents]]): the
+    * mutual-reachability partition a link graph needs where undirected
+    * components ([[graphCc]]) are too coarse — link farms and mirror
+    * rings are directed CYCLES, while ordinary citation structure is
+    * acyclic, so the non-trivial SCCs are precisely the suspicious
+    * dense cores. Fixture (synthesize-then-operate): nodes are
+    * `doc_id % 100`; blocks of 5 form directed 5-cycles (`d → d+1`,
+    * block tail back to head), two-way bridges `2→7` and `8→3` merge
+    * the first two cycles into one 10-node SCC, and four ONE-WAY edges
+    * `10→20, 30→40, 50→60, 95→15` link cycles into a depth-1
+    * condensation DAG — so the run needs exactly two peel rounds (each
+    * one-way edge leaves one side's (F, B) pair split in round one:
+    * the side whose min label is polluted by the other's smaller min)
+    * and a 10-step budget covers the merged SCC's ≤9-hop diameter.
+    * Exact and fully converged, so the oracle recomputes true SCCs
+    * independently — a recursive-CTE transitive closure and a mutual-
+    * reachability min — with no step unrolling. */
+  def graphScc(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val cycle = nodes.select(col("node").as("src"),
+      when(col("node") % 5 === 4, col("node") - 4)
+        .otherwise(col("node") + 1).as("dst"))
+    val extra = nodes.filter(col("node").isin(2, 8, 10, 30, 50, 95))
+      .select(col("node").as("src"),
+        when(col("node") === 2, lit(7L)).when(col("node") === 8, lit(3L))
+          .when(col("node") === 10, lit(20L)).when(col("node") === 30, lit(40L))
+          .when(col("node") === 50, lit(60L)).otherwise(lit(15L)).as("dst"))
+    graft.operators.Graph.stronglyConnectedComponents(
+      cycle.unionByName(extra), nodes, propagationIters = 10, maxRounds = 4)
+      .orderBy("node")
+  }
+
   /** Per-node triangle participation
     * ([[graft.operators.Graph.triangleCounts]]): the local-clustering
     * cohesion signal over a triangle-rich deterministic domain graph —
@@ -4099,6 +4133,40 @@ object ExtensionOracles {
        |$iters
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
   }
+
+  /** [[Extensions.graphScc]]: ground-truth SCCs, computed a COMPLETELY
+    * different way than the engine's peel rounds — a recursive-CTE
+    * transitive closure over the same synthesized fixture, mutual
+    * reachability by self-joining the closure both ways, scc_id = the
+    * least mutually-reachable node (own id for trivial SCCs). The
+    * engine's label-pairing algorithm converging to the same partition
+    * as an independent closure computation is exactly what the gate
+    * should certify — no step mirroring, unlike the unrolled-CTE
+    * oracles. The `JOIN nodes ON dst` mirrors the operator's
+    * induced-subgraph restriction for sparse sf dirs. */
+  val graphScc: String =
+    """WITH RECURSIVE
+      |nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+      |cyc AS (SELECT node AS src,
+      |               CASE WHEN node % 5 = 4 THEN node - 4 ELSE node + 1 END AS dst
+      |        FROM nodes),
+      |ext AS (SELECT n.node AS src, CAST(v.dst AS BIGINT) AS dst
+      |        FROM nodes n
+      |        JOIN (VALUES (2, 7), (8, 3), (10, 20), (30, 40), (50, 60), (95, 15))
+      |             v(src, dst) ON n.node = v.src),
+      |edges AS (SELECT e.src, e.dst
+      |          FROM (SELECT * FROM cyc UNION SELECT * FROM ext) e
+      |          JOIN nodes nd ON e.dst = nd.node),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |mutual AS (
+      |  SELECT r1.a AS v, r1.b AS u
+      |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+      |SELECT n.node, CAST(least(n.node, coalesce(min(m.u), n.node)) AS BIGINT) AS scc_id
+      |FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+      |GROUP BY n.node ORDER BY node""".stripMargin
 
   /** [[Extensions.graphCc]]'s 8 min-label steps unrolled as chained
     * CTEs — one step = min over the symmetrized neighborhood, `least`

@@ -21,10 +21,13 @@ object StreamingQueries {
     * events.parquet alone. Multiple copies make duplicates arrive in
     * DIFFERENT micro-batches (maxFilesPerTrigger=1 in StreamDedup), so
     * cross-batch dedup state is genuinely exercised. */
-  private def stageEvents(dir: String, copies: Int): String = {
+  private def stageEvents(dir: String, copies: Int): String =
+    stageTable(dir, "events", copies)
+
+  private def stageTable(dir: String, table: String, copies: Int): String = {
     val staged = Files.createTempDirectory("graft_stream_q")
     (1 to copies).foreach { i =>
-      Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve(s"events_$i.parquet"))
+      Files.copy(Paths.get(s"$dir/$table.parquet"), staged.resolve(s"${table}_$i.parquet"))
     }
     staged.toString
   }
@@ -34,9 +37,10 @@ object StreamingQueries {
     * invocations (bench loops, the verify sweep) leave nothing behind
     * instead of accumulating one temp dir of parquet copies per call.
     */
-  private def drainStaged(s: SparkSession, dir: String, copies: Int)(
+  private def drainStaged(s: SparkSession, dir: String, copies: Int,
+                          table: String = "events")(
       start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val staged = stageEvents(dir, copies)
+    val staged = stageTable(dir, table, copies)
     try withDrainPartitions(s) { start(staged).awaitTermination() }
     finally {
       import scala.jdk.CollectionConverters._
@@ -263,6 +267,48 @@ object StreamingQueries {
       .orderBy("day", "rank")
   }
 
+  /** Ingest-time decontamination ([[graft.streaming.CorpusStream
+    * .decontamFlags]]): the documents table replayed as an arrival
+    * stream, its train slice screened against the STATIC benchmark
+    * 8-gram blocklist (the val/test slices of the same md5 split,
+    * computed batch-side and broadcast) — a stream-static broadcast
+    * join, stateless by construction. The complete-mode drain's final
+    * counts are a pure function of the data, so the whole report is
+    * oracle-checked: per flagged train doc, how many of its distinct
+    * 8-grams appear in some benchmark doc. */
+  def streamDecontam(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_decontam_${System.nanoTime()}"
+    val spec = Extensions.corpusSplitSpec
+    val blocklist = graft.operators.CorpusSplit
+      .split(t(s, dir, "documents"), "text", spec)
+      .filter(col("split").isin("val", "test"))
+      .select(explode(array_distinct(
+        graft.functions.Sketches.wordShingles(col("text"), 8))).as("g"))
+      .distinct()
+    drainStaged(s, dir, copies = 1, table = "documents")(
+      graft.streaming.CorpusStream.decontamFlags(s, _, name, blocklist, spec))
+    drained(s, name).orderBy("doc_id")
+  }
+
+  /** Incremental MinHash LSH index maintenance ([[graft.streaming
+    * .CorpusStream.lshIndex]]): the banded bucket index an ingest-time
+    * near-dup check probes, maintained as a streaming aggregation and
+    * drained in complete mode. Canonicalized to the COLLISION report
+    * (buckets holding >1 doc — the near-dup candidate sets), ordered
+    * by bucket key. Rows-only at the driver gate (DuckDB cannot
+    * minhash); CorpusStreamSpec asserts the drained index equals the
+    * batch-built index bit-for-bit and that a two-file staging (docs
+    * re-arriving in a LATER micro-batch) merges state instead of
+    * double-counting fresh buckets. */
+  def streamMinhash(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_minhash_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1, table = "documents")(
+      graft.streaming.CorpusStream.lshIndex(s, _, name))
+    drained(s, name)
+      .filter(col("n_docs") > 1)
+      .orderBy("band_key")
+  }
+
   /** Stateful streaming funnel ([[graft.streaming.FunnelStream]]),
     * drained and rolled up to the q29 report shape. Zero watermark
     * delay means the AvailableNow drain seals and folds every event,
@@ -465,4 +511,35 @@ object StreamingOracles {
     * shares q29's oracle string — the gate proves stream ≡ batch ≡
     * DuckDB in one check. */
   val streamFunnel: String = Oracles.q29Funnel
+
+  /** [[StreamingQueries.streamDecontam]]: the corpus_decontam CTE chain
+    * (split CASE from the shared hex thresholds, the shingle kernel's
+    * exact whitespace class and short-doc rule) turned around to the
+    * ingest direction — per TRAIN doc, its distinct 8-grams that appear
+    * in ANY val/test doc. `tr` rows are distinct per doc and `bl` is
+    * globally distinct, so `count(*)` counts distinct flagged n-grams,
+    * matching the drained `n_flagged` exactly. */
+  val streamDecontam: String = {
+    val spec = Extensions.corpusSplitSpec
+    val ths = graft.operators.CorpusSplit.hexThresholds(spec)
+    val whens = spec.init.zip(ths.init).map { case ((name, _), cut) =>
+      s"WHEN substr(md5(text), 1, 8) < '$cut' THEN '$name'"
+    }.mkString(" ")
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH d AS (
+       |  SELECT doc_id, CASE $whens ELSE '${spec.last._1}' END AS split,
+       |         list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, split,
+       |         CASE WHEN len(tk) < 8 THEN [coalesce(array_to_string(tk, ' '), '')]
+       |              ELSE list_distinct([array_to_string(tk[i:i+7], ' ') for i in range(1, len(tk) - 6)]) END AS sg
+       |  FROM d),
+       |e AS (SELECT doc_id, split, unnest(sg) AS g FROM sh),
+       |bl AS (SELECT DISTINCT g FROM e WHERE split IN ('val', 'test')),
+       |tr AS (SELECT doc_id, g FROM e WHERE split = 'train')
+       |SELECT tr.doc_id, count(*) AS n_flagged
+       |FROM tr JOIN bl USING (g)
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+  }
 }

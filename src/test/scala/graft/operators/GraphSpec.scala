@@ -442,6 +442,75 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(runLpa(edges, 0L to 2L, 4)(2L) == 2L)
   }
 
+  private def runScc(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                     iters: Int, rounds: Int = 8): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.stronglyConnectedComponents(
+      edges.toDF("src", "dst"), nodes.toDF("node"), iters, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("scc: a directed cycle is one component, labeled by its min node") {
+    val edges = Seq(3L -> 5L, 5L -> 9L, 9L -> 3L)
+    assert(runScc(edges, Seq(3L, 5L, 9L), 4) ==
+      Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+  }
+
+  test("scc: a DAG is all singletons (every node its own component)") {
+    val edges = Seq(0L -> 1L, 1L -> 2L, 0L -> 2L, 3L -> 2L)
+    assert(runScc(edges, 0L to 3L, 4) == (0L to 3L).map(n => n -> n).toMap)
+  }
+
+  test("scc: two cycles linked one-way stay separate components (needs a second peel round)") {
+    // 5-9-7 cycle feeds 0-2 cycle: the feeding cycle's min (5) pollutes
+    // the fed cycle's F in round 1... direction matters: 5 > 0, so the
+    // FED cycle keeps F=B=0 and the FEEDER splits (B dips to 0) — peeled
+    // in round 2. The reverse orientation splits the fed side instead.
+    val edges = Seq(5L -> 9L, 9L -> 7L, 7L -> 5L, 7L -> 0L,
+      0L -> 2L, 2L -> 0L)
+    assert(runScc(edges, Seq(0L, 2L, 5L, 7L, 9L), 6) ==
+      Map(0L -> 0L, 2L -> 0L, 5L -> 5L, 7L -> 5L, 9L -> 5L))
+  }
+
+  test("scc: mutual bridges merge two cycles into one component") {
+    val edges = Seq(0L -> 1L, 1L -> 0L, 4L -> 5L, 5L -> 4L,
+      1L -> 4L, 5L -> 0L)
+    assert(runScc(edges, Seq(0L, 1L, 4L, 5L), 8) ==
+      Map(0L -> 0L, 1L -> 0L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("scc: isolated node and edges leaving the node set (induced subgraph)") {
+    val edges = Seq(0L -> 1L, 1L -> 0L, 1L -> 99L, 99L -> 1L) // 99 absent
+    assert(runScc(edges, Seq(0L, 1L, 2L), 4) ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
+  }
+
+  test("scc: exhausted round budget fails loudly, never returns a partial labeling") {
+    // chain of 3 one-way-linked 2-cycles with labels ordered so each
+    // round can only peel one end: high feeds low feeds lower
+    val edges = Seq(4L -> 5L, 5L -> 4L, 4L -> 2L, 2L -> 3L, 3L -> 2L,
+      2L -> 0L, 0L -> 1L, 1L -> 0L)
+    val e = intercept[Exception] {
+      runScc(edges, 0L to 5L, 6, rounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("scc: deterministic run to run") {
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L, 3L -> 4L, 4L -> 3L)
+    assert(runScc(edges, 0L to 4L, 6) == runScc(edges, 0L to 4L, 6))
+  }
+
+  test("declared graph_scc query: the merged 10-node SCC, the 5-cycles, and the condensation") {
+    val m = graft.queries.Extensions.graphScc(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 100)
+    // blocks 0 and 1 merged by the two-way bridges
+    assert((0L until 10L).forall(n => m(n) == 0L))
+    // every other block of 5 is its own SCC labeled by its head
+    assert((10L until 100L).forall(n => m(n) == n / 5 * 5))
+  }
+
   test("declared graph_pagerank query: 100 domains, outdeg 3, ranks ordered and mass-bounded") {
     val df = graft.queries.Extensions.graphPagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()

@@ -28,7 +28,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_q8_range",         // 5-row quantized query set (radius variant)
     "emb_knn_graph",        // bounded probe batch (every 10th vector) broadcast
     "emb_trunc_recall",     // same probe batch, two ranking passes
-    "text_tfidf")           // 1-row corpus-size aggregate (scalar-subquery shape)
+    "text_tfidf",           // 1-row corpus-size aggregate (scalar-subquery shape)
+    "graph_nf_hll")         // 1-row N(0) mass aggregate broadcast into the
+                            // per-horizon delta (the BSP iterations' own
+                            // crossJoins sit behind localCheckpoints; only
+                            // this final scalar join surfaces in the plan)
 
   graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, no stray nested-loop join") {

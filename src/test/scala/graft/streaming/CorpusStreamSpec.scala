@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.core.Tables.t
+
+/** The ingest-time corpus operators: drained streaming state must equal
+  * the batch aggregate bit-for-bit, and multi-file staging must MERGE
+  * state across micro-batches rather than re-initialize it. */
+class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def stage(copies: Int): java.nio.file.Path = {
+    val d = Files.createTempDirectory("graft_cstream")
+    (1 to copies).foreach { i =>
+      Files.copy(Paths.get(s"$dir/documents.parquet"), d.resolve(s"docs_$i.parquet"))
+    }
+    d
+  }
+
+  test("lsh index: drained stream state equals the batch-built index exactly") {
+    val staged = stage(1)
+    val q = CorpusStream.lshIndex(spark, staged.toString, "lsh_idx_one")
+    q.awaitTermination()
+    val streamed = spark.table("lsh_idx_one")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = CorpusStream.lshIndexBatch(t(spark, dir, "documents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    spark.catalog.dropTempView("lsh_idx_one")
+  }
+
+  test("lsh index: docs re-arriving in a later micro-batch merge into existing buckets") {
+    val staged = stage(2)
+    // one file per trigger -> the second copy lands in a LATER batch;
+    // correct state merge doubles every bucket count and keeps owners
+    val q = CorpusStream.lshIndex(spark, staged.toString, "lsh_idx_two",
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "staging failed to produce two data micro-batches")
+    val streamed = spark.table("lsh_idx_two")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = CorpusStream.lshIndexBatch(t(spark, dir, "documents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed.forall { case (k, (owner, n)) =>
+      owner == batch(k)._1 && n == 2 * batch(k)._2
+    })
+    spark.catalog.dropTempView("lsh_idx_two")
+  }
+
+  test("declared stream_decontam equals the batch-side inversion of the decontam join") {
+    val out = graft.queries.StreamingQueries.streamDecontam(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch reference: train-side distinct shingles joined to the
+    // val/test blocklist — same kernels, batch engine
+    val spec = graft.queries.Extensions.corpusSplitSpec
+    val docs = graft.operators.CorpusSplit.split(t(spark, dir, "documents"), "text", spec)
+    val sh = docs.select(col("doc_id"), col("split"),
+      explode(array_distinct(
+        graft.functions.Sketches.wordShingles(col("text"), 8))).as("g"))
+    val bl = sh.filter(col("split").isin("val", "test")).select("g").distinct()
+    val expected = sh.filter(col("split") === "train")
+      .join(bl, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expected)
+    assert(expected.nonEmpty, "fixture produced no contaminated train docs — gate is vacuous")
+  }
+
+  test("declared stream_minhash reports only collision buckets, deterministically") {
+    val a = graft.queries.StreamingQueries.streamMinhash(spark, dir).collect()
+    assert(a.nonEmpty, "no LSH collisions at sf0.001 — planted dups should collide")
+    assert(a.forall(_.getLong(2) > 1))
+    val b = graft.queries.StreamingQueries.streamMinhash(spark, dir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+}
