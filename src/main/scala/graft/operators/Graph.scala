@@ -90,10 +90,25 @@ object Graph {
     * to `nodes` first (a seed outside the graph would silently leak
     * teleport mass). `None` (the default) is the uniform prior: S =
     * all nodes, reducing term for term to the classic rule above.
-    */
+    *
+    * `weightCol` names a POSITIVE INTEGER edge-weight column on
+    * `edges` (link multiplicity, anchor-text trust, crawl frequency):
+    * the random surfer follows edge (u,v) with probability w/W(u),
+    * W(u) = Σ out-weights, so the per-edge contribution becomes
+    * `rank·w DIV W(u)` and the out-degree table becomes the out-WEIGHT
+    * table — everything else (dangling, damping, seeding) is
+    * unchanged, and `None` (all weights 1) reduces to the classic
+    * rule exactly. Weights must be ≥ 1: a zero/negative weight would
+    * corrupt W(u) silently (an all-zero-out-weight node belongs in the
+    * dangling set instead — drop its edges). Narrow-path overflow now
+    * bounds rank·w per edge (≤ 10⁹·wmax) and the damped sum by
+    * 100·SCALE·Σw_in — divide the ~9·10⁷ node bound by the mean
+    * in-weight, or set `wide = true` which lifts both (the product is
+    * computed in DECIMAL(38,0) before the divide). */
   def pageRankE9(edges: DataFrame, nodes: DataFrame, iterations: Int,
                  dampingPct: Int = 85, wide: Boolean = false,
-                 seeds: Option[DataFrame] = None): DataFrame = {
+                 seeds: Option[DataFrame] = None,
+                 weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val Scale = 1000000000L
     val n = nodes.count()
@@ -106,12 +121,14 @@ object Graph {
     // would neither propagate nor redistribute and total rank mass
     // would silently leak.
     val nset = nodes.select(col("node"))
-    val e = edges.select(col("src"), col("dst"))
+    val wExpr = weightCol.fold(lit(1L))(c => col(c).cast("long"))
+    val e = edges.select(col("src"), col("dst"), wExpr.as("w"))
       .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
-    // degree attached once; checkpoint so 10 iterations re-read a
-    // materialized (src, dst, outdeg) table instead of re-aggregating
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // degree (out-weight when weighted) attached once; checkpoint so 10
+    // iterations re-read a materialized (src, dst, w, outdeg) table
+    // instead of re-aggregating
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
     val edgesDeg = e.join(deg, "src").localCheckpoint()
     // the teleport-set size |S| (= n under the uniform prior) is the
     // second bounded driver scalar; seeds restricted to the node set
@@ -143,8 +160,13 @@ object Graph {
     // (the in-edge contribution sum and the damped product) in
     // DECIMAL(38,0); `DIV` (IntegralDivide) accepts decimals and lands
     // back in BIGINT, so the rank frame's shape is identical either way.
-    val cExpr = if (wide) expr("CAST(rank_e9 DIV outdeg AS DECIMAL(38,0))")
-                else expr("rank_e9 DIV outdeg")
+    // wide path: the rank·w product runs in DECIMAL(38,0) so a large
+    // weight cannot overflow the i64 product before the divide, and the
+    // per-edge contribution is cast back to DECIMAL(38,0) so the
+    // downstream sum `s` stays 128-bit (DIV lands in BIGINT otherwise)
+    val cExpr = if (wide)
+      expr("CAST((CAST(rank_e9 AS DECIMAL(38,0)) * w) DIV outdeg AS DECIMAL(38,0))")
+    else expr("(rank_e9 * w) DIV outdeg")
     def damped = if (wide)
       expr(s"($dampingPct * (coalesce(s, CAST(0 AS DECIMAL(38,0))) + CAST(IF(is_seed, dmass DIV $nT, 0L) AS DECIMAL(38,0)))) DIV 100")
     else

@@ -2059,6 +2059,27 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** Weighted PageRank over the [[graphPagerank]] fixture: edge weight
+    * `(dst % 3) + 1` (a deterministic stand-in for link multiplicity /
+    * anchor trust), so the surfer follows (u,v) with probability
+    * w/W(u) and the out-WEIGHT W(u) varies node to node (the three
+    * dsts' residues mod 3 differ per source). One `weightCol`
+    * parameter on the same BSP chassis; all-integer update
+    * (`rank·w DIV W`), so the oracle unrolls the same 10 iterations
+    * with the weighted contribution and hash-matches exactly. */
+  def graphPagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val dom = t(s, dir, "documents").select((col("doc_id") % 100).as("node"))
+    val nodes = dom.distinct()
+    val edges = dom
+      .select(col("node").as("src"), explode(array(lit(1), lit(2), lit(3))).as("k"))
+      .select(col("src"), ((col("src") * col("src") + col("k")) % 100).as("dst"))
+      .distinct()
+      .withColumn("w", (col("dst") % 3) + 1)
+    graft.operators.Graph.pageRankE9(edges, nodes, iterations = 10,
+        weightCol = Some("w"))
+      .orderBy("node")
+  }
+
   /** Corpus-level entity resolution
     * ([[graft.operators.Graph.connectedComponentsMinLabel]]): the
     * shared-identifier clustering the reference runs over its
@@ -4129,6 +4150,37 @@ object ExtensionOracles {
        |r0 AS (SELECT node, CASE WHEN node % 10 = 0
        |                         THEN 1000000000 // (SELECT count(*) FROM seeds)
        |                         ELSE 0 END AS rank_e9
+       |       FROM nodes),
+       |$iters
+       |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphPagerankWeighted]]: the unrolled iterations with
+    * the weighted contribution `rank·w // W(src)` and deg = Σ out-
+    * weights. Same non-negative-operand argument: DuckDB's flooring
+    * `//` equals Spark's truncating `DIV`. */
+  val graphPagerankWeighted: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         15000000000 // (100 * (SELECT count(*) FROM nodes))
+         |           + (85 * (coalesce(c.s, 0)
+         |                    + (SELECT coalesce(sum(d.rank_e9), 0) FROM r${i - 1} d
+         |                       WHERE d.node NOT IN (SELECT src FROM deg))
+         |                      // (SELECT count(*) FROM nodes))) // 100 AS rank_e9
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank_e9 * e.w // e.outdeg) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY 1) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |raw AS (SELECT src, dst, dst % 3 + 1 AS w FROM (
+       |          SELECT DISTINCT doc_id % 100 AS src,
+       |                 ((doc_id % 100) * (doc_id % 100) + k) % 100 AS dst
+       |          FROM documents, (VALUES (1), (2), (3)) t(k))),
+       |deg AS (SELECT src, sum(w) AS outdeg FROM raw GROUP BY 1),
+       |edges AS (SELECT r.src, r.dst, r.w, d.outdeg FROM raw r JOIN deg d USING (src)),
+       |r0 AS (SELECT node, 1000000000 // (SELECT count(*) FROM nodes) AS rank_e9
        |       FROM nodes),
        |$iters
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin

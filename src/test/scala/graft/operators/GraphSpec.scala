@@ -442,6 +442,35 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(runLpa(edges, 0L to 2L, 4)(2L) == 2L)
   }
 
+  private def runW(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
+                   iters: Int, wide: Boolean = false): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRankE9(edges.toDF("src", "dst", "w"), nodes.toDF("node"), iters,
+        wide = wide, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("weighted: all weights 1 is exactly the unweighted rank") {
+    val e = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 0L -> 2L)
+    val ew = e.map { case (s, d) => (s, d, 1L) }
+    assert(runW(ew, 0L to 2L, 5) == run(e, 0L to 2L, 5))
+  }
+
+  test("weighted: closed-form one step — contribution splits by w/W, not 1/outdeg") {
+    // 0 → 1 (w=1), 0 → 2 (w=3); 1 and 2 dangling. W(0)=4.
+    // r₀ = 333333333 each; D₀ = 2·333333333 = 666666666, share 222222222
+    //   r₁(0) = 5e7 + 85·222222222 DIV 100                          = 238888888
+    //   r₁(1) = 5e7 + 85·(333333333·1 DIV 4 + 222222222) DIV 100    = 309722221
+    //   r₁(2) = 5e7 + 85·(333333333·3 DIV 4 + 222222222) DIV 100    = 451388887
+    val r = runW(Seq((0L, 1L, 1L), (0L, 2L, 3L)), 0L to 2L, 1)
+    assert(r == Map(0L -> 238888888L, 1L -> 309722221L, 2L -> 451388887L))
+  }
+
+  test("weighted: wide decimal path is bit-identical to narrow") {
+    val ew = Seq((0L, 1L, 2L), (1L, 2L, 5L), (2L, 0L, 1L), (0L, 2L, 7L))
+    assert(runW(ew, 0L to 2L, 6) == runW(ew, 0L to 2L, 6, wide = true))
+  }
+
   private def runScc(edges: Seq[(Long, Long)], nodes: Seq[Long],
                      iters: Int, rounds: Int = 8): Map[Long, Long] = {
     import spark.implicits._
