@@ -525,6 +525,14 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("scc: exhausted propagation budget fails loudly (no silent component split)") {
+    // 5-cycle: min-label fixpoint needs 4 steps; a 2-step budget must
+    // throw, not return a partially-propagated labeling
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 0L)
+    val e = intercept[Exception] { runScc(edges, 0L to 4L, 2) }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("scc: deterministic run to run") {
     val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L, 3L -> 4L, 4L -> 3L)
     assert(runScc(edges, 0L to 4L, 6) == runScc(edges, 0L to 4L, 6))
