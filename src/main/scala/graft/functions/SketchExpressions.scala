@@ -137,6 +137,33 @@ object SketchUtil {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Containment |A∩B| / |B| over two sorted-distinct string arrays —
+    * the ASYMMETRIC near-dup measure: how much of B (the query/quote)
+    * appears in A (the document). Unlike Jaccard it doesn't punish a
+    * length mismatch, which is exactly what excerpt/quote detection
+    * needs (a 50-token quote inside a 5 000-token article has tiny
+    * Jaccard but containment ≈ 1). Same merge-walk as
+    * [[jaccardSortedDistinct]]; |B| = 0 → 0.0 (an empty query is
+    * contained nowhere rather than everywhere — the caller filters
+    * empty queries out, and NaN would poison downstream sorts). */
+  def containmentSortedDistinct(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    val aNull = na > 0 && a.isNullAt(0)
+    val bNull = nb > 0 && b.isNullAt(0)
+    if (aNull) i = 1
+    if (bNull) j = 1
+    if (aNull && bNull) inter = 1
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / nb.toDouble
+  }
+
   /** Jaccard similarity of two string arrays under distinct-set
     * semantics: |A∩B| / (|A|+|B|-|A∩B|) with A, B deduplicated — the
     * exact value of the array_distinct/array_intersect Column
@@ -422,6 +449,21 @@ case class JaccardSortedSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** containment_sorted_sim(array<string>, array<string>) → double
+  * |A∩B|/|B| over sorted-distinct arrays ([[SketchUtil
+  * .containmentSortedDistinct]]) — the asymmetric quote/excerpt
+  * detector beside [[JaccardSortedSim]]. */
+case class ContainmentSortedSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchUtil.containmentSortedDistinct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchUtil.containmentSortedDistinct($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ContainmentSortedSim =
+    copy(left = l, right = r)
+}
+
 /** jaccard_sim(array<string>, array<string>) → double distinct-set Jaccard. */
 case class JaccardSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -472,6 +514,8 @@ object Sketches {
     ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def jaccardSortedSim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSortedSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def containmentSortedSim(a: Column, b: Column): Column =
+    ColumnBridge.column(ContainmentSortedSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   /** sort_array(array_distinct(x)): the once-per-document normalization
     * [[JaccardSortedSim]] expects. */
   def sortedDistinct(a: Column): Column =

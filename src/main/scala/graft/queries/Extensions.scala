@@ -131,6 +131,29 @@ object Extensions {
       .limit(50)
   }
 
+  /** Asymmetric containment |doc ∩ query| / |query| vs the fixed
+    * document ([[graft.functions.Sketches.containmentSortedSim]]) — the
+    * quote/excerpt detector Jaccard cannot be: a short benchmark prompt
+    * embedded verbatim in a long scraped article has near-zero Jaccard
+    * (length mismatch dominates the union) but containment ≈ 1, which
+    * is why decontamination sweeps rank by containment, not symmetric
+    * similarity. Same broadcast-query shape and merge-walk kernel
+    * family as [[dedupJaccard]]; oracle-checked. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Sketches.sortedDistinct(
+          split(lower(trim(col("text"))), " ")).as("tok"))
+    val q = docs.filter(col("doc_id") === 0).select(col("tok").as("qtok"))
+    docs.filter(col("doc_id") > 0)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        round(graft.functions.Sketches.containmentSortedSim(
+          col("tok"), col("qtok")), 4).as("containment"))
+      .orderBy(col("containment").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Char-5-gram Jaccard vs the fixed document — the character-level
     * n-gram dedup kernel (robust to word-boundary edits), oracle-checked
     * against a DuckDB list comprehension. */
@@ -2280,11 +2303,9 @@ object Extensions {
     * the key, no window, no sort — the compaction shape that holds at
     * a 100 TB change log. */
   def cdcApply(s: SparkSession, dir: String): DataFrame = {
-    val log = t(s, dir, "orders").select(
-      (col("o_orderkey") % 5000).as("k"),
-      col("o_orderkey").as("seq"),
-      when(col("o_orderkey") % 11 === 0, lit("D")).otherwise(lit("U")).as("op"),
-      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    // change-log derivation shared with the streaming twin (stream_cdc)
+    // so the two engines' logs can never drift
+    val log = graft.streaming.CdcStream.changeLog(t(s, dir, "orders"))
     log.groupBy(col("k"))
       .agg(max(struct(col("seq"), col("op"), col("cents"))).as("m"))
       .filter(col("m.op") =!= "D")
@@ -2600,6 +2621,18 @@ object ExtensionOracles {
       |             (len(tk) + len(qtk) - len(list_intersect(tk, qtk)))::DOUBLE, 4) AS jaccard
       |FROM tok, q WHERE doc_id > 0
       |ORDER BY jaccard DESC, doc_id LIMIT 50""".stripMargin
+
+  /** [[Extensions.dedupContainment]]: the [[dedupJaccard]] chain with
+    * the asymmetric |tk ∩ qtk| / |qtk| in place of the union ratio —
+    * integer-over-integer division, identical IEEE double in both
+    * engines before the shared round. */
+  val dedupContainment: String =
+    """WITH tok AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS tk FROM documents),
+      |q AS (SELECT tk AS qtk FROM tok WHERE doc_id = 0)
+      |SELECT doc_id,
+      |       round(len(list_intersect(tk, qtk))::DOUBLE / len(qtk)::DOUBLE, 4) AS containment
+      |FROM tok, q WHERE doc_id > 0
+      |ORDER BY containment DESC, doc_id LIMIT 50""".stripMargin
 
   /** [[Extensions.embCentroid]]: the [[embQuantize]] trunc-quantize
     * chain, then positional unnest → per-(label, pos) exact integer

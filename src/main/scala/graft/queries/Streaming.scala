@@ -309,6 +309,39 @@ object StreamingQueries {
       .orderBy("band_key")
   }
 
+  /** Streaming CDC apply ([[graft.streaming.CdcStream]]): the cdc_apply
+    * change log replayed as an arriving stream, last-writer-wins as one
+    * associative struct-max whose per-key state is a single struct.
+    * DELETE winners are dropped at read time, exactly like the batch
+    * compaction — so this SHARES cdc_apply's oracle string verbatim
+    * (the stream_funnel pattern: one oracle proving stream ≡ batch ≡
+    * DuckDB). CdcStreamSpec additionally replays the log TWICE across
+    * separate micro-batches and asserts the same table — the
+    * at-least-once-delivery idempotency the max algebra gives for
+    * free. */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_cdc_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1, table = "orders")(
+      graft.streaming.CdcStream.run(s, _, name))
+    drained(s, name)
+      .filter(col("m.op") =!= "D")
+      .select(col("k"), col("m.seq").as("seq"), col("m.cents").as("cents"))
+      .orderBy("k")
+  }
+
+  /** The streaming curation capstone ([[graft.streaming.CorpusStream
+    * .curate]]): quality gate → md5 split → cross-batch exact content
+    * dedup → per-split rollup, one streaming plan (Spark's
+    * dedup-then-aggregate chained-stateful shape). Deterministic
+    * because every aggregated value is a function of the deduped text;
+    * fully oracle-checked against the DISTINCT-by-hash batch SQL. */
+  def streamCurate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_curate_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1, table = "documents")(
+      graft.streaming.CorpusStream.curate(s, _, name, Extensions.corpusSplitSpec))
+    drained(s, name).orderBy("split")
+  }
+
   /** Stateful streaming funnel ([[graft.streaming.FunnelStream]]),
     * drained and rolled up to the q29 report shape. Zero watermark
     * delay means the AvailableNow drain seals and folds every event,
@@ -541,5 +574,27 @@ object StreamingOracles {
        |SELECT tr.doc_id, count(*) AS n_flagged
        |FROM tr JOIN bl USING (g)
        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+  }
+
+  /** [[StreamingQueries.streamCurate]]: gate → split CASE (shared hex
+    * thresholds) → DISTINCT by content hash (split and token count are
+    * functions of the text, so the distinct tuple is the distinct
+    * hash) → per-split rollup. */
+  val streamCurate: String = {
+    val spec = Extensions.corpusSplitSpec
+    val ths = graft.operators.CorpusSplit.hexThresholds(spec)
+    val whens = spec.init.zip(ths.init).map { case ((name, _), cut) =>
+      s"WHEN substr(md5(text), 1, 8) < '$cut' THEN '$name'"
+    }.mkString(" ")
+    val ws = graft.operators.TextAnalysis.WsClass
+    s"""WITH d AS (
+       |  SELECT text, CASE $whens ELSE '${spec.last._1}' END AS split,
+       |         CASE WHEN len(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '$ws')) END AS n
+       |  FROM documents),
+       |g AS (SELECT * FROM d WHERE n >= 16),
+       |u AS (SELECT DISTINCT md5(text) AS h, split, n FROM g)
+       |SELECT split, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+       |FROM u GROUP BY split ORDER BY split""".stripMargin
   }
 }

@@ -94,6 +94,39 @@ object CorpusStream {
       .start()
   }
 
+  /** The streaming curation capstone — the admission pipeline run ON
+    * ARRIVAL, end to end in one streaming plan: quality gate (≥
+    * `minTokens` whitespace tokens) → deterministic md5 split → exact
+    * content dedup ACROSS micro-batches (`dropDuplicates` on the
+    * content hash — Spark's chained-stateful dedup-then-aggregate
+    * shape) → per-split doc/token rollup. Every aggregated value
+    * (split, token count) is a pure function of the deduped TEXT
+    * itself, so whichever physical copy the dedup state keeps, the
+    * rollup is identical — that functional-dependency argument is what
+    * makes a streaming dedup capstone oracle-checkable at all (an
+    * aggregate over a non-functional column would depend on arrival
+    * order). Unwatermarked dedup state grows with distinct content;
+    * the unbounded deployment adds `dropDuplicatesWithinWatermark`
+    * over an arrival-time column to bound it (the StreamDedup
+    * pattern). */
+  def curate(spark: SparkSession, docsDir: String, outputTable: String,
+             splits: Seq[(String, Double)], minTokens: Int = 16,
+             maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    Tables.parquetStream(spark, docsDir, maxFilesPerTrigger)
+      .select(col("doc_id"), col("text"),
+        graft.operators.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= minTokens)
+      .withColumn("split", graft.operators.CorpusSplit.assign(col("text"), splits))
+      .withColumn("h", md5(col("text")))
+      .dropDuplicates("h")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory").queryName(outputTable)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Batch twin of [[lshIndex]] over the same kernels — the spec's
     * equality reference and the backfill path a deployment runs once
     * over the historical corpus before switching on the stream. */

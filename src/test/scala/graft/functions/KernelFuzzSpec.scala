@@ -105,6 +105,36 @@ class KernelFuzzSpec extends AnyFunSuite with SparkSpec {
     assert(withNull.getDouble(0) == 2.0 / 4.0)   // {null,b} of {null,a,b,c}
   }
 
+  test("containmentSortedSim equals set-based |A∩B|/|B| over fuzzed pairs") {
+    val pairs = cases.zip(cases.drop(5) ++ cases.take(5))
+      .map { case ((id, a), (_, b)) => (id, a, b) }
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("id"),
+        Sketches.containmentSortedSim(
+          Sketches.sortedDistinct(split(lower(col("a")), "\\s+")),
+          Sketches.sortedDistinct(split(lower(col("b")), "\\s+"))).as("c"))
+      .as[(Long, Double)].collect().toMap
+    pairs.foreach { case (id, a, b) =>
+      val sa = a.toLowerCase.split("\\s+", -1).toSet
+      val sb = b.toLowerCase.split("\\s+", -1).toSet
+      val expect = if (sb.isEmpty) 0.0 else sa.intersect(sb).size.toDouble / sb.size
+      assert(got(id) == expect, s"id=$id")
+    }
+    // a full quote inside a longer doc: containment 1, jaccard far below
+    val r = spark.range(1).select(
+      Sketches.containmentSortedSim(
+        Sketches.sortedDistinct(split(lit("the quick brown fox jumps over lazy dogs daily"), " ")),
+        Sketches.sortedDistinct(split(lit("quick brown fox"), " "))).as("c"))
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    // empty query side: defined 0.0, never NaN
+    val z = spark.range(1).select(
+      Sketches.containmentSortedSim(
+        Sketches.sortedDistinct(split(lit("a b"), " ")),
+        array().cast("array<string>")).as("c")).collect()(0)
+    assert(z.getDouble(0) == 0.0)
+  }
+
   test("HTML selector codegen survives quote/backslash patterns") {
     // the selector strings ship as codegen reference objects; a pattern
     // with '"' or '\' must neither break compilation of the generated

@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "q20_cosine_topk",      // 1-row query vector
     "dedup_jaccard",        // 1-row query document
     "dedup_jaccard_char",   // 1-row query document (char shingles)
+    "dedup_containment",    // 1-row query document (asymmetric containment)
     "ann_q8_topk",          // 5-row quantized query set
     "ann_q8_range",         // 5-row quantized query set (radius variant)
     "emb_knn_graph",        // bounded probe batch (every 10th vector) broadcast

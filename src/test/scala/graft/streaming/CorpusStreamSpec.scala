@@ -75,6 +75,43 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
     assert(expected.nonEmpty, "fixture produced no contaminated train docs — gate is vacuous")
   }
 
+  test("stream_curate: dedup-then-aggregate chain equals the batch distinct-by-hash rollup") {
+    val out = graft.queries.StreamingQueries.streamCurate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val spec = graft.queries.Extensions.corpusSplitSpec
+    val expected = t(spark, dir, "documents")
+      .select(col("text"),
+        graft.operators.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 16)
+      .withColumn("split", graft.operators.CorpusSplit.assign(col("text"), spec))
+      .select(md5(col("text")).as("h"), col("split"), col("n_tok")).distinct()
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy("split")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == expected.toSeq)
+    assert(expected.map(_._1).toSet == Set("train", "val", "test"),
+      "every split must survive the gate at sf0.001 — otherwise the check is weak")
+    // the gate and the dedup must both have BITTEN (fixture has planted
+    // short docs and exact duplicates)
+    val all = t(spark, dir, "documents").count()
+    assert(expected.map(_._2).sum < all)
+  }
+
+  test("stream_curate: duplicates re-arriving in a later micro-batch are dropped by state") {
+    val staged = stage(2)
+    val q = CorpusStream.curate(spark, staged.toString, "curate_two",
+      graft.queries.Extensions.corpusSplitSpec, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val two = spark.table("curate_two")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.dropTempView("curate_two")
+    val one = graft.queries.StreamingQueries.streamCurate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(two == one, "cross-batch dedup state failed: doubled corpus changed the rollup")
+  }
+
   test("declared stream_minhash reports only collision buckets, deterministically") {
     val a = graft.queries.StreamingQueries.streamMinhash(spark, dir).collect()
     assert(a.nonEmpty, "no LSH collisions at sf0.001 — planted dups should collide")
