@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("jaccard_sim", "jaccard_sim(a, b) - distinct-set Jaccard of two string arrays") {
       es => JaccardSim(es.head, es(1))
     }
+    reg("containment_sorted_sim",
+      "containment_sorted_sim(a, b) - |A∩B|/|B| over sorted-distinct arrays (quote/excerpt detection)") {
+      es => ContainmentSortedSim(es.head, es(1))
+    }
     reg("char_shingles", "char_shingles(text, n) - character n-gram shingles") {
       es => CharShingles(es.head, intArg(es(1), "n"))
     }

@@ -63,7 +63,18 @@ object StreamingQueries {
   /** Stateful streaming drains commit one state store per shuffle
     * partition per micro-batch; at drain scale (one bounded file set,
     * a handful of batches) 32 partitions is pure per-batch overhead.
-    * Production unbounded streams keep the session default. */
+    * Production unbounded streams keep the session default.
+    *
+    * Measured floor (tools/StreamProbe, stream_join_outer at sf0.1,
+    * local[32]): warm drains at 2/4/8/16/32 partitions ran ~6.5 / 3.1 /
+    * 3.5 / ≥14 / ≥18 s — the cost curve is dominated by the interval
+    * JOIN's execution inside addBatch (durationMs breakdown: ~75%
+    * addBatch, ~15% per-batch queryPlanning, small constant
+    * walCommit/offset overhead), NOT by state-store commit count, so
+    * fewer partitions starve the join and more just multiply commit
+    * files. 8 sits on the flat part of the curve; further drain
+    * speedup would have to come from the join itself, not the
+    * streaming machinery. */
   private def withDrainPartitions[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")

@@ -35,6 +35,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  count_in_set(array('the', 'cat', 'the'), 'the', 'a') AS stops,
         |  sum_str_len(array('ab', 'cde')) AS chars,
         |  jaccard_sim(array('a', 'b'), array('b', 'c')) AS jac,
+        |  containment_sorted_sim(array('a', 'b', 'c'), array('b', 'c')) AS cont,
         |  char_shingles('abcd', 3) AS cs,
         |  spelled_digits('one cat two') AS sd,
         |  quant_stats(array(1.0d, -0.5d)).q_sum AS qsum,
@@ -53,6 +54,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Int]("stops") == 2)
     assert(row.getAs[Long]("chars") == 5L)
     assert(row.getAs[Double]("jac") == 1.0 / 3.0)
+    assert(row.getAs[Double]("cont") == 1.0)   // {b,c} fully inside {a,b,c}
     assert(row.getSeq[String](row.fieldIndex("cs")).toSeq == Seq("abc", "bcd"))
     assert(row.getAs[String]("sd") == "1 cat 2")
     assert(row.getAs[Long]("qsum") == 127L - 63L)

@@ -104,6 +104,10 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
       graft.queries.Extensions.corpusSplitSpec, maxFilesPerTrigger = Some(1))
     q.awaitTermination()
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    // the chained-stateful shape must be REAL: dedup state + agg state
+    // as two distinct stateful operators in one micro-batch plan
+    assert(q.recentProgress.last.stateOperators.length == 2,
+      "expected dedup + aggregation state operators in one streaming plan")
     val two = spark.table("curate_two")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     spark.catalog.dropTempView("curate_two")
