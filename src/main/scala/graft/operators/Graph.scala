@@ -342,13 +342,20 @@ object Graph {
     var known = nset.select(col("node").as("origin"), col("node"), lit(0).as("dist"))
       .localCheckpoint()
     var frontier = known
-    for (d <- 1 to maxDist) {
+    var d = 0
+    var done = false
+    while (d < maxDist && !done) {
+      d += 1
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(col("origin"), e("dst").as("node")).distinct()
       frontier = cand.join(known, Seq("origin", "node"), "left_anti")
         .select(col("origin"), col("node"), lit(d).as("dist"))
         .localCheckpoint()
-      known = known.unionByName(frontier).localCheckpoint()
+      // empty frontier ⇒ every later step discovers nothing: BFS is
+      // monotone, so exiting at exhaustion returns exactly what the
+      // full maxDist budget would — callers may over-budget for free
+      done = frontier.isEmpty
+      if (!done) known = known.unionByName(frontier).localCheckpoint()
     }
     known
   }
@@ -461,8 +468,10 @@ object Graph {
     steps.reduce(_ unionByName _)
   }
 
-  /** Connected components by synchronous min-label propagation: exactly
-    * `iterations` BSP steps over the UNDIRECTED closure of
+  /** Connected components by synchronous min-label propagation: up to
+    * `iterations` BSP steps (early exit at the propagation fixpoint —
+    * labels only decrease, so the result equals the full budget's
+    * bit-for-bit) over the UNDIRECTED closure of
     * `edges(src, dst)` restricted to `nodes(node)` — the INDUCED
     * subgraph: labels exist only for `nodes`, so an edge with either
     * endpoint outside the node set contributes nothing to propagation
@@ -499,14 +508,23 @@ object Graph {
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("component"))
       .localCheckpoint()
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
+      it += 1
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src").as("n2")).agg(min(col("component")).as("nbr_min"))
-      labels = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-        .select(col("node"),
-          least(col("component"),
-            coalesce(col("nbr_min"), col("component"))).as("component"))
+      // labels only decrease, so a step with no strict decrease is the
+      // fixpoint and every later step is a no-op — exiting early
+      // returns exactly the budgeted result (generous budgets are free)
+      val lNew = least(col("component"),
+        coalesce(col("nbr_min"), col("component")))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"), lNew.as("component"),
+          (lNew < col("component")).as("chg"))
         .localCheckpoint()
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.select(col("node"), col("component"))
     }
     labels
   }
@@ -551,16 +569,28 @@ object Graph {
       .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nn")).orderBy(col("c").desc)
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
+      it += 1
       val hist = sym.join(cur, sym("dst") === cur("node"))
         .groupBy(sym("src").as("nn"), col("c"))
         .agg(count(lit(1)).as("cnt"))
       val h = hist
         .withColumn("n_ge", sum(col("cnt")).over(w))
         .groupBy(col("nn")).agg(max(least(col("c"), col("n_ge"))).as("h"))
-      cur = nset.join(h, nset("node") === h("nn"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0L)).as("c"))
+      // joining against cur (same node set as nset, plus the previous
+      // value) lets the step flag strict decreases in the same pass:
+      // the h-index sequence is pointwise non-increasing, so "no row
+      // decreased" IS the fixpoint and every later step is a no-op —
+      // early exit returns exactly what the full budget would
+      val next = cur.join(h, cur("node") === h("nn"), "left")
+        .select(cur("node"),
+          coalesce(col("h"), lit(0L)).as("c2"),
+          (coalesce(col("h"), lit(0L)) < col("c")).as("chg"))
         .localCheckpoint()
+      converged = next.filter(col("chg")).isEmpty
+      cur = next.select(col("node"), col("c2").as("c"))
     }
     cur.select(col("node"), col("c").as("coreness"))
   }
