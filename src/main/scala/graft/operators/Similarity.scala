@@ -418,4 +418,35 @@ object Similarity {
         .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("sim")),
       k)
   }
+
+  /** Integer centroid table for nearest-centroid classification over
+    * int8-quantized vectors: per label, member count and per-dimension
+    * code sums — the exact-arithmetic artifact
+    * [[graft.functions.Vecs.nearestLabelQ8]] scores against (the
+    * trained-classifier analogue of the IVF codebook: ONE eager bounded
+    * aggregation, labels × dims longs on the driver). Shared by the
+    * batch emb_classify query and its streaming twin so the two paths
+    * can never train different tables. `None` on an empty corpus. */
+  def labelCentroidsQ8(q: DataFrame, labelCol: String, qiCol: String)
+      : Option[(Array[Long], Array[Long], Array[Long])] = {
+    val centRows = q.select(col(labelCol).as("label"),
+        posexplode(col(qiCol)).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("s"))
+      .collect()
+    if (centRows.isEmpty) None
+    else {
+      val labels = centRows.map(_.getLong(0)).distinct.sorted
+      val dims = centRows.map(_.getInt(1)).max + 1
+      val li = labels.zipWithIndex.toMap
+      val ns = new Array[Long](labels.length)
+      val sums = new Array[Long](labels.length * dims)
+      centRows.foreach { r =>
+        val i = li(r.getLong(0))
+        ns(i) = r.getLong(2)
+        sums(i * dims + r.getInt(1)) = r.getLong(3)
+      }
+      Some((labels, ns, sums))
+    }
+  }
 }

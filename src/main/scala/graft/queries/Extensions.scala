@@ -479,27 +479,15 @@ object Extensions {
     val q = t(s, dir, "embeddings").select(col("vec_id"),
       col("label").cast("long").as("label"),
       graft.functions.Vecs.quantizeI8(col("embedding").cast("array<double>")).as("qi"))
-    // eager action: the centroid table, bounded by labels × dims
-    val centRows = q.select(col("label"), posexplode(col("qi")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("s"))
-      .collect()
-    // empty corpus: no centroids to score against — empty report, not
-    // a crash on max() of nothing
-    if (centRows.isEmpty)
-      return q.sparkSession.emptyDataFrame
-        .select(lit(0L).as("label"), lit(0L).as("pred"), lit(0L).as("n"))
-        .limit(0)
-    val labels = centRows.map(_.getLong(0)).distinct.sorted
-    val dims = centRows.map(_.getInt(1)).max + 1
-    val li = labels.zipWithIndex.toMap
-    val ns = new Array[Long](labels.length)
-    val sums = new Array[Long](labels.length * dims)
-    centRows.foreach { r =>
-      val i = li(r.getLong(0))
-      ns(i) = r.getLong(2)
-      sums(i * dims + r.getInt(1)) = r.getLong(3)
-    }
+    // eager action: the centroid table (shared with stream_classify —
+    // one derivation, no drift); empty corpus → empty report, not a
+    // crash on max() of nothing
+    val (labels, ns, sums) =
+      graft.operators.Similarity.labelCentroidsQ8(q, "label", "qi").getOrElse {
+        return q.sparkSession.emptyDataFrame
+          .select(lit(0L).as("label"), lit(0L).as("pred"), lit(0L).as("n"))
+          .limit(0)
+      }
     q.select(col("label"),
         graft.functions.Vecs.nearestLabelQ8(col("qi"), labels, ns, sums).as("pred"))
       .groupBy("label", "pred").agg(count(lit(1)).as("n"))

@@ -353,6 +353,27 @@ object StreamingQueries {
     drained(s, name).orderBy("split")
   }
 
+  /** Streaming nearest-centroid classification
+    * ([[graft.streaming.CorpusStream.classifyCensus]]): the embeddings
+    * table replayed as an arrival stream, scored statelessly against
+    * the SAME integer centroid table the batch query trains
+    * ([[graft.operators.Similarity.labelCentroidsQ8]] — one shared
+    * derivation), censused in complete mode. Exact integer distances ⇒
+    * shares emb_classify's oracle verbatim (stream ≡ batch ≡ DuckDB in
+    * one check, the stream_funnel pattern). */
+  def streamClassify(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_classify_${System.nanoTime()}"
+    val q = t(s, dir, "embeddings").select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      graft.functions.Vecs.quantizeI8(col("embedding").cast("array<double>")).as("qi"))
+    val (labels, ns, sums) =
+      graft.operators.Similarity.labelCentroidsQ8(q, "label", "qi")
+        .getOrElse(throw new IllegalStateException("empty embeddings table"))
+    drainStaged(s, dir, copies = 1, table = "embeddings")(
+      graft.streaming.CorpusStream.classifyCensus(s, _, name, labels, ns, sums))
+    drained(s, name).orderBy("label", "pred")
+  }
+
   /** Stateful streaming funnel ([[graft.streaming.FunnelStream]]),
     * drained and rolled up to the q29 report shape. Zero watermark
     * delay means the AvailableNow drain seals and folds every event,

@@ -127,6 +127,35 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming nearest-centroid classification census — the
+    * similarity-search cell of the ingest pipeline: arriving embedding
+    * vectors are int8-quantized and scored against a STATIC integer
+    * centroid table ([[graft.operators.Similarity.labelCentroidsQ8]],
+    * trained batch-side over the historical corpus — the ship-the-
+    * codebook-as-a-constant pattern), then rolled up to the
+    * (true label, predicted label) confusion census. Scoring is
+    * STATELESS (the table rides the constant pool inside whole-stage
+    * codegen, exactly as in batch); the census aggregation is the only
+    * stateful node. Exact integer distances end to end, which is what
+    * lets the drained census share the batch emb_classify oracle
+    * verbatim — a float-distance argmin would flip near-ties across
+    * engines and could never be hash-matched. */
+  def classifyCensus(spark: SparkSession, embDir: String, outputTable: String,
+                     labels: Array[Long], ns: Array[Long], sums: Array[Long],
+                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    Tables.parquetStream(spark, embDir, maxFilesPerTrigger)
+      .select(col("label").cast("long").as("label"),
+        graft.functions.Vecs.quantizeI8(col("embedding").cast("array<double>")).as("qi"))
+      .select(col("label"),
+        graft.functions.Vecs.nearestLabelQ8(col("qi"), labels, ns, sums).as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory").queryName(outputTable)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Batch twin of [[lshIndex]] over the same kernels — the spec's
     * equality reference and the backfill path a deployment runs once
     * over the historical corpus before switching on the stream. */

@@ -116,6 +116,18 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
     assert(two == one, "cross-batch dedup state failed: doubled corpus changed the rollup")
   }
 
+  test("stream_classify census equals the batch emb_classify report bit-for-bit") {
+    val streamed = graft.queries.StreamingQueries.streamClassify(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.queries.Extensions.embClassify(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the report must contain real predictions, not a degenerate
+    // single-label collapse
+    assert(batch.keys.map(_._2).toSet.size > 1)
+  }
+
   test("declared stream_minhash reports only collision buckets, deterministically") {
     val a = graft.queries.StreamingQueries.streamMinhash(spark, dir).collect()
     assert(a.nonEmpty, "no LSH collisions at sf0.001 — planted dups should collide")
