@@ -250,6 +250,84 @@ object TextAnalysis {
         expr("sp DIV n_bigrams").as("lm_score_ppm"))
   }
 
+  /** Trigram Stupid-Backoff LM quality score (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the backoff
+    * scheme built for exactly this regime: web-scale counts, no
+    * held-out smoothing pass) over a TRAIN/SCORE corpus pair — the
+    * held-out form [[lmBigramScore]] isn't: scoring a corpus against
+    * its own counts can never miss an n-gram, so backoff would be dead
+    * code; training counts on one slice and scoring another is both
+    * the honest perplexity-filter shape (CCNet trains on Wikipedia,
+    * scores the crawl) and what makes the backoff chain load-bearing.
+    *
+    * Exact scaled-integer score per trigram position (a b c), α = 0.4:
+    * {{{
+    *   C(abc) > 0 : p = 10⁶·C(abc)        DIV C(ab)
+    *   C(bc)  > 0 : p = 4·10⁵·C(bc)       DIV C(b)     (α·10⁶)
+    *   C(c)   > 0 : p = 16·10⁴·C(c)       DIV T        (α²·10⁶)
+    *   else       : p = 0                               (OOV)
+    * }}}
+    * per-document score = Σp DIV n_trigrams — pure integers, so a SQL
+    * oracle reproduces the whole chain digit for digit. Guard
+    * invariants making the CASE well-defined: C(abc)>0 ⇒ ab appeared
+    * in a ≥3-token train doc ⇒ C(ab)>0; C(bc)>0 ⇒ C(b)>0.
+    *
+    * Scale shape: three count tables keyed by the n-gram string (the
+    * [[lmBigramScore]] broadcast-gate pattern — broadcast under the
+    * limit, shuffle join above), the scored side exploded ONCE to
+    * trigram positions with ab/bc/b/c derived by substring_index (no
+    * second tokenize), T as one bounded driver scalar (the pageRank-N
+    * class). Tokenization is the shingle kernel on BOTH sides,
+    * whole-doc-when-short entries included in the count tables — a
+    * ≤2-token entry can never collide with a real 3-token gram, and
+    * mirroring the kernel exactly is what keeps the oracle honest. */
+  def lmTrigramScore(train: DataFrame, score: DataFrame, idCol: String,
+                     textCol: String,
+                     broadcastLimit: Long = 2_000_000L): DataFrame = {
+    val tBase = train.select(
+        Sketches.wordShingles(col(textCol), 1).as("uni"),
+        Sketches.wordShingles(col(textCol), 2).as("bi"),
+        Sketches.wordShingles(col(textCol), 3).as("tri"))
+      .localCheckpoint()
+    val c1 = tBase.select(explode(col("uni")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).localCheckpoint()
+    val c2 = tBase.select(explode(col("bi")).as("g2"))
+      .groupBy("g2").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val c3 = tBase.select(explode(col("tri")).as("g3"))
+      .groupBy("g3").agg(count(lit(1)).as("c3")).localCheckpoint()
+    val totalT = c1.agg(coalesce(sum(col("c1")), lit(0L))).collect()(0).getLong(0)
+    require(totalT > 0, "empty training slice — no counts to score against")
+    def gated(probe: DataFrame, tab: DataFrame, key: Seq[String]): DataFrame =
+      if (tab.count() <= broadcastLimit) probe.join(broadcast(tab), key, "left")
+      else probe.join(tab, key, "left")
+    val pos = score.select(col(idCol),
+        Sketches.wordShingles(col(textCol), 1).as("uni"),
+        Sketches.wordShingles(col(textCol), 3).as("tri"))
+      .filter(size(col("uni")) >= 3)
+      .select(col(idCol), explode(col("tri")).as("g3"))
+      .withColumn("g2", substring_index(col("g3"), " ", 2))       // ab
+      .withColumn("bc", substring_index(col("g3"), " ", -2))
+      .withColumn("b", substring_index(col("bc"), " ", 1))
+      .withColumn("c", substring_index(col("g3"), " ", -1))
+    val j = gated(
+      gated(
+        gated(
+          gated(pos, c3, Seq("g3")),
+          c2, Seq("g2")),
+        c2.select(col("g2").as("bc"), col("c2").as("c2bc")), Seq("bc")),
+      c1.select(col("w").as("b"), col("c1").as("c1b")), Seq("b"))
+    gated(j, c1.select(col("w").as("c"), col("c1").as("c1c")), Seq("c"))
+      .withColumn("p", expr(
+        s"""CASE WHEN c3 IS NOT NULL THEN (1000000 * c3) DIV c2
+           |     WHEN c2bc IS NOT NULL THEN (400000 * c2bc) DIV c1b
+           |     WHEN c1c IS NOT NULL THEN (160000 * c1c) DIV ${totalT}L
+           |     ELSE 0L END""".stripMargin))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("p")).as("sp"))
+      .select(col(idCol), col("n_trigrams"),
+        expr("sp DIV n_trigrams").as("lm3_score_ppm"))
+  }
+
   /** Unicode-script profile — the curation filter [[langId]] can't be:
     * stopword language-ID only knows its seeded languages, while script
     * counting classifies ANY text (drop-by-script, mixed-script spam

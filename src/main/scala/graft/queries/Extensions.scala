@@ -2005,6 +2005,24 @@ object Extensions {
     graft.operators.TextAnalysis.lmBigramScore(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Held-out trigram Stupid-Backoff LM quality score
+    * ([[graft.operators.TextAnalysis.lmTrigramScore]]): counts trained
+    * on the 90% train slice of the shared md5 split, val/test documents
+    * scored — so unseen trigrams REALLY back off (a corpus scored
+    * against its own counts never misses; the bigram form text_lm_bigram
+    * keeps that self-scoring shape, this one is the honest held-out
+    * filter). All integer arithmetic; oracle-checked digit for digit
+    * including the backoff CASE chain. */
+  def textLmTrigram(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.operators.CorpusSplit
+      .split(t(s, dir, "documents"), "text", corpusSplitSpec)
+    graft.operators.TextAnalysis.lmTrigramScore(
+        d.filter(col("split") === "train"),
+        d.filter(col("split").isin("val", "test")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Link-analysis quality prior ([[graft.operators.Graph.pageRankE9]]):
     * 10 fixed-point PageRank iterations over a deterministic domain
     * graph derived from the documents table (synthesize-then-operate —
@@ -4071,6 +4089,60 @@ object ExtensionOracles {
       |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin
+
+  /** [[Extensions.textLmTrigram]]: the full held-out chain — split
+    * CASE from the shared hex thresholds, kernel tokenization, the
+    * whole-doc-when-short shingle rule in every count table (a ≤2-token
+    * entry can't collide with a 3-token gram, but mirroring the kernel
+    * keeps the tables bit-equal), train-slice uni/bi/trigram counts,
+    * per-position LEFT JOINs, and the same integer Stupid-Backoff CASE
+    * (10⁶ / 4·10⁵ / 16·10⁴ scales, `//` ≡ DIV on non-negative
+    * operands). */
+  val textLmTrigram: String = {
+    val spec = Extensions.corpusSplitSpec
+    val ths = graft.operators.CorpusSplit.hexThresholds(spec)
+    val whens = spec.init.zip(ths.init).map { case ((name, _), cut) =>
+      s"WHEN substr(md5(text), 1, 8) < '$cut' THEN '$name'"
+    }.mkString(" ")
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, CASE $whens ELSE '${spec.last._1}' END AS split,
+       |         list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |  FROM documents),
+       |trn AS MATERIALIZED (SELECT tk FROM d WHERE split = 'train'),
+       |u1 AS (SELECT CASE WHEN len(tk) < 1 THEN [coalesce(array_to_string(tk, ' '), '')]
+       |                   ELSE tk END AS l FROM trn),
+       |u2 AS (SELECT CASE WHEN len(tk) < 2 THEN [coalesce(array_to_string(tk, ' '), '')]
+       |                   ELSE [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] END AS l FROM trn),
+       |u3 AS (SELECT CASE WHEN len(tk) < 3 THEN [coalesce(array_to_string(tk, ' '), '')]
+       |                   ELSE [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)] END AS l FROM trn),
+       |c1 AS MATERIALIZED (SELECT w, count(*) AS c1 FROM (SELECT unnest(l) AS w FROM u1) GROUP BY w),
+       |c2 AS MATERIALIZED (SELECT g2, count(*) AS c2 FROM (SELECT unnest(l) AS g2 FROM u2) GROUP BY g2),
+       |c3 AS MATERIALIZED (SELECT g3, count(*) AS c3 FROM (SELECT unnest(l) AS g3 FROM u3) GROUP BY g3),
+       |tot AS (SELECT sum(c1) AS t FROM c1),
+       |sc AS (SELECT doc_id, tk FROM d WHERE split IN ('val', 'test') AND len(tk) >= 3),
+       |pos AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g3,
+       |         array_to_string(tk[i:i+1], ' ') AS g2,
+       |         array_to_string(tk[i+1:i+2], ' ') AS bc,
+       |         tk[i+1] AS b, tk[i+2] AS c
+       |  FROM sc, unnest(range(1, len(tk) - 1)) u(i)),
+       |p AS (
+       |  SELECT pos.doc_id,
+       |         CASE WHEN c3.c3 IS NOT NULL THEN (1000000 * c3.c3) // cab.c2
+       |              WHEN cbc.c2 IS NOT NULL THEN (400000 * cbc.c2) // cb.c1
+       |              WHEN cc.c1 IS NOT NULL THEN (160000 * cc.c1) // (SELECT t FROM tot)
+       |              ELSE 0 END AS p
+       |  FROM pos
+       |  LEFT JOIN c3 ON pos.g3 = c3.g3
+       |  LEFT JOIN c2 cab ON pos.g2 = cab.g2
+       |  LEFT JOIN c2 cbc ON pos.bc = cbc.g2
+       |  LEFT JOIN c1 cb ON pos.b = cb.w
+       |  LEFT JOIN c1 cc ON pos.c = cc.w)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |       CAST(sum(p) // count(*) AS BIGINT) AS lm3_score_ppm
+       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** [[Extensions.textLmBigram]]: the shingle kernel's tokens (lower,
     * kernel whitespace class, empties dropped), bigrams only for docs

@@ -59,6 +59,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out.last._3 < out.head._3)
   }
 
+  test("lmTrigramScore: each backoff tier hits its closed form") {
+    // train: "a b c" x3, "b c d", "d" — so
+    //   T = 13 tokens; c(a)=3 c(b)=4 c(c)=4 c(d)=2
+    //   c3("a b c")=3, c3("b c d")=1; c2("a b")=3, c2("b c")=4, c2("c d")=1
+    //   (the 1-token train doc contributes whole-short entries "d" to
+    //   the bi/trigram tables — ≤1-token strings that can never match
+    //   a real 2- or 3-token gram)
+    val train = (Seq.fill(3)("a b c") ++ Seq("b c d", "d")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val score = Seq(
+      (100L, "a b c"),  // seen trigram:     1e6·3 DIV 3           = 1000000
+      (101L, "x b c"),  // backoff to "b c": 4e5·4 DIV 4           =  400000
+      (102L, "x y d"),  // backoff to "d":   16e4·2 DIV 13         =   24615
+      (103L, "x y z"),  // OOV tail                                 =       0
+      (104L, "a b")     // < 3 tokens: no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmTrigramScore(train, score, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (100L, 1L, 1000000L), (101L, 1L, 400000L),
+      (102L, 1L, 24615L), (103L, 1L, 0L)))
+  }
+
+  test("lmTrigramScore: shuffle-join path (broadcastLimit 0) is answer-identical") {
+    val train = Seq((0L, "a b c d a b c"), (1L, "c d a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c x d"), (11L, "d a b")).toDF("doc_id", "text")
+    val bc = TextAnalysis.lmTrigramScore(train, score, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val sh = TextAnalysis.lmTrigramScore(train, score, "doc_id", "text",
+        broadcastLimit = 0L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(bc == sh && bc.nonEmpty)
+  }
+
   test("lmBigramScore: shuffle-join path (broadcastLimit 0) is answer-identical") {
     val docs = Seq((0L, "a b c a b"), (1L, "c c a"), (2L, "b a")).toDF("doc_id", "text")
     val bc = TextAnalysis.lmBigramScore(docs, "doc_id", "text")
