@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.t
@@ -1766,6 +1767,76 @@ object Extensions {
       loc.toString
     })
     s.read.parquet(path).as(Encoders.product[Multimodal.MediaRow])
+  }
+
+  /** Scene-structured MJPEG-in-AVI corpus for [[mmVideoScene]] (the
+    * [[videoCorpus]] store pattern, one directory per JVM): each video
+    * has `n = 5 + id%6` frames in scenes of length `L = 2 + id%3`;
+    * within a scene every frame is identical, and at each scene
+    * boundary the two gray halves SWAP brightness order (even scene:
+    * top 160+x / bottom 40+x, odd scene: reversed) — so the per-frame
+    * aHash flips all 64 bits exactly at the cuts and nowhere else,
+    * giving the detector a closed-form ground truth: cuts at multiples
+    * of L, `ceil(n/L)` scenes. */
+  private def sceneVideoCorpus(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import org.apache.spark.sql.Encoders
+    val path = videoStores.computeIfAbsent(s"$dir#scene", _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_video_${tag}_scene")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (16 + (id % 5) * 8).toInt
+          val h = (16 + (id % 3) * 16).toInt
+          val n = (5 + id % 6).toInt
+          val sceneLen = (2 + id % 3).toInt
+          val x = (id % 40).toInt
+          val frames = Seq.tabulate(n) { k =>
+            val even = (k / sceneLen) % 2 == 0
+            val (v1, v2) = if (even) (160 + x, 40 + x) else (40 + x, 160 + x)
+            Multimodal.MediaFixtures.jpegGrayHalves(w, h, v1, v2)
+          }
+          Multimodal.MediaRow(id,
+            Multimodal.MediaFixtures.aviMjpeg(w, h, (24 + id % 7).toInt, frames))
+        }
+      }(Encoders.product[Multimodal.MediaRow])
+        .write.mode("overwrite").parquet(loc.toString)
+      loc.toString
+    })
+    s.read.parquet(path).as(Encoders.product[Multimodal.MediaRow])
+  }
+
+  /** Video TEMPORAL SEGMENTATION — scene-cut detection, the step a
+    * video training pipeline runs between container walk and frame
+    * sampling (sample per SCENE, not per fixed stride, or a 2-hour
+    * static shot eats the token budget a montage deserves): a cut at
+    * frame k iff hamming(aHash_k, aHash_{k−1}) > τ over the per-frame
+    * perceptual hashes of [[Multimodal.decodeVideoAHash]] — the
+    * brightness-shift-invariant detector actual shot-boundary systems
+    * build on. One window (partitionBy video, orderBy stream position,
+    * lag 1) + one aggregate; at 100 TB the window shuffles (video_id,
+    * 2×i64 hash) rows, never pixels — frame decode happened in the
+    * same task that read the blob. Closed-form fixture
+    * ([[sceneVideoCorpus]]) ⇒ fully oracle-checked: n_scenes =
+    * ceil(n/L), first cut at L. */
+  def mmVideoScene(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.decodeVideoAHash(sceneVideoCorpus(s, dir)).toDF()
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("ph", lag(col("ahash_hi"), 1).over(w))
+      .withColumn("pl", lag(col("ahash_lo"), 1).over(w))
+      .withColumn("cut", col("ph").isNotNull &&
+        (bit_count(col("ahash_hi").bitwiseXOR(col("ph"))) +
+          bit_count(col("ahash_lo").bitwiseXOR(col("pl")))) > 16)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        (coalesce(sum(when(col("cut"), 1L)), lit(0L)) + 1L).as("n_scenes"),
+        min(when(col("cut"), col("frame_idx"))).cast("long").as("first_cut"))
+      .orderBy("media_id")
   }
 
   /** CONTENT-level video dedup: group videos by a signature of their
@@ -3912,6 +3983,20 @@ object ExtensionOracles {
     * pattern of v1_k vs v2_k — UNSHIFTED values, the brightness delta
     * and the fps (both from the full doc_id) never appear: that is
     * the point. */
+  /** [[Extensions.mmVideoScene]]: the fixture's closed form — cuts at
+    * every multiple of the scene length L = 2 + id%3 (the aHash flips
+    * all 64 bits there, 0 elsewhere), so n_scenes = ceil(n/L) with
+    * n = 5 + id%6 frames and the first cut lands exactly at L. The
+    * detector must decode real JPEG frames, hash them, window by
+    * stream position, and threshold the hamming delta to reproduce
+    * these integers. */
+  val mmVideoScene: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(5 + doc_id % 6 AS BIGINT) AS n_frames,
+      |       CAST((6 + doc_id % 6 + doc_id % 3) // (2 + doc_id % 3) AS BIGINT) AS n_scenes,
+      |       CAST(2 + doc_id % 3 AS BIGINT) AS first_cut
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val mmVideoPhash: String =
     """WITH sig AS (
       |  SELECT doc_id, doc_id % 110 AS m FROM documents),

@@ -558,6 +558,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert((a.kind, a.width, a.height) == (("mp4", 0, 0)))
   }
 
+  test("mm_video_scene: cut count and first-cut position hit the fixture's closed form") {
+    val out = graft.queries.Extensions.mmVideoScene(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val id = r.getLong(0)
+      val n = 5 + id % 6
+      val sceneLen = 2 + id % 3
+      assert(r.getLong(1) == n, s"n_frames id=$id")
+      assert(r.getLong(2) == (n + sceneLen - 1) / sceneLen, s"n_scenes id=$id")
+      assert(r.getLong(3) == sceneLen, s"first_cut id=$id")
+    }
+    // a real spread of scene counts, not one degenerate value
+    assert(out.map(_.getLong(2)).distinct.length > 2)
+  }
+
   test("resize plan preserves aspect ratio and caps the long side") {
     val plan = Multimodal.resizePlan(Multimodal.decode(media), maxSide = 256)
       .collect()
