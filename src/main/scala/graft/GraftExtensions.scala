@@ -109,6 +109,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("cosine_i8", "cosine_i8(a, b) - cosine over int8 codes (integer dot products)") {
       es => CosineI8(es.head, es(1))
     }
+    reg("dot_i8", "dot_i8(a, b) - exact integer dot product of int8 code arrays") {
+      es => DotI8(es.head, es(1))
+    }
     reg("normalize_url", "normalize_url(url) - canonical URL (case/www/port/slash/tracking-param/fragment)") {
       es => NormalizeUrl(es.head)
     }

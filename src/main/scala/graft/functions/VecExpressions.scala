@@ -167,6 +167,24 @@ object VecUtil {
     dab.toDouble / math.sqrt(daa.toDouble) / math.sqrt(dbb.toDouble)
   }
 
+  /** Exact integer dot product of two int8 code arrays — the piece of
+    * [[cosineI8]] that needs no sqrt, for operators whose ORDERING must
+    * be engine-reproducible (MMR diversification): |dot| ≤ 127²·d, so
+    * i64 is exact up to ~5·10¹⁴ dimensions. Long.MinValue sentinel on
+    * length mismatch (a NaN-like poison an integer can't express —
+    * callers join same-corpus codes, so it never fires in practice). */
+  def dotI8(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Long.MinValue
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      d += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    d
+  }
+
   /** Nearest integer-centroid LABEL for one int8-quantized vector.
     * For each label l with n_l members and per-dimension code sums
     * S_l: D_l = Σ_p (n_l·x_p − S_lp)² — exact int64 (no float
@@ -429,6 +447,19 @@ case class CosineI8(left: Expression, right: Expression) extends BinaryExpressio
 }
 
 /** quant_stats(array<double>) → struct<q_sum: long, recon_cos: double>. */
+/** dot_i8(array<tinyint>, array<tinyint>) → bigint exact integer dot
+  * product ([[VecUtil.dotI8]]) — [[CosineI8]]'s sqrt-free sibling for
+  * order-reproducible scoring. */
+case class DotI8(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.dotI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecUtil.dotI8($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotI8 =
+    copy(left = l, right = r)
+}
+
 case class QuantStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("q_sum", LongType, nullable = false),
@@ -590,6 +621,8 @@ object Vecs {
     ColumnBridge.column(QuantizeI8(ColumnBridge.expression(vec)))
   def cosineI8(a: Column, b: Column): Column =
     ColumnBridge.column(CosineI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dotI8(a: Column, b: Column): Column =
+    ColumnBridge.column(DotI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def nearestLabelQ8(qi: Column, labels: Array[Long], ns: Array[Long],
                      sums: Array[Long]): Column =
     ColumnBridge.column(NearestLabelQ8(ColumnBridge.expression(qi), labels, ns, sums))

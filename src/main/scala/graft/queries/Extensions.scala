@@ -495,6 +495,74 @@ object Extensions {
       .orderBy("label", "pred")
   }
 
+  /** Diversified retrieval — Maximal Marginal Relevance (Carbonell &
+    * Goldstein 1998) re-ranking of each query's candidate pool: pick
+    * argmax of `7·rel(d) − 3·max_{s∈chosen} sim(d, s)` five times
+    * (λ = 0.7 in tenths), so near-duplicate candidates cannot crowd a
+    * result list — the retrieval-side twin of dedup_semantic, and what
+    * a curation pipeline uses to draw DIVERSE exemplars instead of 5
+    * copies of the best cluster. All scoring is the EXACT integer int8
+    * dot product ([[graft.functions.Vecs.dotI8]] — CosineI8's
+    * sqrt-free sibling), ties on (score DESC, id ASC): selection order
+    * is engine-reproducible, so the oracle unrolls the same 5 picks
+    * and hash-matches — a float-scored MMR could never be gated this
+    * way. Scale shape: relevance pool = top-20 per query via the
+    * bounded-heap TopKAgg (the post-ANN candidate set — MMR is always
+    * a per-query POST-process over bounded candidates, never a corpus
+    * scan), then 5 rounds of (broadcast-joinable chosen set × pool)
+    * scoring on ≤20-row-per-query frames. */
+  def embMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vecs.quantizeI8(col("embedding").cast("array<double>")).as("qi"))
+      .localCheckpoint()   // quantize once: pool build + code re-attach
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qi").as("qqi"))
+    val pool = emb.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("id"),
+        graft.functions.Vecs.dotI8(col("qi"), col("qqi")).as("rel"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("rel"), (-col("id")).as("nid")), 20).as("t"))
+      .select(col("qid"), explode(col("t")).as("s"))
+      .select(col("qid"), (-col("s.nid")).as("id"), col("s.rel").as("rel"))
+      .join(emb.select(col("vec_id").as("id"), col("qi")), Seq("id"))
+      .localCheckpoint()
+    var chosen = pool.select(col("qid"), col("id"), col("qi"),
+      lit(0L).as("rank")).limit(0).localCheckpoint()
+    var remaining = pool
+    var out = pool.select(col("qid"), lit(0L).as("rank"), col("id"),
+      col("rel"), lit(0L).as("mmr")).limit(0)
+    for (step <- 1 to 5) {
+      val scoredStep =
+        if (step == 1) remaining.withColumn("mmr", col("rel") * 7)
+        else {
+          val mx = remaining.select(col("qid"), col("id"), col("qi"))
+            .join(chosen.select(col("qid"), col("qi").as("cqi")), Seq("qid"))
+            .select(col("qid"), col("id"),
+              graft.functions.Vecs.dotI8(col("qi"), col("cqi")).as("cs"))
+            .groupBy("qid", "id").agg(max(col("cs")).as("mx"))
+          remaining.join(mx, Seq("qid", "id"))
+            .withColumn("mmr", col("rel") * 7 - col("mx") * 3)
+        }
+      val pick = scoredStep
+        .groupBy("qid")
+        .agg(max(struct(col("mmr"), (-col("id")).as("nid"))).as("m"))
+        .select(col("qid"), (-col("m.nid")).as("id"), col("m.mmr").as("mmr"))
+        .join(pool.select(col("qid"), col("id"), col("rel"), col("qi")),
+          Seq("qid", "id"))
+        .localCheckpoint()
+      out = out.unionByName(pick.select(col("qid"), lit(step.toLong).as("rank"),
+        col("id"), col("rel"), col("mmr")))
+      chosen = chosen.unionByName(pick.select(col("qid"), col("id"), col("qi"),
+        lit(step.toLong).as("rank"))).localCheckpoint()
+      remaining = remaining.join(pick.select("qid", "id"), Seq("qid", "id"), "left_anti")
+        .localCheckpoint()
+    }
+    out.orderBy("qid", "rank")
+  }
+
   /** Deterministic 90/5/5 corpus split by content hash (split counts).
     * Oracle-checked: the md5-hex bucket ([[graft.operators.CorpusSplit]])
     * is reproducible in any engine; proportions and partition-
@@ -2710,6 +2778,61 @@ object ExtensionOracles {
       |       round(len(list_intersect(tk, qtk))::DOUBLE / len(qtk)::DOUBLE, 4) AS containment
       |FROM tok, q WHERE doc_id > 0
       |ORDER BY containment DESC, doc_id LIMIT 50""".stripMargin
+
+  /** [[Extensions.embMmr]]: the trunc-quantize chain, exact integer
+    * dots as list comprehensions (integer-valued doubles are exact to
+    * 2⁵³, |dot| ≤ 127²·64 ≈ 10⁶), the same top-20 (rel DESC, id) pool,
+    * and the 5 MMR picks unrolled — each step scores the not-yet-chosen
+    * pool against the chosen set's pairwise dots and takes the
+    * (mmr DESC, id) head, mirroring the engine's struct-max argmax.
+    * Every step MATERIALIZED: chosen sets are referenced by later
+    * steps, and inlining would re-evaluate the chain exponentially. */
+  val embMmr: String = {
+    val steps = (2 to 5).map { k =>
+      val prev = (1 until k).map(i => s"SELECT qid, id FROM p$i").mkString(" UNION ALL ")
+      s"""ch$k AS MATERIALIZED ($prev),
+         |m$k AS MATERIALIZED (
+         |  SELECT r.qid, r.id, r.rel,
+         |         CAST(7 * r.rel - 3 * max(ps.s) AS BIGINT) AS mmr
+         |  FROM poolc r
+         |  JOIN ch$k ch ON ch.qid = r.qid
+         |  JOIN ps ON ps.qid = r.qid AND ps.ia = r.id AND ps.ib = ch.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ch$k x WHERE x.qid = r.qid AND x.id = r.id)
+         |  GROUP BY r.qid, r.id, r.rel),
+         |p$k AS MATERIALIZED (
+         |  SELECT qid, id, rel, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, id) AS rk
+         |    FROM m$k) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(k =>
+      s"SELECT qid, CAST($k AS BIGINT) AS rank, id, rel, mmr FROM p$k")
+      .mkString(" UNION ALL ")
+    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |m0 AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS maxabs FROM v0),
+       |v AS MATERIALIZED (SELECT vec_id,
+       |       CASE WHEN maxabs > 0 THEN list_transform(x, e -> trunc(e * 127.0 / maxabs))
+       |            ELSE list_transform(x, e -> 0.0) END AS qi
+       |     FROM m0),
+       |q AS (SELECT vec_id AS qid, qi AS qqi FROM v WHERE vec_id < 5),
+       |c AS MATERIALIZED (SELECT vec_id AS id, qi FROM v WHERE vec_id >= 5),
+       |rel AS (SELECT q.qid, c.id, c.qi,
+       |               CAST(list_sum([c.qi[i] * q.qqi[i] for i in range(1, len(c.qi) + 1)]) AS BIGINT) AS rel
+       |        FROM c, q),
+       |poolc AS MATERIALIZED (
+       |  SELECT qid, id, qi, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rk
+       |    FROM rel) WHERE rk <= 20),
+       |ps AS MATERIALIZED (
+       |  SELECT a.qid, a.id AS ia, b.id AS ib,
+       |         CAST(list_sum([a.qi[i] * b.qi[i] for i in range(1, len(a.qi) + 1)]) AS BIGINT) AS s
+       |  FROM poolc a JOIN poolc b ON a.qid = b.qid),
+       |p1 AS MATERIALIZED (
+       |  SELECT qid, id, rel, CAST(7 * rel AS BIGINT) AS mmr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY 7 * rel DESC, id) AS rk
+       |    FROM poolc) WHERE rk = 1),
+       |$steps
+       |SELECT qid, rank, id, rel, mmr FROM ($out) ORDER BY qid, rank""".stripMargin
+  }
 
   /** [[Extensions.embCentroid]]: the [[embQuantize]] trunc-quantize
     * chain, then positional unnest → per-(label, pos) exact integer

@@ -40,6 +40,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  spelled_digits('one cat two') AS sd,
         |  quant_stats(array(1.0d, -0.5d)).q_sum AS qsum,
         |  cosine_i8(quantize_i8(array(1.0d, 0.0d)), quantize_i8(array(2.0d, 0.0d))) AS ci8,
+        |  dot_i8(quantize_i8(array(1.0d, 0.0d)), quantize_i8(array(1.0d, 0.0d))) AS di8,
         |  interleave_bits(3L, 5L) AS z,
         |  hilbert_index(0L, 1L) AS h,
         |  bpe_stats('abab ab', 'a', 'b', 'ab', 'ab') AS bpe,
@@ -59,6 +60,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[String]("sd") == "1 cat 2")
     assert(row.getAs[Long]("qsum") == 127L - 63L)
     assert(row.getAs[Double]("ci8") == 1.0)   // same direction -> cosine 1 over codes
+    assert(row.getAs[Long]("di8") == 127L * 127L)
     assert(row.getAs[Long]("z") == 39L)       // interleave(0b11, 0b101) = 0b100111
     assert(row.getAs[Long]("h") ==
       graft.functions.LayoutUtil.hilbert8(0L, 1L))

@@ -280,4 +280,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("hashpartitioning(label"), plan.take(2000))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
+
+  test("emb_mmr: rank-1 is pure relevance, scores non-increasing, selection diversifies") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.queries.Extensions.embMmr(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(byQ.values.forall(_.length == 5))
+    for ((_, rows) <- byQ) {
+      val sorted = rows.sortBy(_._2)
+      // step 1 is the pure-relevance argmax: its mmr is exactly 7·rel
+      assert(sorted.head._5 == 7 * sorted.head._4)
+      assert(sorted.head._4 == rows.map(_._4).max)
+      // (no monotonicity assert: with NEGATIVE pairwise dots the
+      // −3·maxSim term can lift a later pick above an earlier score —
+      // anti-correlated candidates are rewarded, which is the point)
+      // no repeats
+      assert(rows.map(_._3).distinct.length == 5)
+    }
+    // diversification must BITE somewhere: at least one query's MMR
+    // five differs from its plain relevance five (otherwise λ=0.7 is
+    // dead weight on this corpus and the gate proves nothing)
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+      .select($"vec_id",
+        graft.functions.Vecs.quantizeI8($"embedding".cast("array<double>")).as("qi"))
+    val q5 = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"qi".as("qqi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy($"rel".desc, $"id")
+    val relTop5 = emb.filter($"vec_id" >= 5).crossJoin(broadcast(q5))
+      .select($"qid", $"vec_id".as("id"),
+        graft.functions.Vecs.dotI8($"qi", $"qqi").as("rel"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rk" <= 5)
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mmrSets = byQ.view.mapValues(_.map(_._3).toSet).toMap
+    assert((0L to 4L).exists(q => mmrSets(q) != relTop5(q)),
+      "MMR selected exactly the relevance top-5 for every query — diversification is vacuous")
+  }
 }

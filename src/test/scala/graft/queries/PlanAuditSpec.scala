@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_q8_topk",          // 5-row quantized query set
     "ann_q8_range",         // 5-row quantized query set (radius variant)
     "emb_knn_graph",        // bounded probe batch (every 10th vector) broadcast
+    "emb_mmr",              // 5-row query set broadcast into the pool build
     "emb_trunc_recall",     // same probe batch, two ranking passes
     "text_tfidf",           // 1-row corpus-size aggregate (scalar-subquery shape)
     "graph_nf_hll")         // 1-row N(0) mass aggregate broadcast into the
