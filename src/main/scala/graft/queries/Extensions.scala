@@ -555,10 +555,13 @@ object Extensions {
         .localCheckpoint()
       out = out.unionByName(pick.select(col("qid"), lit(step.toLong).as("rank"),
         col("id"), col("rel"), col("mmr")))
+      // no further lineage cuts: chosen is a union of checkpointed
+      // picks and remaining a ≤5-deep anti-join chain over the
+      // checkpointed pool — shallow by the loop bound, so the extra
+      // materialization jobs would cost more than they save
       chosen = chosen.unionByName(pick.select(col("qid"), col("id"), col("qi"),
-        lit(step.toLong).as("rank"))).localCheckpoint()
+        lit(step.toLong).as("rank")))
       remaining = remaining.join(pick.select("qid", "id"), Seq("qid", "id"), "left_anti")
-        .localCheckpoint()
     }
     out.orderBy("qid", "rank")
   }
