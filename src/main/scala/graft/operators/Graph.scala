@@ -643,6 +643,64 @@ object Graph {
     labels
   }
 
+  /** Multi-source weighted shortest distances over the DIRECTED induced
+    * subgraph: returns `(node, dist)` for every node reachable from
+    * `sources(node)`, dist = the minimum total edge weight of any
+    * directed path from any source (sources themselves at 0).
+    * POSITIVE integer weights in `edges(src, dst, w)`; unreachable
+    * nodes produce no row (the harmonic-centrality convention — no ∞
+    * sentinel to leak into arithmetic). This is the crawl-depth /
+    * link-distance-from-trusted-seeds prior (the distance-to-whitelist
+    * feature TrustRank-style spam filtering pairs with [[pageRankE9]]'s
+    * seeded rank), and the weighted generalization of a BFS frontier.
+    *
+    * Bellman-Ford-style synchronous relaxation on the BSP chassis:
+    * each step ships `dist + w` along every out-edge of the reached
+    * frontier and folds `groupBy(node).min` — min is associative and
+    * idempotent (map-side combine under in-degree skew, re-delivery
+    * harmless), the reached set only grows and distances only fall, so
+    * a step that changes nothing is the fixpoint: early exit returns
+    * exactly the full budget's answer, and an exhausted `maxIters`
+    * FAILS LOUDLY (truncated relaxation yields plausible-looking but
+    * non-minimal upper bounds — the worst kind of silent wrong).
+    * Step count is bounded by the longest shortest-path HOP count, not
+    * |V|; per-iteration localCheckpoint is the standard lineage cut. */
+  def shortestDistances(edges: DataFrame, nodes: DataFrame,
+                        sources: DataFrame, maxIters: Int): DataFrame = {
+    require(maxIters >= 1)
+    val nset = nodes.select(col("node"))
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint()
+    var dist = sources.select(col("node")).distinct()
+      .join(nset, Seq("node"), "left_semi")
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      it += 1
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val merged = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      // reached only grows, distances only fall: any new node or any
+      // strict decrease = not yet converged; neither = fixpoint
+      converged = merged.join(dist.select(col("node"), col("dist").as("od")),
+          Seq("node"), "left")
+        .filter(col("od").isNull || col("dist") < col("od"))
+        .isEmpty
+      dist = merged
+    }
+    require(converged,
+      s"shortest-path relaxation hit the $maxIters-step budget before its " +
+        "fixpoint — distances would be non-minimal upper bounds; raise maxIters " +
+        "above the longest shortest-path hop count")
+    dist
+  }
+
   /** Strongly connected components over the DIRECTED induced subgraph
     * of `edges(src, dst)` on `nodes(node)`: returns `(node, scc_id)`
     * with scc_id = the minimum node id in the component. Exact — runs

@@ -2322,6 +2322,30 @@ object Extensions {
       .orderBy("dist")
   }
 
+  /** Multi-source weighted shortest distances
+    * ([[graft.operators.Graph.shortestDistances]]): link distance from
+    * a trusted seed set — the crawl-depth prior paired with seeded
+    * PageRank ([[graphPpr]]) in whitelist-distance spam filtering.
+    * Fixture: the [[graphCc]] chain-blocks graph taken DIRECTED with
+    * weight `dst % 5 + 1` per edge, seeds {0, 60}; block boundaries
+    * (`d ≡ 6 mod 7`) cut the chains, so most nodes are genuinely
+    * unreachable and produce no row. Exact integers; the oracle walks
+    * the same weighted edges with a bounded recursive CTE and takes
+    * the per-node minimum. */
+  def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val bridges = nodes.filter(col("node").isin(0, 25))
+      .select(col("node").as("src"), (col("node") + 50).as("dst"))
+    val edges = chain.unionByName(bridges)
+      .withColumn("w", col("dst") % 5 + 1)
+    val sources = nodes.filter(col("node").isin(0, 60))
+    graft.operators.Graph.shortestDistances(edges, nodes, sources, maxIters = 16)
+      .orderBy("node")
+  }
+
   /** Strongly connected components
     * ([[graft.operators.Graph.stronglyConnectedComponents]]): the
     * mutual-reachability partition a link graph needs where undirected
@@ -4489,6 +4513,29 @@ object ExtensionOracles {
        |$iters
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
   }
+
+  /** [[Extensions.graphSssp]]: ground truth by a bounded recursive-CTE
+    * walk over the same weighted fixture — enumerate weighted path
+    * lengths from the seeds (UNION dedups (node, d) pairs; the fixture
+    * is a forward DAG so the walk is finite, the `<= 1000` bound is
+    * belt and braces), then the per-node minimum. Independent of the
+    * engine's synchronous relaxation, like the SCC closure oracle. */
+  val graphSssp: String =
+    """WITH RECURSIVE
+      |nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+      |chain AS (SELECT node AS src, node + 1 AS dst FROM nodes
+      |          WHERE node % 7 <> 6 AND node < 99),
+      |br AS (SELECT node AS src, node + 50 AS dst FROM nodes WHERE node IN (0, 25)),
+      |edges AS (SELECT e.src, e.dst, e.dst % 5 + 1 AS w
+      |          FROM (SELECT * FROM chain UNION ALL SELECT * FROM br) e
+      |          JOIN nodes nd ON e.dst = nd.node),
+      |walk(node, d) AS (
+      |  SELECT node, CAST(0 AS BIGINT) FROM nodes WHERE node IN (0, 60)
+      |  UNION
+      |  SELECT e.dst, w.d + e.w FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.d + e.w <= 1000)
+      |SELECT node, CAST(min(d) AS BIGINT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
   /** [[Extensions.graphScc]]: ground-truth SCCs, computed a COMPLETELY
     * different way than the engine's peel rounds — a recursive-CTE

@@ -538,6 +538,39 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(runScc(edges, 0L to 4L, 6) == runScc(edges, 0L to 4L, 6))
   }
 
+  private def runSssp(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
+                      sources: Seq[Long], iters: Int = 12): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.shortestDistances(edges.toDF("src", "dst", "w"),
+        nodes.toDF("node"), sources.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("sssp: weighted relaxation beats the fewer-hop heavier path") {
+    // 0→1→2 costs 1+1=2; direct 0→2 costs 5 — min must win, not hops
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 5L))
+    assert(runSssp(edges, 0L to 2L, Seq(0L)) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("sssp: multi-source takes the per-node minimum over seeds; unreachable absent") {
+    val edges = Seq((0L, 1L, 4L), (5L, 1L, 1L), (5L, 6L, 2L), (8L, 9L, 1L))
+    val d = runSssp(edges, 0L to 9L, Seq(0L, 5L))
+    assert(d == Map(0L -> 0L, 5L -> 0L, 1L -> 1L, 6L -> 2L))
+  }
+
+  test("sssp: cycles converge (positive weights), seeds outside the node set are ignored") {
+    val edges = Seq((0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 3L))
+    assert(runSssp(edges, 0L to 2L, Seq(0L, 77L)) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 4L))
+  }
+
+  test("sssp: exhausted budget fails loudly instead of returning non-minimal bounds") {
+    val edges = (0L until 6L).map(i => (i, i + 1, 1L))
+    val e = intercept[Exception] { runSssp(edges, 0L to 6L, Seq(0L), iters = 2) }
+    assert(e.getMessage.contains("non-minimal"))
+  }
+
   test("declared graph_scc query: the merged 10-node SCC, the 5-cycles, and the condensation") {
     val m = graft.queries.Extensions.graphScc(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
