@@ -2687,6 +2687,41 @@ object Extensions {
       .orderBy(col("custkey"), col("valid_from"), col("priority"),
         col("valid_to").asc_nulls_first)
 
+  /** POINT-IN-TIME-correct dimension lookup over the [[scd2History]]
+    * validity ranges — the feature-store primitive ML training-data
+    * assembly calls a point-in-time join: each probe (entity, as-of
+    * timestamp) must see the attribute value that was CURRENT at that
+    * instant, never a later one (using today's value for yesterday's
+    * training example is label leakage). Probes are every 10th order's
+    * customer as-of 30 days after that order; the half-open rule
+    * `valid_from ≤ t < valid_to` (open current row unbounded) picks at
+    * most one range per probe — LEFT join, so a probe before the
+    * entity's first recorded change surfaces a NULL attribute rather
+    * than silently disappearing. Scale shape: the join is EQUI on the
+    * entity key with the range rule as a post-filter — per-entity
+    * histories are bounded by change counts, so no interval index or
+    * cartesian is ever needed; PlanAuditSpec's no-BNLJ gate applies. */
+  def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.operators.Temporal.scd2History(
+        t(s, dir, "orders"), "o_custkey", "o_orderpriority",
+        "o_orderdate", "o_orderkey")
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        col("valid_from"), col("valid_to"))
+    val probes = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("probe_id"),
+        col("o_custkey").as("custkey"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("as_of"))
+    probes.join(hist,
+        probes("custkey") === hist("custkey") &&
+          col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("as_of") < col("valid_to")),
+        "left")
+      .select(col("probe_id"), probes("custkey"), col("as_of"), col("priority"))
+      .orderBy("probe_id")
+  }
+
   /** Gaps-and-islands interval merge
     * ([[graft.operators.Temporal.mergeIntervals]]): each event opens a
     * VARIABLE-LENGTH activity interval `[ts, ts + (event_id%600+60)s)`
@@ -4881,6 +4916,31 @@ object ExtensionOracles {
       |       (valid_to IS NULL) AS is_current
       |FROM r
       |ORDER BY custkey, valid_from, priority, valid_to ASC NULLS FIRST""".stripMargin
+
+  /** [[Extensions.scd2Lookup]]: the scd2History CTE chain plus the
+    * probe derivation and the same half-open LEFT range join — at most
+    * one range matches per probe, so the join cannot fan out. */
+  val scd2Lookup: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+      |         o_orderdate, o_orderkey,
+      |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |ch AS (SELECT custkey, priority, o_orderdate, o_orderkey FROM o
+      |       WHERE prev IS NULL OR prev <> priority),
+      |r AS (SELECT custkey, priority, o_orderdate AS valid_from,
+      |             lead(o_orderdate) OVER (PARTITION BY custkey
+      |               ORDER BY o_orderdate, o_orderkey) AS valid_to
+      |      FROM ch),
+      |p AS (SELECT o_orderkey AS probe_id, o_custkey AS custkey,
+      |             o_orderdate + INTERVAL 30 DAY AS as_of
+      |      FROM orders WHERE o_orderkey % 10 = 0)
+      |SELECT p.probe_id, p.custkey, p.as_of, r.priority
+      |FROM p LEFT JOIN r ON p.custkey = r.custkey
+      |  AND r.valid_from <= p.as_of
+      |  AND (r.valid_to IS NULL OR p.as_of < r.valid_to)
+      |ORDER BY probe_id""".stripMargin
 
   /** [[Extensions.intervalMerge]]: the cumulative-max-end island flag
     * (`1 PRECEDING` upper bound excludes the current row) and running

@@ -70,4 +70,27 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     val r = merge(Seq((1L, 2L, 0L, 5L), (1L, 1L, 0L, 3L), (2L, 3L, 0L, 1L)))
     assert(r == Set((1L, 1L, 0L, 5L, 2L), (2L, 1L, 0L, 1L, 1L)))
   }
+
+  test("point-in-time lookup rule: a probe sees the value current AT its instant, never later") {
+    import spark.implicits._
+    // history k=1: A valid [1,5), B valid [5,∞)
+    val hist = Temporal.scd2History(
+      Seq((1L, "A", 1L, 1L), (1L, "B", 5L, 2L)).toDF("k", "v", "ts", "id"),
+      "k", "v", "ts", "id")
+    val probes = Seq((10L, 1L, 0L),   // before first change -> no match
+      (11L, 1L, 1L),                  // exactly ON valid_from -> A (closed lower)
+      (12L, 1L, 4L),                  // inside [1,5) -> A
+      (13L, 1L, 5L),                  // exactly ON the boundary -> B (open upper)
+      (14L, 1L, 99L)                  // open current range -> B
+    ).toDF("probe_id", "k", "as_of")
+    val got = probes.join(hist,
+        probes("k") === hist("k") &&
+          col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("as_of") < col("valid_to")),
+        "left")
+      .select(col("probe_id"), col("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(10L -> None, 11L -> Some("A"), 12L -> Some("A"),
+      13L -> Some("B"), 14L -> Some("B")))
+  }
 }
