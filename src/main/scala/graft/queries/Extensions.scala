@@ -2687,6 +2687,45 @@ object Extensions {
       .orderBy(col("custkey"), col("valid_from"), col("priority"),
         col("valid_to").asc_nulls_first)
 
+  /** Robust per-entity outlier census — median/MAD flagging in EXACT
+    * integer cents (the data-quality sweep an event pipeline runs
+    * before aggregates: a mis-scaled currency or a fat-fingered value
+    * shifts a mean silently, but survives a median): per user, the
+    * deterministic lower median of event values (row_number pick at
+    * ⌊(n+1)/2⌋ under the total (cents, event_id) order — never a
+    * float percentile, whose interpolation differs across engines),
+    * the median absolute deviation by the same pick over (|v−med|,
+    * event_id), and the count of events with `100·dev > 480·mad`
+    * (≈ 4.8 MADs ≈ 3.2σ under normality, in pure integer arithmetic
+    * so the oracle matches digit for digit; mad = 0 degenerates to
+    * "any deviation flags", the right call for constant-valued
+    * users). Two sorts + one aggregate, all inside a single exchange
+    * on user_id. */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val wAll = Window.partitionBy("user_id")
+    val wOrd = wAll.orderBy("cents", "event_id")
+    val med = e.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("cents").as("med"))
+    val d = e.join(med, "user_id")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val wDev = wAll.orderBy("dev", "event_id")
+    val mad = d.withColumn("rn", row_number().over(wDev))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("dev").as("mad"))
+    d.join(mad, "user_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med")).as("med_cents"), max(col("mad")).as("mad_cents"),
+        sum(when(col("dev") * 100 > col("mad") * 480, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("user_id")
+  }
+
   /** POINT-IN-TIME-correct dimension lookup over the [[scd2History]]
     * validity ranges — the feature-store primitive ML training-data
     * assembly calls a point-in-time join: each probe (entity, as-of
@@ -4916,6 +4955,27 @@ object ExtensionOracles {
       |       (valid_to IS NULL) AS is_current
       |FROM r
       |ORDER BY custkey, valid_from, priority, valid_to ASC NULLS FIRST""".stripMargin
+
+  /** [[Extensions.eventsAnomaly]]: the same deterministic lower-median
+    * picks (row_number at ⌊(n+1)/2⌋ — `//` floors like DIV on the
+    * positive operands) and the integer 4.8-MAD rule. */
+  val eventsAnomaly: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS rn,
+      |             count(*) OVER (PARTITION BY user_id) AS n FROM e),
+      |med AS (SELECT user_id, cents AS med FROM r WHERE rn = (n + 1) // 2),
+      |d AS (SELECT e.user_id, e.event_id, e.cents, m.med,
+      |             abs(e.cents - m.med) AS dev
+      |      FROM e JOIN med m USING (user_id)),
+      |r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+      |              count(*) OVER (PARTITION BY user_id) AS n FROM d),
+      |mad AS (SELECT user_id, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT d.user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       max(d.med) AS med_cents, max(mad.mad) AS mad_cents,
+      |       CAST(sum(CASE WHEN 100 * d.dev > 480 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN mad USING (user_id)
+      |GROUP BY d.user_id ORDER BY user_id""".stripMargin
 
   /** [[Extensions.scd2Lookup]]: the scd2History CTE chain plus the
     * probe derivation and the same half-open LEFT range join — at most
