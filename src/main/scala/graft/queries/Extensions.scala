@@ -2165,6 +2165,38 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Held-out n-gram NOVELTY — the memorization/contamination-adjacent
+    * metric beside [[textLmTrigram]]: per val/test document, the
+    * fraction of its trigram POSITIONS whose trigram never occurs in
+    * the train slice (1e6-scaled, integer floor). High novelty = text
+    * unlike anything trained on (fresh domains, noise, or genuinely
+    * novel content); near-zero = verbatim-ish overlap — the cheap
+    * memorization screen run before expensive decontam sweeps. One
+    * distinct train-trigram set (16-byte-hashable strings on the
+    * shuffle), positions LEFT-joined against it. */
+  def corpusNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.operators.CorpusSplit
+      .split(t(s, dir, "documents"), "text", corpusSplitSpec)
+    val trainG = d.filter(col("split") === "train")
+      .select(explode(graft.functions.Sketches.wordShingles(col("text"), 3)).as("g"))
+      .distinct()
+      .withColumn("seen", lit(true))
+      .localCheckpoint()
+    d.filter(col("split").isin("val", "test"))
+      .select(col("doc_id"),
+        graft.functions.Sketches.wordShingles(col("text"), 1).as("uni"),
+        graft.functions.Sketches.wordShingles(col("text"), 3).as("tri"))
+      .filter(size(col("uni")) >= 3)
+      .select(col("doc_id"), explode(col("tri")).as("g"))
+      .join(trainG, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        coalesce(sum(when(col("seen").isNull, 1L)), lit(0L)).as("n_unseen"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_unseen"),
+        expr("(1000000 * n_unseen) DIV n_trigrams").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Link-analysis quality prior ([[graft.operators.Graph.pageRankE9]]):
     * 10 fixed-point PageRank iterations over a deterministic domain
     * graph derived from the documents table (synthesize-then-operate —
@@ -2320,6 +2352,46 @@ object Extensions {
     graft.operators.Graph.neighborhoodFunction(
       chain.unionByName(bridges), nodes, maxDist = 12)
       .orderBy("dist")
+  }
+
+  /** Per-node edge reciprocity over the directed quadratic-residue
+    * fixture — the link-spam signal beside [[graphClustering]]: organic
+    * citation is overwhelmingly one-way, while link farms exchange
+    * links, so a node whose out-edges are mostly reciprocated is
+    * suspect (the classic directed-graph reciprocity statistic, here
+    * per node). Reciprocity is planted by construction: every edge
+    * whose source ≡ 0 mod 3 also gets its reverse, so the census has
+    * real strata. Shape: one semi-join of the edge list against its
+    * own transpose on the (src, dst) pair — edges ship as two longs,
+    * map-side combine on the per-source rollup; integer ppm. */
+  def graphReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val dom = t(s, dir, "documents").select((col("doc_id") % 100).as("node"))
+    val nodes = dom.distinct()
+    val base = dom
+      .select(col("node").as("src"), explode(array(lit(1), lit(2), lit(3))).as("k"))
+      .select(col("src"), ((col("src") * col("src") + col("k")) % 100).as("dst"))
+      .distinct()
+    val edges = base.unionByName(
+        base.filter(col("src") % 3 === 0)
+          .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()   // self-transpose semi-join must see attributes
+    // transpose under fresh names: same-name self-join columns trip
+    // Spark's ambiguous-self-join analyzer
+    val rev = edges.select(col("dst").as("rsrc"), col("src").as("rdst"))
+    val recip = edges.join(rev,
+        col("src") === col("rsrc") && col("dst") === col("rdst"), "left_semi")
+      .groupBy(col("src").as("src_r")).agg(count(lit(1)).as("n_recip"))
+    val out = edges.groupBy(col("src").as("src_o")).agg(count(lit(1)).as("n_out"))
+    nodes.join(out, nodes("node") === out("src_o"), "left")
+      .join(recip, nodes("node") === recip("src_r"), "left")
+      .select(col("node"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        when(coalesce(col("n_out"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(1000000 * coalesce(n_recip, 0L)) DIV n_out"))
+          .as("recip_ppm"))
+      .orderBy("node")
   }
 
   /** Multi-source weighted shortest distances
@@ -4587,6 +4659,61 @@ object ExtensionOracles {
        |$iters
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
   }
+
+  /** [[Extensions.corpusNovelty]]: the split CASE + kernel tokenization
+    * (whole-doc-when-short shingles in the TRAIN set, exactly as the
+    * count tables mirror the kernel), distinct train trigrams, scored
+    * positions LEFT-joined, integer ppm. */
+  val corpusNovelty: String = {
+    val spec = Extensions.corpusSplitSpec
+    val ths = graft.operators.CorpusSplit.hexThresholds(spec)
+    val whens = spec.init.zip(ths.init).map { case ((name, _), cut) =>
+      s"WHEN substr(md5(text), 1, 8) < '$cut' THEN '$name'"
+    }.mkString(" ")
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, CASE $whens ELSE '${spec.last._1}' END AS split,
+       |         list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |  FROM documents),
+       |tg AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(CASE WHEN len(tk) < 3
+       |           THEN [coalesce(array_to_string(tk, ' '), '')]
+       |           ELSE [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)] END) AS g
+       |  FROM d WHERE split = 'train'),
+       |pos AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+       |  FROM d, unnest(range(1, len(tk) - 1)) u(i)
+       |  WHERE split IN ('val', 'test') AND len(tk) >= 3),
+       |j AS (SELECT pos.doc_id, tg.g AS seen FROM pos LEFT JOIN tg ON pos.g = tg.g)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |       CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       |       CAST((1000000 * sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_ppm
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[Extensions.graphReciprocity]]: the quadratic edges plus planted
+    * reverses, the transpose semi-join as an EXISTS, per-source rollup
+    * with the zero-out-degree CASE. */
+  val graphReciprocity: String =
+    """WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+      |base AS (SELECT DISTINCT doc_id % 100 AS src,
+      |                ((doc_id % 100) * (doc_id % 100) + k) % 100 AS dst
+      |         FROM documents, (VALUES (1), (2), (3)) t(k)),
+      |edges AS (SELECT src, dst FROM base
+      |          UNION
+      |          SELECT dst AS src, src AS dst FROM base WHERE src % 3 = 0),
+      |r AS (SELECT e.src,
+      |             count(*) AS n_out,
+      |             sum(CASE WHEN EXISTS (SELECT 1 FROM edges x
+      |                                   WHERE x.src = e.dst AND x.dst = e.src)
+      |                      THEN 1 ELSE 0 END) AS n_recip
+      |      FROM edges e GROUP BY e.src)
+      |SELECT n.node, CAST(coalesce(r.n_out, 0) AS BIGINT) AS n_out,
+      |       CAST(coalesce(r.n_recip, 0) AS BIGINT) AS n_recip,
+      |       CAST(CASE WHEN coalesce(r.n_out, 0) = 0 THEN 0
+      |                 ELSE (1000000 * coalesce(r.n_recip, 0)) // r.n_out END AS BIGINT) AS recip_ppm
+      |FROM nodes n LEFT JOIN r ON n.node = r.src
+      |ORDER BY node""".stripMargin
 
   /** [[Extensions.graphSssp]]: ground truth by a bounded recursive-CTE
     * walk over the same weighted fixture — enumerate weighted path
