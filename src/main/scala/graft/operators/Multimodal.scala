@@ -1035,6 +1035,41 @@ object Multimodal {
   final case class AudioFpRow(media_id: Long, sample_rate_hz: Int,
                               n_samples: Int, fp_hi: Long, fp_lo: Long)
 
+  /** One fixed-length audio analysis window's exact energy — the
+    * row-level form the temporal segmenters consume (vs
+    * [[AudioFpRow]]'s whole-blob envelope bits). */
+  final case class AudioWindowRow(media_id: Long, win_idx: Int, energy: Long)
+
+  /** Decode PCM16 and reduce IN-TASK to per-window absolute-amplitude
+    * energies (Σ|sᵢ| over consecutive `winLen`-sample windows; a
+    * trailing partial window is dropped — analysis frames are fixed
+    * length by convention). The row the shuffle carries is three
+    * longs; the segmentation window/aggregate downstream never sees a
+    * sample. Exact integers (|s| ≤ 2¹⁵, so even 2⁴⁸ samples per window
+    * fit i64), so a silence run is EXACTLY energy 0 and a synthesized
+    * fixture's voiced/silent structure survives the real WAV
+    * decode-and-reduce round trip bit-for-bit. Undecodable blobs are
+    * dropped (the corrupt-blob contract). */
+  def decodeAudioWindows(media: Dataset[MediaRow], winLen: Int): Dataset[AudioWindowRow] = {
+    require(winLen >= 1)
+    implicit val enc = Encoders.product[AudioWindowRow]
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        PcmDecoder.samples(r.bytes) match {
+          case Some(ss) =>
+            (0 until ss.length / winLen).iterator.map { w =>
+              var e = 0L
+              var i = w * winLen
+              val end = i + winLen
+              while (i < end) { e += math.abs(ss(i).toLong); i += 1 }
+              AudioWindowRow(r.media_id, w, e)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Distributed perceptual AUDIO fingerprinting — the audio twin of
     * [[MjpegAvi.aHash]]: decode PCM16 samples ([[PcmDecoder]]) and
     * reduce in-task to a 64-window ENERGY ENVELOPE, one bit per

@@ -1706,6 +1706,55 @@ object Extensions {
       .orderBy("keep_id")
   }
 
+  /** Audio TEMPORAL SEGMENTATION — silence-boundary voice-activity
+    * detection, [[mmVideoScene]]'s audio twin (together they complete
+    * the per-modality segment-then-sample pair a media pipeline runs
+    * before windowed feature extraction): per 64-sample analysis
+    * window the exact Σ|s| energy ([[Multimodal.decodeAudioWindows]]),
+    * a window is silent iff energy = 0, and voiced windows group into
+    * segments wherever consecutive (one lag window per blob over
+    * window position — positions and energies cross the shuffle,
+    * samples never do). The fixture alternates L-window voiced/silent
+    * blocks (L = 1 + id mod 3, W = 6 + id mod 5 windows; voiced
+    * samples from a mod-97 ramp that cannot sum to zero), so segment
+    * counts have the closed form the oracle recomputes per window
+    * position — the detector must decode real WAV bytes and reduce
+    * real PCM to match. */
+  def mmAudioScene(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val wN = (6 + id % 5).toInt
+        val sceneLen = (1 + id % 3).toInt
+        // voiced sample: a mod-97 ramp in [-48, 48] — the step 13 is
+        // invertible mod 97, so at most one zero sample lands in any
+        // 64-sample window and every voiced window's Σ|s| is > 0
+        val samples = Array.tabulate(wN * 64) { i =>
+          if (((i / 64) / sceneLen) % 2 == 1) 0.toShort
+          else (((id % 90) * 7 + i.toLong * 13) % 97 - 48).toShort
+        }
+        Multimodal.MediaRow(id,
+          Multimodal.MediaFixtures.wavPcm((8000 + id % 3 * 1000).toInt, samples))
+      }
+    }(Encoders.product[Multimodal.MediaRow])
+    val win = Multimodal.decodeAudioWindows(media, 64).toDF()
+    val totals = win.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("energy") > 0, 1L).otherwise(0L)).as("n_voiced"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("win_idx"))
+    val segs = win.filter(col("energy") > 0)
+      .withColumn("prev", lag(col("win_idx"), 1).over(w))
+      .groupBy(col("media_id"))
+      .agg(sum(when(col("prev").isNull || col("win_idx") > col("prev") + 1, 1L)
+        .otherwise(0L)).as("n_segments"))
+    totals.join(segs, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_windows"), col("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"))
+      .orderBy("media_id")
+  }
+
   /** CONTENT-level audio dedup — the audio twin of [[mmVideoDedup]]:
     * WAVs grouped by a signature of their DECODED PCM16 samples
     * (rate, count, Σsᵢ, position-weighted Σ(i+1)·sᵢ — [[Multimodal
@@ -4279,6 +4328,19 @@ object ExtensionOracles {
     * pattern of v1_k vs v2_k — UNSHIFTED values, the brightness delta
     * and the fps (both from the full doc_id) never appear: that is
     * the point. */
+  /** [[Extensions.mmAudioScene]]: the fixture's closed form per window
+    * position — voiced iff its L-block index is even, a segment starts
+    * at each even block's first window; the detector must decode real
+    * WAV bytes to reproduce these counts. */
+  val mmAudioScene: String =
+    """WITH p AS (SELECT doc_id, 6 + doc_id % 5 AS wn, 1 + doc_id % 3 AS sl
+      |           FROM documents),
+      |w AS (SELECT doc_id, wn, sl, unnest(range(wn)) AS w FROM p)
+      |SELECT doc_id AS media_id, CAST(max(wn) AS BIGINT) AS n_windows,
+      |       CAST(sum(CASE WHEN (w // sl) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+      |       CAST(sum(CASE WHEN w % sl = 0 AND (w // sl) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
+      |FROM w GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** [[Extensions.mmVideoScene]]: the fixture's closed form — cuts at
     * every multiple of the scene length L = 2 + id%3 (the aHash flips
     * all 64 bits there, 0 elsewhere), so n_scenes = ceil(n/L) with

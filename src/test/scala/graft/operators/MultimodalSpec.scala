@@ -574,6 +574,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getLong(2)).distinct.length > 2)
   }
 
+  test("mm_audio_scene: voiced/silent segmentation hits the fixture's closed form") {
+    val out = graft.queries.Extensions.mmAudioScene(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val id = r.getLong(0)
+      val wn = 6 + id % 5
+      val sl = 1 + id % 3
+      val voiced = (0L until wn).count(w => (w / sl) % 2 == 0)
+      val segs = (0L until wn).count(w => w % sl == 0 && (w / sl) % 2 == 0)
+      assert(r.getLong(1) == wn, s"n_windows id=$id")
+      assert(r.getLong(2) == voiced, s"n_voiced id=$id")
+      assert(r.getLong(3) == segs, s"n_segments id=$id")
+    }
+    assert(out.map(_.getLong(3)).distinct.length > 2)
+  }
+
+  test("decodeAudioWindows: exact per-window energies, trailing partial window dropped") {
+    import org.apache.spark.sql.Encoders
+    // 2.5 windows of 4 samples: [1,-1,2,-2 | 0,0,0,0 | 3,3] -> energies 6, 0; tail dropped
+    val samples = Array[Short](1, -1, 2, -2, 0, 0, 0, 0, 3, 3)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(9L, Multimodal.MediaFixtures.wavPcm(8000, samples))))(
+      Encoders.product[Multimodal.MediaRow])
+    val rows = Multimodal.decodeAudioWindows(media, 4).collect()
+      .map(r => r.win_idx -> r.energy).toMap
+    assert(rows == Map(0 -> 6L, 1 -> 0L))
+  }
+
   test("resize plan preserves aspect ratio and caps the long side") {
     val plan = Multimodal.resizePlan(Multimodal.decode(media), maxSide = 256)
       .collect()
