@@ -2214,6 +2214,30 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-multiplicity distribution — the datasheet histogram
+    * beside [[corpusStats]]: how many exact-content clusters exist at
+    * each copy count (1 = unique, 2 = one re-post, heavy tail =
+    * template spam). Two map-side-combining aggregates over 16-byte
+    * hashes; the shape that tells you whether exact dedup will shave
+    * 3% or 40% BEFORE paying for it. The testdata is content-unique,
+    * so re-posts are planted (synthesize-then-operate, the
+    * dedup_semantic twin pattern): every 7th doc appears once more
+    * under a new id, and every 49th twice more — a genuine 1/2/3
+    * multiplicity spread. Oracle-checked. */
+  def corpusDupHist(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val once = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val twice = d.filter(col("doc_id") % 49 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    d.unionByName(once).unionByName(twice)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("n_copies") * count(lit(1))).as("n_docs"))
+      .orderBy("n_copies")
+  }
+
   /** Held-out n-gram NOVELTY — the memorization/contamination-adjacent
     * metric beside [[textLmTrigram]]: per val/test document, the
     * fraction of its trigram POSITIONS whose trigram never occurs in
@@ -4721,6 +4745,19 @@ object ExtensionOracles {
        |$iters
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
   }
+
+  /** [[Extensions.corpusDupHist]]: the same planted re-posts, the
+    * dedup_exact grouping rolled up once more to the per-multiplicity
+    * census. */
+  val corpusDupHist: String =
+    """WITH u AS (
+      |  SELECT text FROM documents
+      |  UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT text FROM documents WHERE doc_id % 49 = 0),
+      |c AS (SELECT md5(text) AS h, count(*) AS n_copies FROM u GROUP BY 1)
+      |SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters,
+      |       CAST(n_copies * count(*) AS BIGINT) AS n_docs
+      |FROM c GROUP BY n_copies ORDER BY n_copies""".stripMargin
 
   /** [[Extensions.corpusNovelty]]: the split CASE + kernel tokenization
     * (whole-doc-when-short shingles in the TRAIN set, exactly as the
