@@ -2359,8 +2359,9 @@ object Extensions {
   /** Corpus-level entity resolution
     * ([[graft.operators.Graph.connectedComponentsMinLabel]]): the
     * shared-identifier clustering the reference runs over its
-    * other_ads/phone link graph (frontPage queries.py:64-77 joins ads
-    * on shared phone numbers) — here as min-label components over a
+    * other_ads/phone link graph (frontPage etl_process.py:66-126 —
+    * `get_other_ads` + `phone_extract` yield the shared identifiers
+    * that link ads) — here as min-label components over a
     * deterministic domain graph (synthesize-then-operate; the testdata
     * has no link column). Nodes are `doc_id % 100`; edges chain each
     * domain to its successor within blocks of 7 (`d → d+1` unless
@@ -2634,7 +2635,8 @@ object Extensions {
     * the same (hour, event_type) bucket become weighted user–user
     * edges — the graph-CONSTRUCTION step feeding the BSP family (the
     * reference builds exactly this from shared phone numbers,
-    * frontPage queries.py:64-77; a corpus pipeline builds it from
+    * frontPage etl_process.py:77-126 `phone_extract`; a corpus
+    * pipeline builds it from
     * shared hosts/templates before running cc/pagerank/kcore on it).
     * Membership is deduplicated per (user, bucket) first, pairs are
     * oriented `a < b` so each undirected edge counts once, and the
@@ -2642,14 +2644,26 @@ object Extensions {
     * hygiene). Scale shape: the self-join fans out quadratically in
     * PER-BUCKET cardinality — bounded here by design (distinct users
     * per hour-type bucket), and the groupBy behind it rides map-side
-    * combine; a heavy-hitter bucket at web scale gets the
-    * [[graft.operators.SkewJoin]] salting or a per-bucket top-B cap
-    * BEFORE the join, never after. */
+    * combine; a heavy-hitter bucket gets the per-bucket top-B cap
+    * BEFORE the join, never after: `row_number` over the bucket
+    * (deterministic `user_id` order) keeps ≤ [[CoaccessCap]] members,
+    * so worst-case fan-out per bucket is B·(B−1)/2 regardless of how
+    * hot the bucket is — the join can never go quadratic in bucket
+    * cardinality. The cap window shuffles on the SAME (h, event_type)
+    * key the join needs, so it adds no extra exchange over the
+    * uncapped plan. The DuckDB oracle applies the identical cap. */
+  val CoaccessCap = 64
+
   def graphCoaccess(s: SparkSession, dir: String): DataFrame = {
     val m = t(s, dir, "events")
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
         col("event_type"))
       .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h"), col("event_type"))
+          .orderBy(col("user_id"))))
+      .filter(col("rn") <= CoaccessCap)
+      .drop("rn")
     val a = m.select(col("h"), col("event_type"), col("user_id").as("ua"))
     val b = m.select(col("h"), col("event_type"), col("user_id").as("ub"))
     a.join(b, Seq("h", "event_type"))
@@ -5010,11 +5024,15 @@ object ExtensionOracles {
       |SELECT k, seq, cents FROM r WHERE rn = 1 AND op <> 'D'
       |ORDER BY k""".stripMargin
 
-  /** [[Extensions.graphCoaccess]]: the same dedup → oriented self-join
-    * → weight count → tail prune. */
+  /** [[Extensions.graphCoaccess]]: the same dedup → per-bucket top-B
+    * cap → oriented self-join → weight count → tail prune. */
   val graphCoaccess: String =
-    """WITH m AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
-      |           FROM events)
+    s"""WITH d AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+      |           FROM events),
+      |m AS (SELECT user_id, h, event_type FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY h, event_type
+      |                                     ORDER BY user_id) AS rn
+      |        FROM d) WHERE rn <= ${Extensions.CoaccessCap})
       |SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS w
       |FROM m a JOIN m b ON a.h = b.h AND a.event_type = b.event_type
       |  AND a.user_id < b.user_id
