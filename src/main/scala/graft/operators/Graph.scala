@@ -130,6 +130,18 @@ object Graph {
     // instead of re-aggregating
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
     val edgesDeg = e.join(deg, "src").localCheckpoint()
+    // Fail-loudly convention (matching shortestDistances/SCC): a
+    // NULL/zero/negative weight silently corrupts W(u) and leaks rank
+    // mass (null drops the edge from sum(w) AND from contributions), so
+    // reject it here — one cheap scan over the already-materialized
+    // edge frame, only when a weight column is actually in play.
+    weightCol.foreach { c =>
+      val bad = edgesDeg.filter(col("w").isNull || col("w") <= 0L).count()
+      require(bad == 0L,
+        s"pageRankE9 weightCol=$c: $bad edge(s) with NULL/zero/negative " +
+          "weight; drop or repair them upstream (an all-zero-out-weight " +
+          "node belongs in the dangling set — drop its edges)")
+    }
     // the teleport-set size |S| (= n under the uniform prior) is the
     // second bounded driver scalar; seeds restricted to the node set
     // BEFORE counting so an out-of-graph seed can't swallow mass
@@ -663,8 +675,13 @@ object Graph {
     * exactly the full budget's answer, and an exhausted `maxIters`
     * FAILS LOUDLY (truncated relaxation yields plausible-looking but
     * non-minimal upper bounds — the worst kind of silent wrong).
-    * Step count is bounded by the longest shortest-path HOP count, not
-    * |V|; per-iteration localCheckpoint is the standard lineage cut. */
+    * A `maxIters` equal to the longest shortest-path hop count H is
+    * sufficient: when the budget runs out un-converged, one extra
+    * compare-only relaxation (no state mutation, not counted against
+    * the budget) decides whether step `maxIters` already reached the
+    * fixpoint — so the require fires only on genuinely truncated
+    * relaxations. Step count is bounded by H, not |V|; per-iteration
+    * localCheckpoint is the standard lineage cut. */
   def shortestDistances(edges: DataFrame, nodes: DataFrame,
                         sources: DataFrame, maxIters: Int): DataFrame = {
     require(maxIters >= 1)
@@ -694,10 +711,22 @@ object Graph {
         .isEmpty
       dist = merged
     }
+    if (!converged) {
+      // Budget exhausted with the last step still producing changes:
+      // the state may nonetheless be final (converged-at-exactly-H).
+      // One compare-only relaxation decides — no mutation, so a true
+      // fixpoint passes with maxIters = H instead of demanding H+1.
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(e("dst").as("node"), (col("dist") + col("w")).as("probe"))
+      converged = relaxed
+        .join(dist.select(col("node"), col("dist").as("od")), Seq("node"), "left")
+        .filter(col("od").isNull || col("probe") < col("od"))
+        .isEmpty
+    }
     require(converged,
       s"shortest-path relaxation hit the $maxIters-step budget before its " +
         "fixpoint — distances would be non-minimal upper bounds; raise maxIters " +
-        "above the longest shortest-path hop count")
+        "to at least the longest shortest-path hop count")
     dist
   }
 

@@ -297,8 +297,13 @@ object TextAnalysis {
       .groupBy("g3").agg(count(lit(1)).as("c3")).localCheckpoint()
     val totalT = c1.agg(coalesce(sum(col("c1")), lit(0L))).collect()(0).getLong(0)
     require(totalT > 0, "empty training slice — no counts to score against")
-    def gated(probe: DataFrame, tab: DataFrame, key: Seq[String]): DataFrame =
-      if (tab.count() <= broadcastLimit) probe.join(broadcast(tab), key, "left")
+    // Each count table's cardinality is computed ONCE and reused across
+    // the gated joins (c1 and c2 are each joined twice — recounting per
+    // join would pay four extra aggregation jobs just to pick a strategy).
+    val n1 = c1.count(); val n2 = c2.count(); val n3 = c3.count()
+    def gated(probe: DataFrame, tab: DataFrame, key: Seq[String],
+              n: Long): DataFrame =
+      if (n <= broadcastLimit) probe.join(broadcast(tab), key, "left")
       else probe.join(tab, key, "left")
     val pos = score.select(col(idCol),
         Sketches.wordShingles(col(textCol), 1).as("uni"),
@@ -312,11 +317,11 @@ object TextAnalysis {
     val j = gated(
       gated(
         gated(
-          gated(pos, c3, Seq("g3")),
-          c2, Seq("g2")),
-        c2.select(col("g2").as("bc"), col("c2").as("c2bc")), Seq("bc")),
-      c1.select(col("w").as("b"), col("c1").as("c1b")), Seq("b"))
-    gated(j, c1.select(col("w").as("c"), col("c1").as("c1c")), Seq("c"))
+          gated(pos, c3, Seq("g3"), n3),
+          c2, Seq("g2"), n2),
+        c2.select(col("g2").as("bc"), col("c2").as("c2bc")), Seq("bc"), n2),
+      c1.select(col("w").as("b"), col("c1").as("c1b")), Seq("b"), n1)
+    gated(j, c1.select(col("w").as("c"), col("c1").as("c1c")), Seq("c"), n1)
       .withColumn("p", expr(
         s"""CASE WHEN c3 IS NOT NULL THEN (1000000 * c3) DIV c2
            |     WHEN c2bc IS NOT NULL THEN (400000 * c2bc) DIV c1b

@@ -2769,9 +2769,11 @@ object Extensions {
     * bounded driver scalar (32 KB — the IVF-codebook class), and the
     * 8-step iteration runs driver-side in exact Long arithmetic.
     * Overflow bound: C entries ≤ 126²·N, the matvec ≤ 64·C_max·1e6 —
-    * i64-safe to N ≈ 9·10⁶ rows; past that, rescale the quantization
-    * or lift the matvec to DECIMAL(38,0) (the graph_pagerank_wide
-    * pattern). */
+    * i64-safe to N ≈ 9·10⁶ rows. [[pcaPowerIterate]] enforces the
+    * bound with a loud `require` on the max Gram cell (the exact
+    * quantity whose matvec wraps) instead of trusting the comment;
+    * past it, rescale the quantization or lift the matvec to
+    * DECIMAL(38,0) (the graph_pagerank_wide pattern). */
   def embPcaPower(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q = emb.select(
@@ -2784,6 +2786,23 @@ object Extensions {
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     val d = 64
     val mat = Array.tabulate(d, d)((i, j) => cells.getOrElse((i, j), 0L))
+    val v = pcaPowerIterate(mat)
+    import s.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("idx", "loading").orderBy("idx")
+  }
+
+  /** The 8-step L∞-normalized integer power iteration behind
+    * [[embPcaPower]]. Fails loudly when any Gram cell is large enough
+    * that the i64 matvec (≤ d·C_max·1e6) could wrap — the silent-wrap
+    * hazard the scaladoc bound describes (N ≈ 9·10⁶ rows at d=64). */
+  private[queries] def pcaPowerIterate(mat: Array[Array[Long]]): Array[Long] = {
+    val d = mat.length
+    val cMax = mat.iterator.flatMap(_.iterator).max
+    require(cMax <= Long.MaxValue / (d.toLong * 1000000L),
+      s"embPcaPower Gram cell $cMax overflows the i64 matvec bound " +
+        s"(max ${Long.MaxValue / (d.toLong * 1000000L)} at d=$d, ~9e6 rows); " +
+        "rescale the quantization or lift to DECIMAL(38,0)")
     var v = Array.fill(d)(1000000L)
     for (_ <- 1 to 8) {
       val w = Array.tabulate(d)(i =>
@@ -2791,9 +2810,7 @@ object Extensions {
       val div = w.max / 1000000L + 1L
       v = w.map(_ / div)
     }
-    import s.implicits._
-    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
-      .toDF("idx", "loading").orderBy("idx")
+    v
   }
 
   /** Dimension-truncation retrieval evaluation (the Matryoshka-style

@@ -471,6 +471,19 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(runW(ew, 0L to 2L, 6) == runW(ew, 0L to 2L, 6, wide = true))
   }
 
+  test("weighted: NULL/zero/negative weight fails loudly instead of leaking mass") {
+    import spark.implicits._
+    for (bad <- Seq(Some(0L), Some(-3L), None)) {
+      val edges = Seq((0L, 1L, Some(2L)), (1L, 2L, bad), (2L, 0L, Some(1L)))
+        .toDF("src", "dst", "w")
+      val e = intercept[IllegalArgumentException] {
+        Graph.pageRankE9(edges, (0L to 2L).toDF("node"), 2,
+          weightCol = Some("w"))
+      }
+      assert(e.getMessage.contains("NULL/zero/negative"))
+    }
+  }
+
   private def runScc(edges: Seq[(Long, Long)], nodes: Seq[Long],
                      iters: Int, rounds: Int = 8): Map[Long, Long] = {
     import spark.implicits._
@@ -569,6 +582,15 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val edges = (0L until 6L).map(i => (i, i + 1, 1L))
     val e = intercept[Exception] { runSssp(edges, 0L to 6L, Seq(0L), iters = 2) }
     assert(e.getMessage.contains("non-minimal"))
+  }
+
+  test("sssp: maxIters equal to the exact hop count H suffices (compare-only final probe)") {
+    // 6-hop chain: distances are final after exactly 6 producing steps;
+    // the in-budget no-change observation would need a 7th. The
+    // post-budget compare-only probe must accept H = 6.
+    val edges = (0L until 6L).map(i => (i, i + 1, 1L))
+    assert(runSssp(edges, 0L to 6L, Seq(0L), iters = 6) ==
+      (0L to 6L).map(i => i -> i).toMap)
   }
 
   test("declared graph_scc query: the merged 10-node SCC, the 5-cycles, and the condensation") {
