@@ -2564,11 +2564,15 @@ object Extensions {
   /** [[graphHarmonic]]'s web-scale twin
     * ([[graft.operators.Graph.harmonicCentralityHyperBall]]): the same
     * directed fixture and 12-step horizon, but O(m)-bytes-per-node
-    * HyperBall sketch state instead of explicit pair rows. Rows-only at
-    * the driver gate (the HLL estimator isn't SQL-expressible);
-    * GraphSpec asserts per-node accuracy against the EXACT
-    * [[graphHarmonic]] result and run-to-run determinism — the same
-    * verification pattern as the ANN/recall family. */
+    * HyperBall sketch state instead of explicit pair rows. ORACLE-GATED
+    * (the q8 pattern): the HLL estimate itself isn't SQL-expressible,
+    * so the query joins the EXACT twin in-engine and emits
+    * (node, harmonic_e9 exact — oracle-matched — and an integer
+    * err_gate that is 0 iff the sketch lands within the published
+    * 12%-relative + 0.5-absolute HyperBall tolerance, with exact-zero
+    * nodes required to estimate exactly 0). The oracle pins err_gate=0
+    * per node, so estimator drift hard-fails the driver hash check;
+    * GraphSpec keeps the value-level accuracy and determinism specs. */
   def graphHarmonicHll(s: SparkSession, dir: String): DataFrame = {
     val nodes = t(s, dir, "documents")
       .select((col("doc_id") % 100).as("node")).distinct()
@@ -2576,9 +2580,17 @@ object Extensions {
       .select(col("node").as("src"), (col("node") + 1).as("dst"))
     val bridges = nodes.filter(col("node").isin(0, 25))
       .select(col("node").as("src"), (col("node") + 50).as("dst"))
-    graft.operators.Graph.harmonicCentralityHyperBall(
-      chain.unionByName(bridges), nodes, maxDist = 12, m = 256)
-      .select(col("node"), round(col("harmonic_approx"), 6).as("harmonic_approx"))
+    val edges = chain.unionByName(bridges)
+    val exact = graft.operators.Graph.harmonicCentralityE9(
+      edges, nodes, maxDist = 12)
+    val approx = graft.operators.Graph.harmonicCentralityHyperBall(
+      edges, nodes, maxDist = 12, m = 256)
+    exact.join(approx, Seq("node"))
+      .select(col("node"), col("harmonic_e9"),
+        when(abs(col("harmonic_approx") - col("harmonic_e9") / 1e9) <=
+               col("harmonic_e9") / 1e9 * 0.12 + 0.5
+             && (col("harmonic_e9") =!= 0L || col("harmonic_approx") === 0.0),
+          lit(0L)).otherwise(lit(1L)).as("err_gate"))
       .orderBy("node")
   }
 
@@ -2587,10 +2599,13 @@ object Extensions {
     * distance-distribution curve from HyperANF ball-mass sums over the
     * same directed fixture and 12-step horizon — O(N·m) sketch state
     * instead of the exact form's pair frame (the one formulation that
-    * goes quadratic on a dense web graph). Rows-only at the driver
-    * (HLL estimator isn't SQL-expressible); GraphSpec asserts curve
-    * accuracy against the EXACT [[graphNf]] result, monotonicity, and
-    * run-to-run determinism — the graph_harmonic_hll pattern. */
+    * goes quadratic on a dense web graph). ORACLE-GATED (the q8 /
+    * graph_harmonic_hll pattern): emits the EXACT per-horizon pair
+    * count (oracle-matched) plus two integer gates the oracle pins to
+    * 0 — err_gate (sketch within 10% relative + 1.0 absolute of exact)
+    * and mono_gate (ball mass non-decreasing in the horizon, the
+    * HyperANF sanity invariant). GraphSpec keeps the value-level
+    * accuracy and determinism specs. */
   def graphNfHll(s: SparkSession, dir: String): DataFrame = {
     val nodes = t(s, dir, "documents")
       .select((col("doc_id") % 100).as("node")).distinct()
@@ -2598,9 +2613,21 @@ object Extensions {
       .select(col("node").as("src"), (col("node") + 1).as("dst"))
     val bridges = nodes.filter(col("node").isin(0, 25))
       .select(col("node").as("src"), (col("node") + 50).as("dst"))
-    graft.operators.Graph.neighborhoodFunctionHyperAnf(
-      chain.unionByName(bridges), nodes, maxDist = 12, m = 256)
-      .select(col("dist"), round(col("pairs_approx"), 4).as("pairs_approx"))
+    val edges = chain.unionByName(bridges)
+    val exact = graft.operators.Graph.neighborhoodFunction(
+      edges, nodes, maxDist = 12)
+    val approx = graft.operators.Graph.neighborhoodFunctionHyperAnf(
+      edges, nodes, maxDist = 12, m = 256)
+    // the 12-row horizon frame is driver-scale; the lag window is free
+    val w = Window.orderBy("dist")
+    exact.join(approx, Seq("dist"))
+      .select(col("dist"), col("pairs"),
+        when(abs(col("pairs_approx") - col("pairs")) <=
+               col("pairs") * 0.10 + 1.0, lit(0L)).otherwise(lit(1L))
+          .as("err_gate"),
+        when(col("pairs_approx") >=
+               lag(col("pairs_approx"), 1, Double.MinValue).over(w),
+          lit(0L)).otherwise(lit(1L)).as("mono_gate"))
       .orderBy("dist")
   }
 
@@ -5026,6 +5053,21 @@ object ExtensionOracles {
         |             WHERE p.dist > 0 AND p.dist <= d.range) AS BIGINT) AS pairs
         |FROM range(1, 13) d ORDER BY dist""".stripMargin
   }
+
+  /** [[Extensions.graphHarmonicHll]]: exact columns from the same BFS
+    * unroll as [[graphHarmonic]]; the sketch-accuracy gate is pinned to
+    * 0 — HyperBall drift past its tolerance flips err_gate on the
+    * Spark side and fails the hash. */
+  val graphHarmonicHll: String =
+    graphHarmonic.replace("AS harmonic_e9",
+      "AS harmonic_e9, CAST(0 AS BIGINT) AS err_gate")
+
+  /** [[Extensions.graphNfHll]]: exact pair counts from [[graphNf]]'s
+    * unroll; err_gate (HyperANF within 10% + 1.0) and mono_gate
+    * (ball-mass monotonicity) both pinned to 0. */
+  val graphNfHll: String =
+    graphNf.replace("AS pairs",
+      "AS pairs, CAST(0 AS BIGINT) AS err_gate, CAST(0 AS BIGINT) AS mono_gate")
 
   /** [[Extensions.cdcApply]]: the row_number formulation of the same
     * last-writer-wins merge — seq is unique per key, so the window

@@ -121,14 +121,23 @@ object Inventory {
       .orderBy("n_name", "c_mktsegment")
   }
 
-  /** Q8 — approx_count_distinct (HLL++). No DuckDB oracle (different
-    * sketch): driver records rows-only; the ScalaTest asserts the 5%
-    * relative-error bound against the exact count.
+  /** Q8 — approx_count_distinct (HLL++), ORACLE-GATED: the sketch
+    * estimate itself is engine-specific (DuckDB's HLL differs), so the
+    * query emits the EXACT distinct count (oracle-matched) plus an
+    * integer error gate — `err_gate = (|approx − exact|·10⁶ DIV exact)
+    * DIV 50000`, i.e. 0 iff the sketch lands within 5% of truth. The
+    * oracle pins err_gate = 0, so sketch drift hard-fails the driver's
+    * hash check instead of only a ScalaTest bound. Both counts ride one
+    * scan (single expand + two-phase agg).
     */
   def q8ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-      count(lit(1)).as("n_rows"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        count(lit(1)).as("n_rows"))
+      .select(col("exact_orders"), col("n_rows"),
+        expr("(abs(approx - exact_orders) * 1000000L DIV exact_orders) DIV 50000")
+          .as("err_gate"))
 
   /** Q9 — window ranking: top-3 orders per customer. */
   def q9WindowRank(s: SparkSession, dir: String): DataFrame = {

@@ -62,6 +62,15 @@ object Oracles {
       |  GROUP BY ROLLUP(n_name, c_mktsegment)
       |) ORDER BY n_name, c_mktsegment""".stripMargin
 
+  /** [[Inventory.q8ApproxDistinct]]: the sketch estimate is
+    * engine-specific, so the oracle pins the EXACT count and err_gate=0
+    * — a sketch past 5% error flips err_gate and fails the hash. */
+  val q8ApproxDistinct: String =
+    """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      |       count(*) AS n_rows,
+      |       CAST(0 AS BIGINT) AS err_gate
+      |FROM lineitem""".stripMargin
+
   val q9WindowRank: String =
     """SELECT * FROM (
       |  SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,

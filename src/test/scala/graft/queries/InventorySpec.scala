@@ -22,14 +22,14 @@ class InventorySpec extends AnyFunSuite with SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("q8 approx distinct is within the 2% rsd bound (5x slack)") {
+  test("q8 approx distinct: err_gate 0 (sketch within 5%), exact count matches") {
     import org.apache.spark.sql.functions._
     val row = Inventory.q8ApproxDistinct(spark, sf).collect()(0)
-    val approx = row.getLong(row.fieldIndex("approx_orders"))
     val exact = graft.core.Tables.t(spark, sf, "lineitem")
       .agg(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
-    assert(math.abs(approx - exact).toDouble / exact < 0.10,
-      s"approx=$approx exact=$exact")
+    assert(row.getLong(row.fieldIndex("exact_orders")) == exact)
+    assert(row.getLong(row.fieldIndex("err_gate")) == 0L,
+      s"approx_count_distinct drifted past 5% of $exact")
   }
 
   test("q29 funnel: strict event ordering — out-of-order stages don't count") {
