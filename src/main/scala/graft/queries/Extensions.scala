@@ -2356,6 +2356,77 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** Volume-scale graph fixture shared by the `graph_*_volume` family:
+    * nodes = the FULL `doc_id` domain (dense 0..N−1 — N grows with the
+    * scale factor, 500 at sf0.01, 5000 at sf0.1, millions at corpus
+    * scale), edges = 10 deterministic out-edges per node via the
+    * quadratic-residue spread `(d² + k) mod N`, k = 1..10 — an
+    * expander-shaped multigraph-free edge list 10× the node count whose
+    * in-degree skew gives the ranks real structure. Unlike the 100-node
+    * `doc_id % 100` fixtures (correctness-first, per-iteration cost
+    * pure overhead), this one's per-iteration shuffle volume is
+    * DATA-dominated and scales linearly with sf — the evidence that the
+    * BSP chassis's cost tracks the edge list, not the step count. N is
+    * one bounded driver scalar (the pageRank-N class); edge synthesis
+    * is projection + explode — no shuffle, no distinct (doc_id is
+    * unique by contract, and k < N keeps the 10 dsts per node
+    * distinct). d² ≤ N² stays i64-exact to N ≈ 3·10⁹ docs. */
+  private def volumeGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+    val n = nodes.count()
+    val edges = nodes
+      .select(col("node").as("src"),
+        explode(array((1 to 10).map(lit(_)): _*)).as("k"))
+      .select(col("src"),
+        ((col("src") * col("src") + col("k")) % n).as("dst"))
+    (nodes, edges)
+  }
+
+  /** PageRank on the [[volumeGraph]] fixture — the volume-scale proof
+    * run for the BSP chassis ([[graft.operators.Graph.pageRankE9]]):
+    * identical update rule and oracle shape to [[graphPagerank]], but
+    * over N = |documents| nodes and 10N edges, so the 10 iterations'
+    * cost is dominated by the shuffled edge frame, not fixed per-step
+    * overhead. The oracle unrolls the same 10 integer iterations over
+    * the same synthesized edge list. */
+  def graphPagerankVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = volumeGraph(s, dir)
+    graft.operators.Graph.pageRankE9(edges, nodes, iterations = 10)
+      .orderBy("node")
+  }
+
+  /** Connected components on the UNDIRECTED closure of [[volumeGraph]]
+    * ([[graft.operators.Graph.connectedComponentsMinLabel]]), 8
+    * synchronous min-label steps — the volume twin of [[graphCc]]. The
+    * undirected quadratic-residue expander has tiny diameter (degree
+    * ~20), so 8 steps converge to the true single-component labeling;
+    * either way the unrolled oracle matches the deterministic step-8
+    * state bit for bit. */
+  def graphCcVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = volumeGraph(s, dir)
+    graft.operators.Graph.connectedComponentsMinLabel(edges, nodes, iterations = 8)
+      .orderBy("node")
+  }
+
+  /** Multi-source shortest distances on [[volumeGraph]] with weights
+    * `dst % 5 + 1` and seeds `node % 997 = 0` (1 seed at sf0.01, 6 at
+    * sf0.1 — the seed set scales with the domain) — the volume twin of
+    * [[graphSssp]]. The relaxation budget of 16 covers the weighted
+    * shortest-path hop count on the expander with slack (the
+    * compare-only final probe accepts exactly-at-budget convergence;
+    * an insufficient budget FAILS LOUDLY, never truncates silently).
+    * The oracle unrolls the same 16 min-merge relaxation steps —
+    * min is associative/idempotent, so both engines' step-16 frames
+    * are the same fixpoint. */
+  def graphSsspVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = volumeGraph(s, dir)
+    val weighted = edges.withColumn("w", col("dst") % 5 + 1)
+    val sources = nodes.filter(col("node") % 997 === 0)
+    graft.operators.Graph.shortestDistances(weighted, nodes, sources,
+        maxIters = 16)
+      .orderBy("node")
+  }
+
   /** Corpus-level entity resolution
     * ([[graft.operators.Graph.connectedComponentsMinLabel]]): the
     * shared-identifier clustering the reference runs over its
@@ -4802,6 +4873,86 @@ object ExtensionOracles {
        |       FROM nodes),
        |$iters
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
+  }
+
+  /** Shared CTE prefix for the `graph_*_volume` oracles: the full
+    * doc_id domain with the 10-way quadratic-residue edge spread
+    * `(d² + k) mod N` — same synthesis as
+    * [[Extensions.volumeGraph]]. */
+  private val volumeEdgeCtes: String =
+    """nodes AS (SELECT doc_id AS node FROM documents),
+      |raw AS (SELECT doc_id AS src,
+      |               (doc_id * doc_id + k) % (SELECT count(*) FROM documents) AS dst
+      |        FROM documents,
+      |             (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10)) t(k))""".stripMargin
+
+  /** [[Extensions.graphPagerankVolume]]: [[graphPagerank]]'s unrolled
+    * integer iterations verbatim, over the volume edge synthesis. */
+  val graphPagerankVolume: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         15000000000 // (100 * (SELECT count(*) FROM nodes))
+         |           + (85 * (coalesce(c.s, 0)
+         |                    + (SELECT coalesce(sum(d.rank_e9), 0) FROM r${i - 1} d
+         |                       WHERE d.node NOT IN (SELECT src FROM deg))
+         |                      // (SELECT count(*) FROM nodes))) // 100 AS rank_e9
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank_e9 // e.outdeg) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY 1) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $volumeEdgeCtes,
+       |deg AS (SELECT src, count(*) AS outdeg FROM raw GROUP BY 1),
+       |edges AS (SELECT r.src, r.dst, d.outdeg FROM raw r JOIN deg d USING (src)),
+       |r0 AS (SELECT node, 1000000000 // (SELECT count(*) FROM nodes) AS rank_e9
+       |       FROM nodes),
+       |$iters
+       |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphCcVolume]]: [[graphCc]]'s 8 unrolled min-label
+    * steps over the symmetrized volume edge list. */
+  val graphCcVolume: String = {
+    val steps = (1 to 8).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.node,
+         |         least(l.component, coalesce(m.nbr_min, l.component)) AS component
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT s.src AS node, min(x.component) AS nbr_min
+         |    FROM sym s JOIN l${i - 1} x ON s.dst = x.node
+         |    GROUP BY 1) m USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $volumeEdgeCtes,
+       |sym AS (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw),
+       |l0 AS (SELECT node, node AS component FROM nodes),
+       |$steps
+       |SELECT node, CAST(component AS BIGINT) AS component FROM l8 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphSsspVolume]]: 16 unrolled min-merge relaxation
+    * steps (the volume fixture has cycles, so the DAG-walk trick
+    * behind [[graphSssp]] doesn't apply — the step-unroll mirrors the
+    * engine's synchronous Bellman-Ford form instead; min is
+    * associative and idempotent, so both engines' step-16 frames are
+    * the same fixpoint). Each dₖ is MATERIALIZED — read twice by the
+    * next step. */
+  val graphSsspVolume: String = {
+    val steps = (1 to 16).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, x.dist + e.w AS dist
+         |    FROM edges e JOIN d${i - 1} x ON e.src = x.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $volumeEdgeCtes,
+       |edges AS (SELECT src, dst, dst % 5 + 1 AS w FROM raw),
+       |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+       |                    WHERE node % 997 = 0),
+       |$steps
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d16 ORDER BY node""".stripMargin
   }
 
   /** [[Extensions.corpusDupHist]]: the same planted re-posts, the

@@ -608,6 +608,30 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert((10L until 100L).forall(n => m(n) == n / 5 * 5))
   }
 
+  test("volume fixture: full doc_id domain, 10 edges/node, rank mass bounded and differentiated") {
+    val rows = graft.queries.Extensions.graphPagerankVolume(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 500)                       // N grows with sf, not a fixed 100
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 500L))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total <= Scale && total > Scale - 500L * 100L)   // DIV-truncation slack only
+    // the quadratic-residue in-degree skew must spread the ranks widely
+    assert(rows.map(_.getLong(1)).distinct.length > 100)
+  }
+
+  test("volume cc: the undirected residue expander is one component (min label 0 everywhere)") {
+    val m = graft.queries.Extensions.graphCcVolume(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 500 && m.values.forall(_ == 0L))
+  }
+
+  test("volume sssp: every node reached from seed 0, distances within the 16-step budget") {
+    val d = graft.queries.Extensions.graphSsspVolume(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d.size == 500 && d(0L) == 0L)
+    assert(d.values.max <= 16L * 5L)                 // w <= 5 per hop
+  }
+
   test("declared graph_pagerank query: 100 domains, outdeg 3, ranks ordered and mass-bounded") {
     val df = graft.queries.Extensions.graphPagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
