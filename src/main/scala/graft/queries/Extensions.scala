@@ -2729,6 +2729,48 @@ object Extensions {
       .orderBy("k")
   }
 
+  /** One stored change-log layout per source dir per JVM — the same
+    * write-once discipline as [[zorderStore]]: the log lands
+    * `partitionBy(k_bucket, seq_era)` (16 key buckets × coarse
+    * sequence eras), the Hudi/Delta file-group layout where a key's
+    * whole history lives under one bucket directory. */
+  private val cdcStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdcStore(s: SparkSession, dir: String): String =
+    cdcStores.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cdc_log")
+      ivfTmpRoots.add(root)
+      val st = root.toString + "/cdc_log"
+      graft.streaming.CdcStream.changeLog(t(s, dir, "orders"))
+        .withColumn("k_bucket", col("k") % 16)
+        .withColumn("seq_era", expr("seq DIV 10000"))
+        .repartition(col("k_bucket"))  // cluster each bucket, not slivers
+        .write.partitionBy("k_bucket", "seq_era").mode("overwrite").parquet(st)
+      st
+    })
+
+  /** [[cdcApply]] AGAINST STORAGE — the merge-on-read compaction shape
+    * at rest ([[layoutZorderStored]]'s stored-pattern applied to the
+    * change log): the log lives `partitionBy(k_bucket, seq_era)`, and
+    * compacting one file group (k_bucket < 4, the per-group compaction
+    * a Hudi/Delta table runs) reaches the scan as a STATIC partition
+    * filter — 4 of 16 bucket directory trees listed, never a full-log
+    * scan, while every seq_era within a chosen bucket IS read
+    * (last-writer-wins needs the key's whole history; pruning is on
+    * the key dimension, not time). The compaction itself is the same
+    * one-shuffle struct-max as [[cdcApply]]; the oracle is the same
+    * row_number SQL restricted to the compacted buckets. PlanAuditSpec
+    * asserts the PartitionFilters line and the 4-of-16 listing. */
+  def cdcApplyStored(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(cdcStore(s, dir))
+      .filter(col("k_bucket") < 4)
+      .groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("cents"))).as("m"))
+      .filter(col("m.op") =!= "D")
+      .select(col("k"), col("m.seq").as("seq"), col("m.cents").as("cents"))
+      .orderBy("k")
+  }
+
   /** Bipartite → unipartite co-occurrence projection: users who act in
     * the same (hour, event_type) bucket become weighted user–user
     * edges — the graph-CONSTRUCTION step feeding the BSP family (the
@@ -5231,6 +5273,20 @@ object ExtensionOracles {
       |  FROM orders),
       |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
       |      FROM log)
+      |SELECT k, seq, cents FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY k""".stripMargin
+
+  /** [[Extensions.cdcApplyStored]]: [[cdcApply]]'s last-writer-wins
+    * SQL restricted to the compacted file groups (`k % 16 < 4` — the
+    * bucket filter the stored layout turns into partition pruning). */
+  val cdcApplyStored: String =
+    """WITH log AS (
+      |  SELECT o_orderkey % 5000 AS k, o_orderkey AS seq,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |      FROM log WHERE k % 16 < 4)
       |SELECT k, seq, cents FROM r WHERE rn = 1 AND op <> 'D'
       |ORDER BY k""".stripMargin
 

@@ -247,6 +247,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(df.collect().toSeq == plain)
   }
 
+  test("cdc_apply_stored: file-group filter prunes k_bucket directories at the scan") {
+    val df = graft.SparkEntry.queries("cdc_apply_stored")(spark, dir)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in cdc_apply_stored plan"))
+    assert(scan.toString.contains("PartitionFilters: [") &&
+      scan.toString.contains("k_bucket"),
+      s"k_bucket not applied as a partition filter:\n${scan.toString.take(2000)}")
+    // only the 4 compacted file groups' directory trees are listed —
+    // every seq_era within them (the key's whole history), no others
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    val buckets = parts.map(_.values.getInt(0)).distinct
+    assert(buckets.forall(_ < 4) && buckets.nonEmpty,
+      s"pruning must keep only k_bucket 0..3, listed: $buckets")
+    // storage invariance: compacting the stored log == compacting the
+    // derived log restricted to the same buckets
+    import org.apache.spark.sql.functions._
+    val plain = graft.queries.Extensions.cdcApply(spark, dir)
+      .filter(col("k") % 16 < 4).collect().toSeq
+    assert(df.collect().toSeq == plain)
+  }
+
   test("layout_hilbert_stored: x-range filter prunes exactly the strip's 16x16 blocks") {
     val df = graft.SparkEntry.queries("layout_hilbert_stored")(spark, dir)
     val scan = df.queryExecution.sparkPlan.collectLeaves()
