@@ -62,9 +62,18 @@ object EtlStream {
             }
             warehouseAppend(fresh, warehouseDir)
           }
+          // Replay-idempotent quarantine: the sink partitions by
+          // batch_id and dynamically OVERWRITES only that partition, so
+          // a batch replayed after a crash (offsets written, commit
+          // lost) rewrites its own directory instead of appending a
+          // duplicate — the per-sink half of the exactly-once story the
+          // warehouse anti-join provides for clean rows.
           if (res.quarantine.limit(1).count() > 0)
             res.quarantine.withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(quarantineDir)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(quarantineDir)
         } finally res.warehouse.unpersist()
         ()
       }

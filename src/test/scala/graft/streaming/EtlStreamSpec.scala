@@ -48,6 +48,60 @@ class EtlStreamSpec extends AnyFunSuite with SparkSpec {
       .map(_.getString(0)).count(_ == "10000001") == 1)
   }
 
+  test("crash recovery: a batch whose commit never landed replays without duplicating either sink") {
+    // Simulates the exact crash window Structured Streaming's WAL
+    // defines: offsets/N written (batch planned), foreachBatch's sink
+    // effects applied, commits/N never recorded — i.e. the process died
+    // after the append but before the checkpoint commit. On restart the
+    // engine MUST replay batch N, and the idempotent sinks must absorb
+    // the replay: anti-join for the warehouse, dynamic partition
+    // overwrite for the quarantine.
+    val rawDir = tmp(); val out = tmp()
+    val wh = s"$out/warehouse"; val qr = s"$out/quarantine"; val cp = s"$out/checkpoint"
+    val lines = Files.readString(Paths.get(fixture("raw_ads.jsonl")))
+      .linesIterator.toSeq
+    // batch 0 = clean-only rows; batch 1 = the quarantine rows + rest,
+    // so the replayed batch exercises BOTH sinks
+    Files.writeString(Paths.get(s"$rawDir/f1.jsonl"), lines.take(4).mkString("\n"))
+    Files.writeString(Paths.get(s"$rawDir/f2.jsonl"), lines.drop(4).mkString("\n"))
+    EtlStream.run(spark, rawDir, fixture("site_dim.csv"), wh, qr, cp,
+      maxFilesPerTrigger = 1)
+    val whRows = spark.read.parquet(wh).count()
+    val qrRows = spark.read.parquet(qr).count()
+    assert(whRows == 5 && qrRows == 2)
+
+    // crash: the last batch's commit record vanishes; its sink output
+    // stays. The doctored checkpoint is COPIED to a fresh path — the
+    // same on-disk state a restarted process would see, without
+    // tripping the live JVM's metadata-log bookkeeping for the old path.
+    val cp2 = s"$out/checkpoint_after_crash"
+    val src = Paths.get(cp)
+    Files.walk(src).forEach { p =>
+      val dst = Paths.get(cp2).resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst)
+    }
+    val commits = Files.list(Paths.get(s"$cp2/commits")).toArray.map(_.toString)
+      .filter(p => Paths.get(p).getFileName.toString.forall(_.isDigit)).sorted
+    val last = Paths.get(commits.last)
+    Files.delete(last)
+    // the local-FS checksum sidecar must die with its file, or the
+    // re-written commit trips Hadoop's ChecksumFileSystem
+    Files.deleteIfExists(last.resolveSibling("." + last.getFileName + ".crc"))
+
+    // resume: the engine replays the uncommitted batch against sinks
+    // that already hold its output — counts must not move
+    EtlStream.run(spark, rawDir, fixture("site_dim.csv"), wh, qr, cp2,
+      maxFilesPerTrigger = 1)
+    assert(spark.read.parquet(wh).count() == whRows,
+      "warehouse rows duplicated by the replayed batch")
+    assert(spark.read.parquet(qr).count() == qrRows,
+      "quarantine rows duplicated by the replayed batch")
+    val ids = spark.read.parquet(wh).select("uniq_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("idempotency key scan partition-prunes to the batch's month set") {
     import org.apache.spark.sql.functions._
     val whDir = s"${tmp()}/warehouse"
