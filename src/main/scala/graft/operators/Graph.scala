@@ -850,4 +850,100 @@ object Graph {
     }
     assigned
   }
+
+  /** Pivot-sampled betweenness centrality (Brandes 2001 "A Faster
+    * Algorithm for Betweenness Centrality", pivot sampling per
+    * Brandes & Pich 2007 "Centrality Estimation in Large Networks"):
+    * BC(v) ≈ (N/K)·Σ_{s ∈ pivots} δ_s(v), each pivot's dependency
+    * computed EXACTLY by the two-phase Brandes pass over the DIRECTED
+    * induced subgraph, horizon-bounded at `maxDist` (the
+    * harmonic-centrality truncation convention — paths longer than the
+    * horizon contribute nothing, no ∞ to leak).
+    *
+    * Both phases ride the BSP chassis. Forward: frontier rows
+    * (pivot, node, dist, σ) — a step expands along out-edges,
+    * `groupBy(pivot, dst).sum(σ)` merges equal-length path counts
+    * (map-side combine under in-degree skew), an anti-join against the
+    * settled set keeps first-reach rows only; early exit on an empty
+    * frontier. Backward, level by level from the deepest: the classic
+    * accumulation δ(v) = Σ_{w: v→w, d(w)=d(v)+1} (σ_v/σ_w)(1 + δ(w)),
+    * in ppm fixed point — `σ_v·(10⁶ + δ_w) DIV σ_w` summed as integers,
+    * so the result is a deterministic, engine-reproducible function of
+    * (graph, pivots, maxDist): truncation loses < 1 ppm per term and
+    * is order-independent, unlike a Double accumulation.
+    *
+    * Scale shape: state is O(K·N) pair rows (one per pivot×reached
+    * node) — the pivot-sampling trade that replaces exact Brandes'
+    * all-sources O(N²); per-step cost is one equi-join + one combine
+    * aggregate; per-iteration localCheckpoint is the standard lineage
+    * cut, keeping the plan constant in the step count. N and K are two
+    * bounded driver scalars (the pageRank-N class). Returns
+    * (node, betweenness_ppm) with the N/K scale applied in integer
+    * arithmetic; pivots = all nodes makes it EXACT betweenness (up to
+    * the documented ppm truncation). */
+  def betweennessBrandesPpm(edges: DataFrame, nodes: DataFrame,
+                            pivots: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 1)
+    val nset = nodes.select(col("node"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .distinct().localCheckpoint()
+    val p0 = pivots.select(col("node")).distinct()
+      .join(nset, Seq("node"), "left_semi").localCheckpoint()
+    val n = nset.count()
+    val k = p0.count()
+    require(n > 0 && k > 0, "empty node or pivot set")
+    var settled = p0.select(col("node").as("pivot"), col("node"),
+        lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint()
+    var frontier = settled
+    var depth = 0
+    while (depth < maxDist && !frontier.isEmpty) {
+      depth += 1
+      val fresh = frontier.join(e, frontier("node") === e("src"))
+        .groupBy(col("pivot"), e("dst").as("nn"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settled.select(col("pivot"), col("node").as("nn")),
+          Seq("pivot", "nn"), "left_anti")
+        .select(col("pivot"), col("nn").as("node"),
+          lit(depth).as("dist"), col("sigma"))
+        .localCheckpoint()
+      frontier = fresh
+      settled = settled.unionByName(fresh).localCheckpoint()
+    }
+    // Backward level sweep: deltaNext holds level d+1's (pivot, w,
+    // delta_ppm); each level's contributions also accumulate into levels
+    var deltaNext = settled.filter(col("dist") === depth)
+      .select(col("pivot"), col("node").as("w"), lit(0L).as("delta_ppm"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (lvl <- (depth - 1) to 0 by -1) {
+      val vs = settled.filter(col("dist") === lvl)
+        .select(col("pivot"), col("node").as("v"), col("sigma").as("sv"))
+      val ws = settled.filter(col("dist") === lvl + 1)
+        .select(col("pivot"), col("node").as("w"), col("sigma").as("sw"))
+        .join(deltaNext, Seq("pivot", "w"), "left")
+        .select(col("pivot"), col("w"), col("sw"),
+          coalesce(col("delta_ppm"), lit(0L)).as("dw"))
+      val contrib = vs.join(e, vs("v") === e("src"))
+        .select(col("pivot"), col("v"), col("sv"), e("dst").as("w"))
+        .join(ws, Seq("pivot", "w"))
+        .groupBy(col("pivot"), col("v"))
+        .agg(sum(expr("sv * (1000000L + dw) DIV sw")).as("delta_ppm"))
+        .localCheckpoint()
+      deltaNext = contrib.select(col("pivot"), col("v").as("w"), col("delta_ppm"))
+      levels += deltaNext
+    }
+    val acc =
+      if (levels.isEmpty)
+        nset.limit(0).select(col("node").as("pivot"), col("node").as("w"),
+          lit(0L).as("delta_ppm"))
+      else levels.reduce(_ unionByName _)
+    val bc = acc.filter(col("w") =!= col("pivot"))   // δ_s(s) never counts
+      .groupBy(col("w").as("node"))
+      .agg(sum(col("delta_ppm")).as("s"))
+    nset.join(bc, Seq("node"), "left")
+      .select(col("node"),
+        expr(s"(coalesce(s, 0L) * ${n}L) DIV ${k}L").as("betweenness_ppm"))
+  }
 }

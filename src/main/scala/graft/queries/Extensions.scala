@@ -2702,6 +2702,33 @@ object Extensions {
       .orderBy("dist")
   }
 
+  /** Pivot-sampled betweenness centrality
+    * ([[graft.operators.Graph.betweennessBrandesPpm]]) over the
+    * [[graphHarmonic]] chain+bridges directed fixture — the
+    * bridge-detection rank that completes the centrality family (a
+    * node with modest degree but high betweenness is a chokepoint the
+    * degree/harmonic/pagerank priors all miss; in a link graph these
+    * are the hub pages stitching communities). Pivots = the mod-10
+    * residues (K=10 of N=100 — the Brandes-Pich sampling trade),
+    * horizon 12 covers the fixture's directed diameter, so each
+    * pivot's dependency pass is exact. Rows-only at the driver gate
+    * (the two-phase dependency accumulation isn't reasonably
+    * SQL-expressible); GraphSpec gates the result against an
+    * independently-coded exact Brandes on the same fixture, plus
+    * closed forms. */
+  def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val bridges = nodes.filter(col("node").isin(0, 25))
+      .select(col("node").as("src"), (col("node") + 50).as("dst"))
+    val pivots = nodes.filter(col("node") % 10 === 0)
+    graft.operators.Graph.betweennessBrandesPpm(
+      chain.unionByName(bridges), nodes, pivots, maxDist = 12)
+      .orderBy("node")
+  }
+
   /** CDC log application (merge-on-read compaction): reduce a change
     * log of upserts and deletes to the current snapshot — the
     * last-writer-wins-by-sequence primitive behind every

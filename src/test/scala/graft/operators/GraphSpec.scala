@@ -608,6 +608,90 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert((10L until 100L).forall(n => m(n) == n / 5 * 5))
   }
 
+  private def runBc(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                    pivots: Seq[Long], maxDist: Int = 12): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.betweennessBrandesPpm(edges.toDF("src", "dst"), nodes.toDF("node"),
+        pivots.toDF("node"), maxDist)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Independent exact Brandes (horizon-bounded, Double arithmetic) —
+    * deliberately a different formulation than the engine's fixed-point
+    * BSP, so agreement certifies the algorithm, not the code. */
+  private def exactBc(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                      pivots: Seq[Long], maxDist: Int): Map[Long, Double] = {
+    val adj = edges.distinct.filter(e => nodes.contains(e._1) && nodes.contains(e._2))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val bc = scala.collection.mutable.Map(nodes.map(_ -> 0.0): _*)
+    for (s <- pivots) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1.0)
+      val levels = scala.collection.mutable.ArrayBuffer(Seq(s))
+      var frontier = Seq(s); var d = 0
+      while (frontier.nonEmpty && d < maxDist) {
+        d += 1
+        val contrib = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+        for (v <- frontier; w <- adj.getOrElse(v, Nil) if !dist.contains(w))
+          contrib(w) += sigma(v)
+        frontier = contrib.keys.toSeq
+        frontier.foreach { w => dist(w) = d; sigma(w) = contrib(w) }
+        if (frontier.nonEmpty) levels += frontier
+      }
+      val delta = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for (lvl <- levels.indices.reverse.drop(1); v <- levels(lvl);
+           w <- adj.getOrElse(v, Nil) if dist.get(w).contains(lvl + 1))
+        delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+      for (v <- dist.keys if v != s) bc(v) += delta(v)
+    }
+    val scale = nodes.size.toDouble / pivots.size
+    bc.map { case (v, x) => v -> x * scale }.toMap
+  }
+
+  test("betweenness: directed path — only the middle node lies between") {
+    val r = runBc(Seq(0L -> 1L, 1L -> 2L), 0L to 2L, 0L to 2L)
+    assert(r == Map(0L -> 0L, 1L -> 1000000L, 2L -> 0L))
+  }
+
+  test("betweenness: diamond splits the dependency between the two middles") {
+    val r = runBc(Seq(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 3L), 0L to 3L, 0L to 3L)
+    assert(r == Map(0L -> 0L, 1L -> 500000L, 2L -> 500000L, 3L -> 0L))
+  }
+
+  test("betweenness: pivot subset applies the N/K estimator scale; pivot's own delta excluded") {
+    // Only pivot 0 runs: delta_0(1) = 1, scaled by N/K = 3
+    val r = runBc(Seq(0L -> 1L, 1L -> 2L), 0L to 2L, Seq(0L))
+    assert(r == Map(0L -> 0L, 1L -> 3000000L, 2L -> 0L))
+  }
+
+  test("betweenness: horizon truncation drops paths past maxDist, deterministically") {
+    val r = runBc(Seq(0L -> 1L, 1L -> 2L), 0L to 2L, 0L to 2L, maxDist = 1)
+    assert(r.values.forall(_ == 0L))   // no 2-hop path fits the horizon
+  }
+
+  test("betweenness vs independent exact Brandes on the declared fixture") {
+    val rows = graft.queries.Extensions.graphBetweenness(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 100)
+    val nodes = (0L until 100L).toSeq
+    val chain = nodes.filter(n => n % 7 != 6 && n < 99).map(n => n -> (n + 1))
+    val bridges = Seq(0L -> 50L, 25L -> 75L)
+    val exact = exactBc(chain ++ bridges, nodes, nodes.filter(_ % 10 == 0), 12)
+    // fixed-point truncation loses < 1 ppm per backward term; after the
+    // x10 estimator scale a generous 0.2% + 2000 ppm absolute bound
+    // still catches any real algorithmic divergence
+    for ((v, e) <- exact) {
+      val eppm = e * 1e6
+      assert(math.abs(rows(v) - eppm) <= 0.002 * eppm + 2000,
+        s"node $v: engine ${rows(v)} vs exact $eppm")
+    }
+    // the fixture must exercise real structure: the short forward
+    // segments past each pivot (chains break every 7 nodes) plus the
+    // two bridge paths yield a couple dozen true intermediates
+    assert(rows.values.count(_ > 0L) > 15)
+    assert(exact.values.count(_ > 0.0) == rows.values.count(_ > 0L))
+  }
+
   test("volume fixture: full doc_id domain, 10 edges/node, rank mass bounded and differentiated") {
     val rows = graft.queries.Extensions.graphPagerankVolume(spark, "/root/testdata/sf0.001")
       .collect()
