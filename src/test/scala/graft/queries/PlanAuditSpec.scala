@@ -27,6 +27,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "dedup_containment",    // 1-row query document (asymmetric containment)
     "ann_q8_topk",          // 5-row quantized query set
     "ann_q8_range",         // 5-row quantized query set (radius variant)
+    "ann_lsh_topk",         // exact-twin gate: 5-row probe broadcast
+    "ann_ivf_topk",         // exact-twin gate: 5-row probe broadcast
+    "ann_ivf_kmeans",       // exact-twin gate: 5-row probe broadcast
+    "ann_ivfpq_topk",       // exact-twin gate: 5-row probe broadcast
     "emb_knn_graph",        // bounded probe batch (every 10th vector) broadcast
     "emb_mmr",              // 5-row query set broadcast into the pool build
     "emb_trunc_recall",     // same probe batch, two ranking passes
