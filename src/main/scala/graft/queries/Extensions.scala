@@ -2763,10 +2763,13 @@ object Extensions {
     * are the hub pages stitching communities). Pivots = the mod-10
     * residues (K=10 of N=100 — the Brandes-Pich sampling trade),
     * horizon 12 covers the fixture's directed diameter, so each
-    * pivot's dependency pass is exact. Rows-only at the driver gate
-    * (the two-phase dependency accumulation isn't reasonably
-    * SQL-expressible); GraphSpec gates the result against an
-    * independently-coded exact Brandes on the same fixture, plus
+    * pivot's dependency pass is exact. ORACLE-CHECKED: both phases
+    * unroll as CTE chains (forward = the graphHarmonic BFS unroll plus
+    * the σ column; backward = 12 integer ppm delta steps) — the
+    * fixed-point arithmetic was chosen exactly so the accumulation is
+    * engine-reproducible, and the hash match proves it digit for
+    * digit. GraphSpec additionally gates against an independently-
+    * coded exact Brandes (Double arithmetic, no step mirroring), plus
     * closed forms. */
   def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
     val nodes = t(s, dir, "documents")
@@ -5455,6 +5458,65 @@ object ExtensionOracles {
        |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
        |$steps
        |SELECT node, CAST(label AS BIGINT) AS label FROM l8 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphBetweenness]]: both Brandes phases unrolled as
+    * CTE chains. Forward mirrors [[graphHarmonic]]'s BFS unroll PLUS
+    * the σ path-count column (fᵢ = pairs first reached at i, σ = sum
+    * over level-(i−1) parents; NOT EXISTS against pᵢ₋₁ keeps
+    * first-reach rows only). Backward unrolls the level sweep dⱼ =
+    * Σ_{v→w, w∈fⱼ₊₁} σ_v·(10⁶ + δ_w) // σ_w — every operand
+    * non-negative, so DuckDB's flooring `//` equals the engine's
+    * truncating DIV, and integer sums are order-independent, which is
+    * what makes the fixed-point delta chain hash-exact across engines.
+    * Final: per-node delta sum excluding each pivot's own row, scaled
+    * N // K. All fᵢ/pᵢ/dⱼ MATERIALIZED — each is read twice. */
+  val graphBetweenness: String = {
+    val fwd = (1 to 12).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT c.origin, c.node, c.sigma
+         |  FROM (SELECT f.origin, e.dst AS node, sum(f.sigma) AS sigma
+         |        FROM f${i - 1} f JOIN edges e ON f.node = e.src
+         |        GROUP BY 1, 2) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM p${i - 1} p
+         |                    WHERE p.origin = c.origin AND p.node = c.node)),
+         |p$i AS MATERIALIZED (
+         |  SELECT origin, node FROM p${i - 1}
+         |  UNION ALL SELECT origin, node FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (0 to 11).reverse.map { j =>
+      s"""d$j AS MATERIALIZED (
+         |  SELECT v.origin, v.node,
+         |         sum(v.sigma * (1000000 + coalesce(dn.delta, 0)) // w.sigma) AS delta
+         |  FROM f$j v
+         |  JOIN edges e ON v.node = e.src
+         |  JOIN f${j + 1} w ON w.origin = v.origin AND w.node = e.dst
+         |  LEFT JOIN d${j + 1} dn ON dn.origin = w.origin AND dn.node = w.node
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |raw AS (
+       |  SELECT node AS src, node + 1 AS dst FROM nodes
+       |  WHERE node % 7 <> 6 AND node < 99
+       |  UNION ALL
+       |  SELECT node, node + 50 FROM nodes WHERE node IN (0, 25)),
+       |edges AS (SELECT r.src, r.dst FROM raw r JOIN nodes n ON r.dst = n.node),
+       |f0 AS MATERIALIZED (
+       |  SELECT node AS origin, node, CAST(1 AS BIGINT) AS sigma
+       |  FROM nodes WHERE node % 10 = 0),
+       |p0 AS MATERIALIZED (SELECT origin, node FROM f0),
+       |$fwd,
+       |d12 AS MATERIALIZED (
+       |  SELECT origin, node, CAST(0 AS BIGINT) AS delta FROM f12),
+       |$bwd,
+       |alld AS (${(0 to 11).map(j => s"SELECT * FROM d$j").mkString(" UNION ALL ")}),
+       |bc AS (SELECT node, sum(delta) AS s FROM alld
+       |       WHERE node <> origin GROUP BY 1)
+       |SELECT n.node,
+       |       CAST(coalesce(bc.s, 0) * (SELECT count(*) FROM nodes)
+       |            // (SELECT count(*) FROM f0) AS BIGINT) AS betweenness_ppm
+       |FROM nodes n LEFT JOIN bc USING (node)
+       |ORDER BY node""".stripMargin
   }
 
   /** Shared by the four gated ANN queries (ann_lsh_topk, ann_ivf_topk,
