@@ -894,33 +894,41 @@ object Graph {
     val n = nset.count()
     val k = p0.count()
     require(n > 0 && k > 0, "empty node or pivot set")
-    var settled = p0.select(col("node").as("pivot"), col("node"),
-        lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint()
-    var frontier = settled
-    var depth = 0
-    while (depth < maxDist && !frontier.isEmpty) {
-      depth += 1
-      val fresh = frontier.join(e, frontier("node") === e("src"))
+    // Per-LEVEL checkpointed frames, indexed by depth — the backward
+    // sweep addresses levels directly instead of filtering a monolithic
+    // settled frame, and the settled set for the anti-join is a cheap
+    // union of the already-materialized leaves (never re-checkpointed:
+    // one materialization per level, not two).
+    val levelFrames = scala.collection.mutable.ArrayBuffer(
+      p0.select(col("node").as("pivot"), col("node"), lit(1L).as("sigma"))
+        .localCheckpoint())
+    var settledU = levelFrames(0).select(col("pivot"), col("node"))
+    var growing = true
+    while (levelFrames.size <= maxDist && growing) {
+      val prev = levelFrames.last
+      val fresh = prev.join(e, prev("node") === e("src"))
         .groupBy(col("pivot"), e("dst").as("nn"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(settled.select(col("pivot"), col("node").as("nn")),
+        .join(settledU.select(col("pivot"), col("node").as("nn")),
           Seq("pivot", "nn"), "left_anti")
-        .select(col("pivot"), col("nn").as("node"),
-          lit(depth).as("dist"), col("sigma"))
+        .select(col("pivot"), col("nn").as("node"), col("sigma"))
         .localCheckpoint()
-      frontier = fresh
-      settled = settled.unionByName(fresh).localCheckpoint()
+      if (fresh.isEmpty) growing = false
+      else {
+        levelFrames += fresh
+        settledU = settledU.unionByName(fresh.select(col("pivot"), col("node")))
+      }
     }
     // Backward level sweep: deltaNext holds level d+1's (pivot, w,
     // delta_ppm); each level's contributions also accumulate into levels
-    var deltaNext = settled.filter(col("dist") === depth)
+    val depth = levelFrames.size - 1
+    var deltaNext = levelFrames(depth)
       .select(col("pivot"), col("node").as("w"), lit(0L).as("delta_ppm"))
-      .localCheckpoint()
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (lvl <- (depth - 1) to 0 by -1) {
-      val vs = settled.filter(col("dist") === lvl)
+      val vs = levelFrames(lvl)
         .select(col("pivot"), col("node").as("v"), col("sigma").as("sv"))
-      val ws = settled.filter(col("dist") === lvl + 1)
+      val ws = levelFrames(lvl + 1)
         .select(col("pivot"), col("node").as("w"), col("sigma").as("sw"))
         .join(deltaNext, Seq("pivot", "w"), "left")
         .select(col("pivot"), col("w"), col("sw"),
