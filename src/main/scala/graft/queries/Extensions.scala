@@ -114,6 +114,46 @@ object Extensions {
   def textNgrams(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 50)
 
+  /** Count-min-sketch heavy hitters over the token stream — the
+    * bounded-memory frequent-items primitive (Cormode & Muthukrishnan
+    * 2005) a 100 TB vocabulary census runs when the exact token table
+    * no longer fits: the sketch is a fixed ~150 KB array whatever the
+    * corpus size, merged associatively map-side (Spark's codegen'd
+    * `count_min_sketch` aggregate). ORACLE-GATED (the q8 pattern): the
+    * query emits the EXACT deterministic top-20 unigrams (one hash
+    * aggregate + TakeOrdered, (cnt DESC, tok) tiebreak — hash-matched
+    * in DuckDB) plus two integer gates per row pinned to 0: the
+    * one-sided CMS guarantee (estimate ≥ true count, ALWAYS) and the
+    * ε-overcount bound (estimate ≤ true + ε·N at ε = 0.001, seed
+    * fixed so the sketch is deterministic). The 20-row top plus the
+    * sketch bytes are bounded driver artifacts (the IVF-codebook
+    * class); the token stream is scanned ONCE (localCheckpoint feeds
+    * both the exact aggregate and the sketch). */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(graft.functions.Sketches.wordShingles(col("text"), 1)).as("tok"))
+      .localCheckpoint()
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20).collect()
+    val aggRow = toks.agg(
+      expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("total")).collect()(0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(aggRow.getAs[Array[Byte]](0)))
+    val total = aggRow.getLong(1)
+    val epsN = total / 1000L + 1L
+    val out = exact.zipWithIndex.map { case (r, i) =>
+      val tok = r.getString(0); val cnt = r.getLong(1)
+      val est = cms.estimateCount(tok)
+      (i + 1L, tok, cnt,
+        if (est >= cnt) 0L else 1L,          // CMS can never undercount
+        if (est <= cnt + epsN) 0L else 1L)   // overcount bounded by eps·N
+    }
+    import s.implicits._
+    out.toSeq.toDF("rank", "tok", "cnt", "under_gate", "over_gate")
+      .orderBy("rank")
+  }
+
   /** Word-set Jaccard similarity vs a fixed document (doc_id=0), top 50
     * — the exact-verification kernel of n-gram dedup, oracle-checkable.
     * Single-space split for DuckDB parity (library form is regex-based).
@@ -3940,6 +3980,25 @@ object ExtensionOracles {
     * (lowercase, kernel whitespace class, short doc → whole-doc gram),
     * total (n DESC, gram) order so the LIMIT boundary is deterministic
     * in both engines (ASCII grams, binary collation both sides). */
+  /** [[Extensions.textHeavyHitters]]: the exact top-20 unigram table
+    * from the same kernel-mirroring token derivation as [[textNgrams]]
+    * (n = 1: the short-doc whole-document rule collapses to "empty
+    * text → one empty gram"), gates pinned to 0 — a sketch that
+    * undercounts (impossible by construction) or overcounts past ε·N
+    * flips a gate and fails the hash. */
+  val textHeavyHitters: String = {
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |           FROM documents),
+       |w AS (SELECT CASE WHEN len(tk) < 1 THEN [''] ELSE tk END AS gs FROM d),
+       |e AS (SELECT unnest(gs) AS tok FROM w),
+       |c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM c)
+       |SELECT CAST(rank AS BIGINT) AS rank, tok, cnt,
+       |       CAST(0 AS BIGINT) AS under_gate, CAST(0 AS BIGINT) AS over_gate
+       |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
   val textNgrams: String = {
     val kws = graft.functions.SketchUtil.WsClassRegex
     s"""WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk

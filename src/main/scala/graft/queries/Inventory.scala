@@ -370,6 +370,42 @@ object Inventory {
         round(expr("percentile(len, 0.99)"), 2).as("p99"),
         count(lit(1)).as("n"))
 
+  /** Q24b — approx_percentile (Greenwald–Khanna-class quantile
+    * sketch), ORACLE-GATED (the q8 pattern): the sketch value is
+    * engine-specific, so the query emits the EXACT interpolated
+    * percentiles (oracle-matched) plus one integer gate per quantile
+    * pinned to 0. The gate checks the guarantee a quantile sketch
+    * actually makes — RANK accuracy, not value distance (value error
+    * is unbounded on skewed data): with accuracy = 100 (ε = 1%), the
+    * returned element's min/max-rank interval [#{len < v}+1, #{len ≤
+    * v}] must intersect [q·n − εn − 1, q·n + εn + 1]. One extra pass
+    * over the scan computes the three rank pairs against the 1-row
+    * broadcast sketch output (the q4 scalar-subquery shape). */
+  def q24bApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val lens = t(s, dir, "documents").select(length(col("text")).as("len"))
+    val agg = lens.agg(
+      expr("approx_percentile(len, array(0.5D, 0.9D, 0.99D), 100)").as("ap"),
+      expr("percentile(len, array(0.5D, 0.9D, 0.99D))").as("ep"),
+      count(lit(1)).as("n"))
+    def gate(i: Int, q: Double) = {
+      val v = element_at(col("ap"), i)
+      val lo = sum(when(col("len") < v, 1L).otherwise(0L)) + 1
+      val hi = sum(when(col("len") <= v, 1L).otherwise(0L))
+      val eps = col("n") / lit(100.0) + 1.0
+      when(lit(q) * col("n") + eps >= lo && lit(q) * col("n") - eps <= hi,
+        lit(0L)).otherwise(lit(1L))
+    }
+    lens.crossJoin(broadcast(agg))
+      .groupBy(col("ep"), col("n"), col("ap"))   // all three 1-row constants
+      .agg(gate(1, 0.5).as("g50"), gate(2, 0.9).as("g90"),
+        gate(3, 0.99).as("g99"))
+      .select(
+        round(element_at(col("ep"), 1), 2).as("p50"),
+        round(element_at(col("ep"), 2), 2).as("p90"),
+        round(element_at(col("ep"), 3), 2).as("p99"),
+        col("n"), col("g50"), col("g90"), col("g99"))
+  }
+
   /** Q25 — per-group top-k via the custom [[graft.functions.TopKAgg]]
     * TypedImperativeAggregate (SURVEY §2.8's deferred UDAF): 3 latest
     * orders per customer. Unlike the Q9 window idiom this never sorts

@@ -185,6 +185,20 @@ object Oracles {
       |       count(*) AS n
       |FROM documents""".stripMargin
 
+  /** [[Inventory.q24bApproxPercentiles]]: exact interpolated
+    * percentiles plus the three rank-accuracy gates pinned to 0 —
+    * a sketch whose element drifts outside its ±1% rank window flips
+    * a gate and fails the hash. */
+  val q24bApproxPercentiles: String =
+    """SELECT round(quantile_cont(len(text), 0.5), 2) AS p50,
+      |       round(quantile_cont(len(text), 0.9), 2) AS p90,
+      |       round(quantile_cont(len(text), 0.99), 2) AS p99,
+      |       count(*) AS n,
+      |       CAST(0 AS BIGINT) AS g50,
+      |       CAST(0 AS BIGINT) AS g90,
+      |       CAST(0 AS BIGINT) AS g99
+      |FROM documents""".stripMargin
+
   val q25TopkAgg: String =
     """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, rn
       |FROM (

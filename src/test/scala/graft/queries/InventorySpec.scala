@@ -32,6 +32,18 @@ class InventorySpec extends AnyFunSuite with SparkSpec {
       s"approx_count_distinct drifted past 5% of $exact")
   }
 
+  test("q24b approx percentiles: exact values match q24, all rank gates 0") {
+    val row = Inventory.q24bApproxPercentiles(spark, sf).collect()(0)
+    val exact = Inventory.q24Percentiles(spark, sf).collect()(0)
+    assert(row.getDouble(row.fieldIndex("p50")) ==
+      exact.getDouble(exact.fieldIndex("p50")))
+    assert(row.getDouble(row.fieldIndex("p99")) ==
+      exact.getDouble(exact.fieldIndex("p99")))
+    for (g <- Seq("g50", "g90", "g99"))
+      assert(row.getLong(row.fieldIndex(g)) == 0L,
+        s"$g: approx_percentile outside its ±1% rank window")
+  }
+
   test("q29 funnel: strict event ordering — out-of-order stages don't count") {
     import java.sql.Timestamp
     import spark.implicits._
