@@ -154,6 +154,37 @@ object Extensions {
       .orderBy("rank")
   }
 
+  /** Per-day distinct users via MERGEABLE HLL sketches (Apache
+    * DataSketches HllSketch, Spark's `hll_sketch_agg`/`hll_union_agg`)
+    * — the property that makes sketches the 100 TB answer: daily
+    * sketches are tiny persistent aggregates a warehouse stores per
+    * partition, and ANY date-range distinct count is a register-max
+    * union of them — no re-scan of the raw events. ORACLE-GATED (the
+    * q8 pattern): exact per-day count(DISTINCT) rows hash-matched,
+    * each carrying an estimate gate (HLL at lgK = 12 ≈ 1.6% RSE; the
+    * 5%+1 window is 3σ with slack), plus one 'ALL' row whose gate
+    * checks the UNION path — the merged-sketch estimate against the
+    * exact overall distinct — so both the per-partition sketch and
+    * the merge algebra are certified at the driver. */
+  def eventsHllDaily(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = e.groupBy("day").agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .localCheckpoint()   // two consumers: per-day rows + the union
+    val dailyRows = daily.select(
+      date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_exact"),
+      when(abs(expr("hll_sketch_estimate(sk)") - col("n_exact")) <=
+             col("n_exact") * 0.05 + 1.0, lit(0L)).otherwise(lit(1L)).as("gate"))
+    val allRow = e.agg(countDistinct(col("user_id")).as("n_exact"))
+      .crossJoin(broadcast(daily.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("u_est"))))
+      .select(lit("ALL").as("day"), col("n_exact"),
+        when(abs(col("u_est") - col("n_exact")) <=
+               col("n_exact") * 0.05 + 1.0, lit(0L)).otherwise(lit(1L)).as("gate"))
+    dailyRows.unionByName(allRow).orderBy("day")
+  }
+
   /** Word-set Jaccard similarity vs a fixed document (doc_id=0), top 50
     * — the exact-verification kernel of n-gram dedup, oracle-checkable.
     * Single-space split for DuckDB parity (library form is regex-based).
@@ -3980,6 +4011,19 @@ object ExtensionOracles {
     * (lowercase, kernel whitespace class, short doc → whole-doc gram),
     * total (n DESC, gram) order so the LIMIT boundary is deterministic
     * in both engines (ASCII grams, binary collation both sides). */
+  /** [[Extensions.eventsHllDaily]]: exact per-day distinct counts plus
+    * the exact overall row, every gate pinned to 0 — per-day estimate
+    * drift OR a broken union algebra flips a gate and fails the
+    * hash. */
+  val eventsHllDaily: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       count(DISTINCT user_id) AS n_exact,
+      |       CAST(0 AS BIGINT) AS gate
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT 'ALL', count(DISTINCT user_id), CAST(0 AS BIGINT) FROM events
+      |ORDER BY day""".stripMargin
+
   /** [[Extensions.textHeavyHitters]]: the exact top-20 unigram table
     * from the same kernel-mirroring token derivation as [[textNgrams]]
     * (n = 1: the short-doc whole-document rule collapses to "empty

@@ -21,6 +21,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   private val intendedTinyBroadcast = Set(
     "q4_scalar_subquery",   // 1-row min-date aggregate
     "q24b_approx_percentiles", // 1-row sketch aggregate broadcast (rank gates)
+    "events_hll_daily",     // 1-row merged-sketch estimate broadcast (union gate)
     "q17_cross_join",       // 5-row region × filtered part, explicit frontier semantics
     "q20_cosine_topk",      // 1-row query vector
     "dedup_jaccard",        // 1-row query document
