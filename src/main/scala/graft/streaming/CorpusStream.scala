@@ -111,8 +111,9 @@ object CorpusStream {
     * pattern). */
   def curate(spark: SparkSession, docsDir: String, outputTable: String,
              splits: Seq[(String, Double)], minTokens: Int = 16,
-             maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
-    Tables.parquetStream(spark, docsDir, maxFilesPerTrigger)
+             maxFilesPerTrigger: Option[Int] = None,
+             checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = Tables.parquetStream(spark, docsDir, maxFilesPerTrigger)
       .select(col("doc_id"), col("text"),
         graft.operators.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
       .filter(col("n_tok") >= minTokens)
@@ -125,7 +126,13 @@ object CorpusStream {
       .outputMode("complete")
       .format("memory").queryName(outputTable)
       .trigger(Trigger.AvailableNow())
+    // explicit checkpoint = the crash-recovery path: dedup + agg state
+    // versions persist and a replayed batch reloads its predecessor
+    // state instead of double-counting (CorpusStreamSpec kills and
+    // resumes a drain against a doctored checkpoint to prove it)
+    checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
+  }
 
   /** Streaming nearest-centroid classification census — the
     * similarity-search cell of the ingest pipeline: arriving embedding

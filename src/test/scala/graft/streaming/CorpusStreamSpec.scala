@@ -116,6 +116,55 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
     assert(two == one, "cross-batch dedup state failed: doubled corpus changed the rollup")
   }
 
+  test("stream_curate crash recovery: replayed batch reloads dedup+agg state, no double count") {
+    // The state-store half of the WAL crash window (EtlStreamSpec
+    // covers the foreachBatch-sink half): drain two micro-batches with
+    // a durable checkpoint, then resume from a DOCTORED copy whose
+    // last commit record is missing — the exact on-disk state of a
+    // process that died after the state stores committed but before
+    // the WAL commit landed. The engine must replay the batch against
+    // the PREDECESSOR state versions; with the doubled corpus staged,
+    // any double-counting in the dedup or rollup state would change
+    // the complete-mode table.
+    val staged = stage(2)
+    val out = Files.createTempDirectory("graft_curate_cp")
+    val cp = s"$out/cp"
+    val q = CorpusStream.curate(spark, staged.toString, "curate_cr1",
+      graft.queries.Extensions.corpusSplitSpec, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(cp))
+    q.awaitTermination()
+    val clean = spark.table("curate_cr1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.dropTempView("curate_cr1")
+
+    val cp2 = s"$out/cp_after_crash"
+    val src = Paths.get(cp)
+    Files.walk(src).forEach { p =>
+      val dst = Paths.get(cp2).resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst)
+    }
+    val commits = Files.list(Paths.get(s"$cp2/commits")).toArray.map(_.toString)
+      .filter(p => Paths.get(p).getFileName.toString.forall(_.isDigit)).sorted
+    val last = Paths.get(commits.last)
+    Files.delete(last)
+    Files.deleteIfExists(last.resolveSibling("." + last.getFileName + ".crc"))
+
+    val q2 = CorpusStream.curate(spark, staged.toString, "curate_cr2",
+      graft.queries.Extensions.corpusSplitSpec, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(cp2))
+    q2.awaitTermination()
+    val resumed = spark.table("curate_cr2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.dropTempView("curate_cr2")
+    assert(resumed == clean,
+      "replayed micro-batch changed the rollup: state recovery double-counted")
+    // and the recovered run must still equal the single-shot reference
+    val one = graft.queries.StreamingQueries.streamCurate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(resumed == one)
+  }
+
   test("stream_classify census equals the batch emb_classify report bit-for-bit") {
     val streamed = graft.queries.StreamingQueries.streamClassify(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
