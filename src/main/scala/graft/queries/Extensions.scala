@@ -2855,6 +2855,21 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** [[graphBetweenness]]'s VOLUME twin on the [[volumeGraph]]
+    * expander — the data-dominated proof run for the two-phase Brandes
+    * chassis (the 100-node fixture proves semantics; this proves the
+    * per-step cost tracks the 10N-edge frame): pivots `node % 997 = 0`
+    * scale with the domain (1 at sf0.01, 6 at sf0.1), horizon 8 covers
+    * the degree-10 expander's reach with slack. Same oracle generator
+    * as the small fixture. */
+  def graphBetweennessVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = volumeGraph(s, dir)
+    val pivots = nodes.filter(col("node") % 997 === 0)
+    graft.operators.Graph.betweennessBrandesPpm(edges, nodes, pivots,
+        maxDist = 8)
+      .orderBy("node")
+  }
+
   /** CDC log application (merge-on-read compaction): reduce a change
     * log of upserts and deletes to the current snapshot — the
     * last-writer-wins-by-sequence primitive behind every
@@ -5574,8 +5589,13 @@ object ExtensionOracles {
     * what makes the fixed-point delta chain hash-exact across engines.
     * Final: per-node delta sum excluding each pivot's own row, scaled
     * N // K. All fᵢ/pᵢ/dⱼ MATERIALIZED — each is read twice. */
-  val graphBetweenness: String = {
-    val fwd = (1 to 12).map { i =>
+  /** Generator for the two-phase Brandes unroll: `prefix` must define
+    * CTEs `nodes(node)` and `edges(src, dst)`; `pivotPred` selects the
+    * pivot rows from nodes. Shared by the small-fixture and volume
+    * betweenness oracles. */
+  private def brandesOracle(prefix: String, pivotPred: String,
+                            maxDist: Int): String = {
+    val fwd = (1 to maxDist).map { i =>
       s"""f$i AS MATERIALIZED (
          |  SELECT c.origin, c.node, c.sigma
          |  FROM (SELECT f.origin, e.dst AS node, sum(f.sigma) AS sigma
@@ -5587,7 +5607,7 @@ object ExtensionOracles {
          |  SELECT origin, node FROM p${i - 1}
          |  UNION ALL SELECT origin, node FROM f$i)""".stripMargin
     }.mkString(",\n")
-    val bwd = (0 to 11).reverse.map { j =>
+    val bwd = (0 until maxDist).reverse.map { j =>
       s"""d$j AS MATERIALIZED (
          |  SELECT v.origin, v.node,
          |         sum(v.sigma * (1000000 + coalesce(dn.delta, 0)) // w.sigma) AS delta
@@ -5597,22 +5617,16 @@ object ExtensionOracles {
          |  LEFT JOIN d${j + 1} dn ON dn.origin = w.origin AND dn.node = w.node
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
-       |raw AS (
-       |  SELECT node AS src, node + 1 AS dst FROM nodes
-       |  WHERE node % 7 <> 6 AND node < 99
-       |  UNION ALL
-       |  SELECT node, node + 50 FROM nodes WHERE node IN (0, 25)),
-       |edges AS (SELECT r.src, r.dst FROM raw r JOIN nodes n ON r.dst = n.node),
+    s"""WITH $prefix,
        |f0 AS MATERIALIZED (
        |  SELECT node AS origin, node, CAST(1 AS BIGINT) AS sigma
-       |  FROM nodes WHERE node % 10 = 0),
+       |  FROM nodes WHERE $pivotPred),
        |p0 AS MATERIALIZED (SELECT origin, node FROM f0),
        |$fwd,
-       |d12 AS MATERIALIZED (
-       |  SELECT origin, node, CAST(0 AS BIGINT) AS delta FROM f12),
+       |d$maxDist AS MATERIALIZED (
+       |  SELECT origin, node, CAST(0 AS BIGINT) AS delta FROM f$maxDist),
        |$bwd,
-       |alld AS (${(0 to 11).map(j => s"SELECT * FROM d$j").mkString(" UNION ALL ")}),
+       |alld AS (${(0 until maxDist).map(j => s"SELECT * FROM d$j").mkString(" UNION ALL ")}),
        |bc AS (SELECT node, sum(delta) AS s FROM alld
        |       WHERE node <> origin GROUP BY 1)
        |SELECT n.node,
@@ -5621,6 +5635,23 @@ object ExtensionOracles {
        |FROM nodes n LEFT JOIN bc USING (node)
        |ORDER BY node""".stripMargin
   }
+
+  val graphBetweenness: String = brandesOracle(
+    """nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+      |raw AS (
+      |  SELECT node AS src, node + 1 AS dst FROM nodes
+      |  WHERE node % 7 <> 6 AND node < 99
+      |  UNION ALL
+      |  SELECT node, node + 50 FROM nodes WHERE node IN (0, 25)),
+      |edges AS (SELECT r.src, r.dst FROM raw r JOIN nodes n ON r.dst = n.node)""".stripMargin,
+    "node % 10 = 0", maxDist = 12)
+
+  /** [[Extensions.graphBetweennessVolume]]: the same two-phase unroll
+    * over the volume edge synthesis, horizon 8 (the degree-10 expander
+    * covers its reachable set well inside that). */
+  val graphBetweennessVolume: String = brandesOracle(
+    volumeEdgeCtes + ",\nedges AS (SELECT src, dst FROM raw)",
+    "node % 997 = 0", maxDist = 8)
 
   /** Shared by the four gated ANN queries (ann_lsh_topk, ann_ivf_topk,
     * ann_ivf_kmeans, ann_ivfpq_topk): the exact brute-force top-10
