@@ -210,6 +210,25 @@ object StreamingQueries {
     * drained in complete mode: final per-day/per-type counts and sums
     * are the batch answer, oracle-checked with q18's own rounding
     * convention. */
+  /** Streaming mergeable-HLL census ([[graft.streaming.EtlStream
+    * .hllDaily]]): the batch events_hll_daily maintained as streaming
+    * state — per-day register sketches folded micro-batch by
+    * micro-batch (HLL union is an order-independent register max, so
+    * the drained sketch equals the batch one whatever the arrival
+    * split), exact distinct kept beside it by the chained dedup state.
+    * Drained rows share the batch per-day oracle: exact counts
+    * hash-matched, per-day estimate gate pinned to 0. */
+  def streamHllDaily(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_hll_daily_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1)(
+      graft.streaming.EtlStream.hllDaily(s, _, name))
+    drained(s, name)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_exact"),
+        when(abs(expr("hll_sketch_estimate(sk)") - col("n_exact")) <=
+               col("n_exact") * 0.05 + 1.0, lit(0L)).otherwise(lit(1L)).as("gate"))
+      .orderBy("day")
+  }
+
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_window_${System.nanoTime()}"
     drainStaged(s, dir, copies = 1)(
@@ -398,6 +417,15 @@ object StreamingQueries {
 
 /** DuckDB oracles for the streaming twins. */
 object StreamingOracles {
+
+  /** [[StreamingQueries.streamHllDaily]]: exact per-day distincts with
+    * the estimate gate pinned — the batch events_hll_daily oracle
+    * minus its union ('ALL') row, which the drain doesn't emit. */
+  val streamHllDaily: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       count(DISTINCT user_id) AS n_exact,
+      |       CAST(0 AS BIGINT) AS gate
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
   /** Batch sessionization (q23's CTE) minus each user's final session —
     * the deterministic closed-session set of the drain. */

@@ -167,6 +167,31 @@ object EtlStream {
       // every day including the one the watermark never passes
       mode = "complete")
 
+  /** Streaming per-day distinct-user census with MERGEABLE HLL
+    * sketches — the ingest-time maintenance path of the batch
+    * events_hll_daily pattern: each micro-batch folds its users into
+    * the per-day DataSketches register state (order-independent
+    * register max, so ANY arrival split yields the same sketch), and
+    * `dropDuplicates(day, user_id)` in the same plan keeps the exact
+    * distinct count beside it (the dedup-then-aggregate chained-
+    * stateful shape stream_curate proves). Complete mode: the drained
+    * table is the full census, gate-comparable against the batch
+    * oracle. Unwatermarked dedup state grows with distinct (day, user)
+    * — the unbounded deployment bounds it with
+    * `dropDuplicatesWithinWatermark` (the StreamDedup pattern). */
+  def hllDaily(spark: SparkSession, eventsDir: String,
+               outputTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.core.Tables.eventStream(spark, eventsDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .dropDuplicates("day", "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_exact"),
+        expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(outputTable)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** [[eventWindowCounts]]' unbounded-stream twin: APPEND mode with
     * watermark eviction — each (day, type) group emits exactly once
     * when the watermark passes the day's end and leaves the state

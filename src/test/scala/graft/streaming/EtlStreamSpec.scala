@@ -102,6 +102,34 @@ class EtlStreamSpec extends AnyFunSuite with SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("stream hllDaily: multi-batch drain with replayed duplicates equals the batch sketch exactly") {
+    import org.apache.spark.sql.functions._
+    // stage the events table TWICE, drained across micro-batches: the
+    // dedup state must absorb the duplicate copy, and the drained HLL
+    // registers must equal a single-copy batch aggregation bit for bit
+    // (HLL union is an order-independent register max — arrival split
+    // cannot change the sketch).
+    val dir = "/root/testdata/sf0.001"
+    val staged = Files.createTempDirectory("graft_hll_stage")
+    Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("e1.parquet"))
+    Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("e2.parquet"))
+    val q = EtlStream.hllDaily(spark, staged.toString, "hll_daily_t")
+    q.awaitTermination()
+    val drained = spark.table("hll_daily_t")
+      .select(col("day"), col("n_exact"),
+        expr("hll_sketch_estimate(sk)").as("est"))
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    spark.catalog.dropTempView("hll_daily_t")
+    val batch = graft.core.Tables.t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(drained == batch,
+      "drained per-day (exact, estimate) diverged from the batch sketch")
+  }
+
   test("idempotency key scan partition-prunes to the batch's month set") {
     import org.apache.spark.sql.functions._
     val whDir = s"${tmp()}/warehouse"
