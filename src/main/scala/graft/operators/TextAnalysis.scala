@@ -437,4 +437,79 @@ object TextAnalysis {
       qualitySignals(col(textCol)).as("quality"),
       langId(col(textCol)).as("pred_lang"),
       fingerprint(col(textCol)).as("fingerprint"))
+
+  /** BM25 "more-like-this" retrieval — the lexical ranking that powers
+    * retrieval-based decontamination and eval-set leakage triage (find
+    * the training documents a benchmark item would retrieve), in
+    * engine-portable EXACT INTEGER form. Query docs (selected by
+    * `isQuery` over the id column) use their full distinct-term set as
+    * the query; every other document sharing ≥1 term is scored
+    *
+    *   score = Σ_t idf_ppm(t) · sat_ppm(t, d) DIV 10⁶
+    *
+    * with the two BM25 factors (k1 = 6/5, b = 3/4) cleared to integer
+    * rationals — DIV, never float division or log():
+    *
+    *   idf_ppm = 10⁶·(2(N−df)+1) DIV (2df+1)       — the Robertson–
+    *     Spärck-Jones odds ratio with the +0.5 smoothing doubled out;
+    *     the usual log() is a monotone damping of exactly this ratio,
+    *     dropped so two engines can agree bit-for-bit (libm log
+    *     rounding differs). Always positive, unlike log-IDF.
+    *   sat_ppm = 10⁶·22·S·tf DIV (10·S·tf + 3·S + 9·dl·N)
+    *     — tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with avgdl = S/N
+    *     cross-multiplied by 10·S (S = Σdl, N = docs with ≥1 token).
+    *
+    * i64 bounds: 10⁶·22·S·tf needs S·tf ≤ 4·10¹¹ (sf0.1: S≈2.7·10⁵,
+    * tf ≤ dl ≪ 10⁴ → ~10¹⁵); idf_ppm·sat_ppm ≤ ~2.2·10¹²·(2N+1)/3 —
+    * safe to N ≈ 10⁶ docs; past that lift to DECIMAL like
+    * graph_pagerank_wide.
+    *
+    * Shape at scale: one tokenize scan (checkpointed, tfidf precedent);
+    * dl attached by a window over the same id-hash shuffle the final
+    * per-(query, doc) aggregate needs anyway; the query-term table and
+    * the query-vocabulary-restricted df table broadcast (an eval/query
+    * set is small by construction) — gated on the counted query-term
+    * cardinality like [[familiarity]], degrading to shuffle joins on
+    * `term` (the posting-list key) above `broadcastLimit` rather than
+    * forcing an executor-OOM broadcast; corpus-wide N and S ride
+    * the constant pool via a 1-row cross join. Top-k per query via
+    * [[graft.functions.TopKAgg]] — O(k) per partition, never a global
+    * sort. Ties: score DESC, then doc_id ASC (negated id in the
+    * struct), matching the oracle's row_number order exactly. */
+  def bm25MoreLikeThis(df: DataFrame, idCol: String, textCol: String,
+                       isQuery: Column => Column, k: Int,
+                       broadcastLimit: Long = 2_000_000L): DataFrame = {
+    val pairs = tfPairs(df, idCol, textCol)
+      .localCheckpoint()   // one tokenize scan feeds 4 consumers
+    val stats = pairs.agg(
+      countDistinct(col(idCol)).as("n_docs"), sum(col("tf")).as("s_tok"))
+    val withDl = pairs.withColumn("dl",
+      sum(col("tf")).over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+    val qTerms = pairs.filter(isQuery(col(idCol)))
+      .select(col(idCol).as("query_id"), col("term"))
+    val dfQ = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(qTerms.select(col("term")).distinct(), "term")
+    // one count over the checkpointed pairs decides both joins: dfQ is
+    // ≤ qTerms' distinct-term cardinality, so the one gate bounds both
+    val small = qTerms.count() <= broadcastLimit
+    def side(t: DataFrame): DataFrame = if (small) broadcast(t) else t
+    withDl.join(side(qTerms), "term")
+      .filter(col(idCol) =!= col("query_id"))
+      .join(side(dfQ), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm",
+        expr("(1000000 * (2 * (n_docs - df) + 1)) DIV (2 * df + 1)"))
+      .withColumn("sat_ppm",
+        expr("(1000000 * 22 * s_tok * tf) DIV (10 * s_tok * tf + 3 * s_tok + 9 * dl * n_docs)"))
+      .withColumn("contrib", expr("(idf_ppm * sat_ppm) DIV 1000000"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("contrib")).as("bm25_ppm"), count(lit(1)).as("n_terms"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("bm25_ppm"), (-col(idCol)).as("neg_id"), col("n_terms")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        (-col("s.neg_id")).as("doc_id"), col("s.bm25_ppm").as("bm25_ppm"),
+        col("s.n_terms").as("n_terms"))
+  }
 }

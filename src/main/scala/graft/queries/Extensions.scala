@@ -1389,6 +1389,18 @@ object Extensions {
     TextAnalysis.topTermsTfIdf(t(s, dir, "documents"), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** BM25 more-like-this ([[TextAnalysis.bm25MoreLikeThis]]): every
+    * 97th document plays the held-out eval item, its distinct-term set
+    * the query; top-5 lexical neighbours among the other documents.
+    * ORACLE-CHECKED — both BM25 factors are cleared to integer
+    * rationals (ppm DIV, never log()/float division), so scores, ranks,
+    * and the (score DESC, doc_id ASC) tie order agree bit-for-bit with
+    * the DuckDB window formulation. */
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25MoreLikeThis(t(s, dir, "documents"), "doc_id", "text",
+        id => id % 97 === 0, k = 5)
+      .orderBy("query_id", "rank")
+
   /** Winnowing-family content fingerprint, ORACLE-CHECKED: min and max
     * md5 over the char-8-gram shingle set — the single-permutation
     * MinHash bound pair, robust to within-document reordering, exactly
@@ -4222,6 +4234,35 @@ object ExtensionOracles {
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
        |       CAST(floor(s) AS BIGINT) AS score_ppm
        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** [[Extensions.textBm25]] as the window formulation: the same
+    * tokenizer, the same two ppm rationals (`//` ≡ Spark's DIV on these
+    * all-non-negative operands), rank by (bm25_ppm DESC, doc_id ASC). */
+  val textBm25: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '$ws')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+       |st AS (SELECT count(DISTINCT doc_id) AS n_docs, CAST(sum(tf) AS BIGINT) AS s_tok FROM tf),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 97 = 0),
+       |c AS (SELECT q.query_id, tf.doc_id,
+       |             (1000000 * (2 * (st.n_docs - dfq.df) + 1)) // (2 * dfq.df + 1) AS idf_ppm,
+       |             (1000000 * 22 * st.s_tok * tf.tf)
+       |               // (10 * st.s_tok * tf.tf + 3 * st.s_tok + 9 * dl.dl * st.n_docs) AS sat_ppm
+       |      FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       |           JOIN dl ON dl.doc_id = tf.doc_id, st
+       |      WHERE tf.doc_id <> q.query_id),
+       |sc AS (SELECT query_id, doc_id,
+       |              CAST(sum((idf_ppm * sat_ppm) // 1000000) AS BIGINT) AS bm25_ppm,
+       |              count(*) AS n_terms
+       |       FROM c GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY bm25_ppm DESC, doc_id ASC) AS rank
+       |      FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, bm25_ppm, n_terms
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** [[Extensions.corpusHist]]: the same guarded tokenizer, the same
     * binary-digit-count bucket. */
