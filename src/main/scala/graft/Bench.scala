@@ -86,6 +86,13 @@ object Bench {
     // have to scrape logs
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     catch { case _: Throwable => () }
+    // Canonical-number rule (BASELINE.md round 17+): the COMMITTED file
+    // is the cross-round record. Stage it mechanically so a refreshed
+    // bench can never sit uncommitted at round close — the recurring
+    // r17/r18 violation — instead of relying on workflow discipline.
+    try new ProcessBuilder("git", "add", "BENCH_LOCAL.json")
+      .directory(new java.io.File(".")).start().waitFor()
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -481,6 +481,13 @@ object TextAnalysis {
                        broadcastLimit: Long = 2_000_000L): DataFrame = {
     val pairs = tfPairs(df, idCol, textCol)
       .localCheckpoint()   // one tokenize scan feeds 4 consumers
+    // loud i64-envelope guard (pcaPowerIterate precedent): one bounded
+    // 1-row driver aggregate over the checkpointed pairs — non-ANSI
+    // Long arithmetic would wrap SILENTLY past the documented bounds
+    // while the DuckDB oracle errors, silently diverging the scores
+    val env = pairs.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)), sum(col("dl")), max(col("dl"))).head()
+    bm25RequireI64Envelope(env.getLong(0), env.getLong(1), env.getLong(2))
     val stats = pairs.agg(
       countDistinct(col(idCol)).as("n_docs"), sum(col("tf")).as("s_tok"))
     val withDl = pairs.withColumn("dl",
@@ -511,5 +518,21 @@ object TextAnalysis {
       .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
         (-col("s.neg_id")).as("doc_id"), col("s.bm25_ppm").as("bm25_ppm"),
         col("s.n_terms").as("n_terms"))
+  }
+
+  /** The i64 envelope [[bm25MoreLikeThis]]'s ppm arithmetic needs (see
+    * its scaladoc bounds): sat_ppm's numerator 10⁶·22·S·tf requires
+    * S·max(dl) ≤ 4·10¹¹, and idf_ppm·sat_ppm ≤ 2.2·10¹²·(2N+1)
+    * requires N ≤ 2·10⁶ docs. Past either, lift the ppm columns to
+    * DECIMAL (the graph_pagerank_wide treatment). Factored out so the
+    * guard is unit-testable without a 10¹¹-token fixture. */
+  private[graft] def bm25RequireI64Envelope(nDocs: Long, sTok: Long,
+                                            maxDl: Long): Unit = {
+    require(nDocs <= 2_000_000L,
+      s"bm25: idf_ppm*sat_ppm overflows i64 past N = 2e6 docs " +
+        s"(n_docs=$nDocs); lift the ppm arithmetic to DECIMAL")
+    require(sTok <= 400_000_000_000L / math.max(maxDl, 1L),
+      s"bm25: 1e6*22*S*tf overflows i64 (S=$sTok, max dl=$maxDl, " +
+        s"S*dl > 4e11); lift the ppm arithmetic to DECIMAL")
   }
 }

@@ -292,4 +292,54 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
     assert(hinted(Long.MaxValue) && !hinted(0L))
   }
+
+  test("bm25MoreLikeThis: shuffle-join fallback (broadcastLimit=0) ≡ broadcast path") {
+    // past `broadcastLimit` query terms the query-term and df tables
+    // must degrade to shuffle joins on `term` instead of forcing an
+    // executor-OOM broadcast; both regimes must score identically
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),      // query (0 % 2 == 0 below)
+      (1L, "the cat spat"), (2L, "a dog ran"), (3L, "the mat sat flat"),
+      (4L, "cat cat cat mat"), (5L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    def run(limit: Long) = TextAnalysis
+      .bm25MoreLikeThis(docs, "doc_id", "text", id => id === 0L, k = 3,
+        broadcastLimit = limit)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val bc = run(Long.MaxValue)
+    val sh = run(0L)
+    assert(sh == bc && bc.nonEmpty)
+    // ranked by shared-term weight: doc 4 (tf-heavy cat+mat) and doc 3
+    // (mat+sat+the) must beat doc 2 (zero shared terms — absent)
+    assert(!bc.exists(_._3 == 2L) && !bc.exists(_._3 == 5L))
+    // and the fallback really dropped the forced posting-join broadcast
+    // hints: the 1-row corpus-stats crossJoin keeps its hint in BOTH
+    // regimes (intended at any scale), so count hints — 3 vs 1
+    def hints(limit: Long) = "strategy=broadcast".r.findAllIn(TextAnalysis
+      .bm25MoreLikeThis(docs, "doc_id", "text", id => id === 0L, k = 3,
+        broadcastLimit = limit)
+      .queryExecution.optimizedPlan.toString).size
+    assert(hints(Long.MaxValue) >= 3 && hints(0L) == 1)
+  }
+
+  test("bm25 i64 envelope: past the documented bounds the guard fails loudly") {
+    // the pcaPowerIterate treatment: the scaladoc bounds are enforced,
+    // not prose — non-ANSI Long arith would wrap silently past them
+    // while the DuckDB oracle errors, silently diverging the scores
+    TextAnalysis.bm25RequireI64Envelope(2_000_000L, 400_000_000L, 1000L) // at both bounds: fine
+    val eN = intercept[IllegalArgumentException](
+      TextAnalysis.bm25RequireI64Envelope(2_000_001L, 1000L, 10L))
+    assert(eN.getMessage.contains("overflows"))
+    val eS = intercept[IllegalArgumentException](
+      TextAnalysis.bm25RequireI64Envelope(1000L, 400_000_000_001L, 1000L))
+    assert(eS.getMessage.contains("overflows"))
+    // the declared-query fixture must sit comfortably inside the envelope
+    val env = TextAnalysis
+      .tfPairs(graft.core.Tables.t(spark, "/root/testdata/sf0.01", "documents"),
+        "doc_id", "text")
+      .groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      .agg(count(lit(1)), sum($"dl"), max($"dl")).head()
+    TextAnalysis.bm25RequireI64Envelope(env.getLong(0), env.getLong(1), env.getLong(2))
+  }
 }

@@ -36,7 +36,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "emb_knn_graph",        // bounded probe batch (every 10th vector) broadcast
     "emb_mmr",              // 5-row query set broadcast into the pool build
     "emb_trunc_recall",     // same probe batch, two ranking passes
-    "text_tfidf")           // 1-row corpus-size aggregate (scalar-subquery shape)
+    "text_tfidf",           // 1-row corpus-size aggregate (scalar-subquery shape)
+    "text_bm25",            // 1-row corpus-stats aggregate (N, S) broadcast
+    "retrieve_hybrid")      // inherits text_bm25's 1-row stats broadcast
 
   /** Queries allowed a BOUNDED number of SCALAR-BROADCAST BNLJs rather
     * than a blanket pass: graph_nf_hll unions one per-horizon delta
