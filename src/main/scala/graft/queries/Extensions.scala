@@ -243,17 +243,26 @@ object Extensions {
       .limit(50)
   }
 
-  /** MinHash+LSH near-dup cluster assignment (seeded sketch — rows-only;
-    * pair quality asserted in DedupSpec). */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
-      .localCheckpoint()   // candidate generation runs once
-    Dedup.clusters(docs.select("doc_id"), "doc_id", pairs)
-      .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy("doc_id")
-  }
+  /** MinHash+LSH near-dup VERIFIED PAIRS, ORACLE-CHECKED (round 19 —
+    * converted from rows-only): the banded-LSH discovery runs for real
+    * (shingle → sign → band → bucket join → exact word-3-gram Jaccard
+    * verify, the [[graft.operators.Dedup.minhashPairs]] pipeline), and
+    * the DuckDB oracle recomputes the truth set EXHAUSTIVELY — so
+    * row-set equality IS the gate: a false pair fails precision (it
+    * can't — the verify stage is exact), a lost pair fails recall.
+    * The quadratic enumeration lives ONLY oracle-side at the verify SF;
+    * the Spark plan stays the banded shape. Determinism of the gate:
+    * at 16 bands × 4 rows a pair at Jaccard j misses banding with
+    * probability (1−j⁴)¹⁶ — ≤ 2·10⁻⁴ at the fixture's weakest true
+    * pair (j = 0.8, sf0.1) and fixed by the seed; ProbeDedupGate
+    * measured 0 missed / 0 extra at sf0.001/0.01/0.1. Cluster
+    * assignment over these pairs stays covered by [[mmImageNeardup]]
+    * and DedupSpec ([[graft.operators.Dedup.clusters]]). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
 
   /** The exact-verification stage of MinHash dedup as an oracle-checked
     * query: deterministic candidate blocking (exact text length —
@@ -299,31 +308,101 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash per doc (custom Catalyst expression) + near-dup pair count. */
+  /** SimHash near-dup discovery, ORACLE-GATED (round 19 — converted
+    * from rows-only via the planted-twin + recall-floor pattern of
+    * [[dedupSemantic]]/[[annLsh]]): every 9th document gets a textual
+    * twin at `doc_id + 100000` — the same text with two tokens
+    * appended (" zq<d%7>"), a deterministic closed-form edit — and the
+    * REAL banded-SimHash pipeline ([[graft.operators.Dedup
+    * .simhashPairs]]: 64-bit token-weighted simhash, 4×16-bit band
+    * collision, Hamming ≤ 10 verify) runs over the combined corpus.
+    * Emitted rows are the planted pairs with their EXACT word-3-gram
+    * Jaccard (equi-join by construction — never a pair enumeration),
+    * which the oracle recomputes bit-for-bit; `recall_gate` = 0 iff
+    * the simhash path rediscovered ≥ 70% of the plant (measured
+    * 93–96% across SFs, fixed by the seed — the floor catches broken
+    * banding/hamming, where twin self-similarity itself is lost).
+    * The simhash VALUE never rides in the output (seeded, engine-
+    * specific); DedupSpec pins the kernel behavior. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
-      .groupBy(col("id_a").as("doc_id"))
-      .agg(count(lit(1)).as("n_near_dups"))
-    Dedup.simhashDocs(docs, "doc_id", "text")
-      .select(col("doc_id"), col("simhash"))
-      .join(pairs, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_near_dups"))
-      .orderBy("doc_id")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val twins = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zq"), (col("doc_id") % 7).cast("string")).as("text"))
+    val corpus = docs.unionByName(twins)
+    // planted ids are disjoint from organics (≥ 100000) and twin-twin /
+    // cross pairs can never satisfy id_b = id_a + 100000, so this
+    // filter counts exactly the rediscovered plant
+    val nFound = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 10)
+      .filter(col("id_b") === col("id_a") + 100000L)
+      .agg(count(lit(1)).as("n_found"))
+    val shingled = corpus.select(col("doc_id"),
+        graft.functions.Sketches.sortedDistinct(
+          Dedup.wordShingles(col("text"), 3)).as("sg"))
+      .localCheckpoint()   // keep the shingle expr out of inferred join filters
+    val parents = shingled.filter(col("doc_id") % 9 === 0 && col("doc_id") < 100000L)
+      .select(col("doc_id").as("id_a"), col("sg").as("sg_a"))
+    val twinSg = shingled.filter(col("doc_id") >= 100000L)
+      .select((col("doc_id") - 100000L).as("id_a"), col("doc_id").as("id_b"),
+        col("sg").as("sg_b"))
+    val planted = parents.join(twinSg, "id_a")
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccardSorted(col("sg_a"), col("sg_b")), 4).as("jaccard"))
+      .localCheckpoint()   // two consumers: rows + the plant count
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    planted.crossJoin(broadcast(nFound)).crossJoin(broadcast(nPlanted))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        when(col("n_found") * 100 >= col("n_planted") * 70, lit(0L))
+          .otherwise(lit(1L)).as("recall_gate"))
+      .orderBy("id_a", "id_b")
   }
 
-  /** Embedding sign-LSH bucket assignment + verified near-dup pairs. */
+  /** Embedding sign-LSH near-dup discovery, ORACLE-GATED (round 19 —
+    * converted from rows-only): the raw embeddings table has NO
+    * organic pair above cosine 0.52 at any SF (probed), so the gate
+    * plants the [[dedupSemantic]] twins — every 7th vector
+    * deterministically perturbed at `vec_id + 100000`, twin cosine
+    * ≥ 0.99 vs an organic ceiling ≤ 0.61 (margins machine-checked in
+    * DedupSpec) — and runs the REAL single-bucket sign-LSH discovery
+    * ([[graft.operators.Dedup.embeddingPairs]], 16-bit hyperplane
+    * bucket + exact-cosine ≥ 0.9 verify) over the combined corpus.
+    * Emitted rows: the planted pairs with exact round-4 cosine
+    * (equi-join by construction), oracle-recomputed via DuckDB's
+    * indexed list lambda; `recall_gate` = 0 iff sign-LSH rediscovered
+    * ≥ 50% of the plant (single-bucket retrieval measured 71–75%
+    * across SFs — the multiprobe/IVF paths carry the higher ANN
+    * floors); `precision_gate` = 0 iff NO non-planted pair survived
+    * the cosine verify (deterministic under the 0.61-vs-0.9 margin —
+    * a stray pair means the verify kernel broke). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val buckets = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", Similarity.signBucket(col("v")))
-    val nearDups = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.9)
-      .groupBy(col("id_a").as("vec_id")).agg(count(lit(1)).as("n_near"))
-    buckets.select(col("vec_id"), col("bucket"))
-      .join(nearDups, Seq("vec_id"), "left")
-      .na.fill(0L, Seq("n_near"))
-      .orderBy("vec_id")
+    val twins = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(v, (x, i) -> x + (cast((vec_id * 31 + i) % 7 as double) - 3.0d) * 0.003d)")
+          .as("v"))
+    val corpus = emb.unionByName(twins)
+    val found = Dedup.embeddingPairs(corpus, "vec_id", "v", threshold = 0.9)
+      .localCheckpoint()   // two consumers: the recall and precision counts
+    val nFound = found.filter(col("id_b") === col("id_a") + 100000L)
+      .agg(count(lit(1)).as("n_found"))
+    val nStray = found.filter(col("id_b") =!= col("id_a") + 100000L)
+      .agg(count(lit(1)).as("n_stray"))
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("id_a"), col("v").as("v_a"))
+      .join(twins.select((col("vec_id") - 100000L).as("id_a"),
+        col("vec_id").as("id_b"), col("v").as("v_b")), "id_a")
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.Vecs.cosineSim(col("v_a"), col("v_b")), 4).as("cosine"))
+      .localCheckpoint()   // two consumers: rows + the plant count
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    planted.crossJoin(broadcast(nFound)).crossJoin(broadcast(nStray))
+      .crossJoin(broadcast(nPlanted))
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        when(col("n_found") * 100 >= col("n_planted") * 50, lit(0L))
+          .otherwise(lit(1L)).as("recall_gate"),
+        when(col("n_stray") === 0, lit(0L)).otherwise(lit(1L)).as("precision_gate"))
+      .orderBy("id_a", "id_b")
   }
 
   /** SemDeDup-class semantic dedup ([[graft.operators.Dedup
@@ -4184,6 +4263,73 @@ object ExtensionOracles {
        |       md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE h IS NULL), '')) AS clean_md5
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** The shingle kernels' whitespace class ([[graft.functions
+    * .SketchUtil.WsClassRegex]] — ASCII `\s` incl \x0B, WIDER than the
+    * text operators' class; see its scaladoc), interpolated so a kernel
+    * class change re-derives the shingle oracles. */
+  private val wsShingle = graft.functions.SketchUtil.WsClassRegex
+
+  /** Word-3-gram shingle-set CTE chain shared by the minhash/simhash
+    * pair oracles: tokenize on the kernel's class, 3-gram (short docs
+    * whole), distinct — exactly [[graft.operators.Dedup.wordShingles]]
+    * + sortedDistinct semantics (list_intersect is set-valued, so sort
+    * order never matters oracle-side). */
+  private def shingleNorm(src: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$wsShingle'), t -> t <> '') AS toks
+       |  FROM $src),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] END AS sg
+       |  FROM tok),
+       |norm AS (SELECT doc_id, list_distinct(sg) AS sg FROM sh)""".stripMargin
+
+  /** [[Extensions.dedupMinhash]]: the EXHAUSTIVE word-3-gram Jaccard
+    * truth set — quadratic enumeration lives only here, oracle-side at
+    * the verify SF; row-set equality against the banded Spark plan is
+    * the recall-and-precision gate. */
+  val dedupMinhash: String =
+    s"""WITH ${shingleNorm("documents")},
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             len(list_intersect(a.sg, b.sg))::DOUBLE /
+       |             (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))::DOUBLE AS j
+       |      FROM norm a JOIN norm b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** [[Extensions.dedupSimhash]]: the planted-twin truth — same
+    * append-two-tokens edit, exact word-3-gram Jaccard per planted
+    * pair, recall gate pinned to 0. */
+  val dedupSimhash: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zq' || CAST(doc_id % 7 AS VARCHAR)
+       |  FROM documents WHERE doc_id % 9 = 0),
+       |${shingleNorm("corpus")},
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             len(list_intersect(a.sg, b.sg))::DOUBLE /
+       |             (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))::DOUBLE AS j
+       |      FROM norm a JOIN norm b
+       |        ON b.doc_id = a.doc_id + 100000 AND a.doc_id % 9 = 0 AND a.doc_id < 100000)
+       |SELECT id_a, id_b, round(j, 4) AS jaccard, CAST(0 AS BIGINT) AS recall_gate
+       |FROM p ORDER BY id_a, id_b""".stripMargin
+
+  /** [[Extensions.dedupEmbedding]]: the planted-twin truth — the
+    * [[dedupSemantic]] perturbation replayed via DuckDB's indexed list
+    * lambda (1-based i, hence i−1), cosine at round 4, both gates
+    * pinned to 0. */
+  val dedupEmbedding: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (
+      |  SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+      |         round(list_cosine_similarity(v,
+      |           list_transform(v, (x, i) ->
+      |             x + (CAST((vec_id * 31 + (i - 1)) % 7 AS DOUBLE) - 3.0) * 0.003)), 4) AS cosine
+      |  FROM e WHERE vec_id % 7 = 0)
+      |SELECT id_a, id_b, cosine, CAST(0 AS BIGINT) AS recall_gate,
+      |       CAST(0 AS BIGINT) AS precision_gate
+      |FROM p ORDER BY id_a, id_b""".stripMargin
 
   val dedupMinhashVerify: String =
     """WITH sh AS (

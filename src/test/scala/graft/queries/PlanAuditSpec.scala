@@ -47,7 +47,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * behind localCheckpoints). The assert pins BOTH the count and the
     * build-side shape — a BNLJ whose build is NOT a scalar aggregate
     * is a leaked iteration join, not an intended one. */
-  private val boundedScalarBnlj = Map("graph_nf_hll" -> 12)
+  private val boundedScalarBnlj = Map(
+    "graph_nf_hll"    -> 12,
+    "dedup_simhash"   -> 2,  // 1-row recall-gate counts (n_found, n_planted)
+    "dedup_embedding" -> 3)  // 1-row gate counts (n_found, n_stray, n_planted)
 
   graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, no stray nested-loop join") {
