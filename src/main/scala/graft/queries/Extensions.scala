@@ -2811,6 +2811,47 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** [[graphScc]]'s volume twin — the peel-round chassis on a
+    * full-doc_id-domain fixture (round 19, closing the volume family):
+    * blocks of 50 are each made strongly connected by an in-block ring
+    * (`r → r+1 mod sz` — the mirror-ring shape, guaranteeing strong
+    * connectivity) plus 10 in-block quadratic-residue spread edges per
+    * node (`r → (r² + k) mod sz`, k = 1..10 — the [[volumeGraph]]
+    * degree, so each F/B propagation step shuffles a DATA-dominated
+    * 11N-edge frame), and one-way bridges `base(2m) → base(2m+1)` link
+    * each even block into its odd successor. SCCs are exactly the
+    * blocks; the bipartite even→odd condensation forces exactly TWO
+    * peel rounds (round 1 assigns even blocks — odd blocks' F label is
+    * polluted by the smaller even minimum; round 2, bridges peeled,
+    * assigns the rest), proving the peel loop's per-round cost tracks
+    * the edge list at volume. The generous propagation budget is free
+    * — the label loop fixpoint-exits early — and both loud requires
+    * (fixpoint before budget, rounds ≤ max) stay armed. The oracle
+    * recomputes true SCCs independently via transitive closure over
+    * the same synthesized edges (reachability is block-local + one
+    * hop, so the closure stays ~2·sz per node at the verify SF). */
+  def graphSccVolume(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+    val n = nodes.count()   // one bounded driver scalar (volumeGraph class)
+    def base(c: Column) = c - (c % 50)
+    def sz(c: Column) = least(lit(50L), lit(n) - base(c))
+    val ring = nodes.select(col("node").as("src"),
+      (base(col("node")) + pmod(col("node") - base(col("node")) + 1,
+        sz(col("node")))).as("dst"))
+    val spread = nodes
+      .select(col("node").as("src"),
+        explode(array((1 to 10).map(lit(_)): _*)).as("k"))
+      .select(col("src"),
+        (base(col("src")) + pmod((col("src") - base(col("src"))) *
+          (col("src") - base(col("src"))) + col("k"), sz(col("src")))).as("dst"))
+    val bridges = nodes.filter(col("node") % 100 === 0 && col("node") + 50 < n)
+      .select(col("node").as("src"), (col("node") + 50).as("dst"))
+    graft.operators.Graph.stronglyConnectedComponents(
+        ring.unionByName(spread).unionByName(bridges), nodes,
+        propagationIters = 60, maxRounds = 3)
+      .orderBy("node")
+  }
+
   /** Per-node triangle participation
     * ([[graft.operators.Graph.triangleCounts]]): the local-clustering
     * cohesion signal over a triangle-rich deterministic domain graph —
@@ -5508,6 +5549,39 @@ object ExtensionOracles {
       |SELECT n.node, CAST(least(n.node, coalesce(min(m.u), n.node)) AS BIGINT) AS scc_id
       |FROM nodes n LEFT JOIN mutual m ON m.v = n.node
       |GROUP BY n.node ORDER BY node""".stripMargin
+
+  /** [[Extensions.graphSccVolume]]: true SCCs via independent
+    * transitive closure over the same block-ring + in-block-spread +
+    * even→odd-bridge synthesis ([[graphScc]]'s closure shape — no step
+    * mirroring). Reachability is block-local plus one bridge hop, so
+    * the closure stays ~2·block-size rows per node at the verify SF. */
+  val graphSccVolume: String =
+    """WITH RECURSIVE
+      |ids AS (SELECT doc_id AS node FROM documents),
+      |cnt AS (SELECT count(*) AS n FROM ids),
+      |blk AS (SELECT node, node - (node % 50) AS base,
+      |               least(50, (SELECT n FROM cnt) - (node - (node % 50))) AS sz
+      |        FROM ids),
+      |ring AS (SELECT node AS src, base + ((node - base + 1) % sz) AS dst FROM blk),
+      |spread AS (SELECT node AS src,
+      |                  base + (((node - base) * (node - base) + k) % sz) AS dst
+      |           FROM blk,
+      |                (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10)) t(k)),
+      |bridges AS (SELECT node AS src, node + 50 AS dst FROM ids
+      |            WHERE node % 100 = 0 AND node + 50 < (SELECT n FROM cnt)),
+      |edges AS (SELECT DISTINCT src, dst FROM
+      |            (SELECT * FROM ring UNION ALL SELECT * FROM spread
+      |             UNION ALL SELECT * FROM bridges)),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |mutual AS (
+      |  SELECT r1.a AS v, r1.b AS u
+      |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+      |SELECT i.node, CAST(least(i.node, coalesce(min(m.u), i.node)) AS BIGINT) AS scc_id
+      |FROM ids i LEFT JOIN mutual m ON m.v = i.node
+      |GROUP BY i.node ORDER BY node""".stripMargin
 
   /** [[Extensions.graphCc]]'s 8 min-label steps unrolled as chained
     * CTEs — one step = min over the symmetrized neighborhood, `least`

@@ -321,22 +321,35 @@ object StreamingQueries {
   }
 
   /** Incremental MinHash LSH index maintenance ([[graft.streaming
-    * .CorpusStream.lshIndex]]): the banded bucket index an ingest-time
-    * near-dup check probes, maintained as a streaming aggregation and
-    * drained in complete mode. Canonicalized to the COLLISION report
-    * (buckets holding >1 doc — the near-dup candidate sets), ordered
-    * by bucket key. Rows-only at the driver gate (DuckDB cannot
-    * minhash); CorpusStreamSpec asserts the drained index equals the
-    * batch-built index bit-for-bit and that a two-file staging (docs
-    * re-arriving in a LATER micro-batch) merges state instead of
-    * double-counting fresh buckets. */
+    * .CorpusStream.lshIndex]]), ORACLE-GATED (round 19 — converted
+    * from rows-only): the banded bucket index an ingest-time near-dup
+    * check probes, maintained as a streaming aggregation and drained
+    * in complete mode. The bucket keys themselves are seeded xxhash
+    * (DuckDB cannot minhash), so the drained frame never rides in the
+    * output; instead the query emits what IS engine-portable —
+    * `n_docs_indexed` (Σ bucket sizes DIV 32: every doc contributes
+    * exactly `bands` = 32 band rows, so a lost or double-counted state
+    * row shifts the division and hash-fails), `n_band_rows` (the raw
+    * Σ, oracle-pinned to 32·count(*)), and `index_gate` = 0 iff the
+    * drained state equals the batch-built index
+    * ([[graft.streaming.CorpusStream.lshIndexBatch]]) bit-for-bit,
+    * both directions of exceptAll empty — the CorpusStreamSpec
+    * equality (which ALSO replays a two-file staging to prove state
+    * merge, not double-count) surfaced as a driver-hash-checked gate. */
   def streamMinhash(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_minhash_${System.nanoTime()}"
     drainStaged(s, dir, copies = 1, table = "documents")(
       graft.streaming.CorpusStream.lshIndex(s, _, name))
-    drained(s, name)
-      .filter(col("n_docs") > 1)
-      .orderBy("band_key")
+    val drainedIx = drained(s, name).localCheckpoint()
+    val batchIx = graft.streaming.CorpusStream
+      .lshIndexBatch(t(s, dir, "documents")).localCheckpoint()
+    // bounded driver actions: two except-counts over ~32·N skinny rows
+    val mismatch = drainedIx.exceptAll(batchIx).count() +
+      batchIx.exceptAll(drainedIx).count()
+    drainedIx.agg(sum(col("n_docs")).as("srows"))
+      .select(expr("srows DIV 32").as("n_docs_indexed"),
+        col("srows").as("n_band_rows"),
+        lit(if (mismatch == 0) 0L else 1L).as("index_gate"))
   }
 
   /** Streaming CDC apply ([[graft.streaming.CdcStream]]): the cdc_apply
@@ -417,6 +430,15 @@ object StreamingQueries {
 
 /** DuckDB oracles for the streaming twins. */
 object StreamingOracles {
+
+  /** [[StreamingQueries.streamMinhash]]: every doc contributes exactly
+    * 32 band rows to the index, and the drained-state ≡ batch-index
+    * equality rides as a pinned gate. */
+  val streamMinhash: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs_indexed,
+      |       CAST(32 * count(*) AS BIGINT) AS n_band_rows,
+      |       CAST(0 AS BIGINT) AS index_gate
+      |FROM documents""".stripMargin
 
   /** [[StreamingQueries.streamHllDaily]]: exact per-day distincts with
     * the estimate gate pinned — the batch events_hll_daily oracle

@@ -177,10 +177,13 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSpec {
     assert(batch.keys.map(_._2).toSet.size > 1)
   }
 
-  test("declared stream_minhash reports only collision buckets, deterministically") {
+  test("declared stream_minhash: oracle-shaped gate row, deterministic, gate 0") {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
     val a = graft.queries.StreamingQueries.streamMinhash(spark, dir).collect()
-    assert(a.nonEmpty, "no LSH collisions at sf0.001 — planted dups should collide")
-    assert(a.forall(_.getLong(2) > 1))
+    assert(a.length == 1)
+    assert(a.head.getLong(0) == n, "n_docs_indexed must equal the corpus size")
+    assert(a.head.getLong(1) == 32 * n, "every doc contributes exactly 32 band rows")
+    assert(a.head.getLong(2) == 0L, "drained state must equal the batch-built index")
     val b = graft.queries.StreamingQueries.streamMinhash(spark, dir).collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
