@@ -1480,6 +1480,49 @@ object Extensions {
         id => id % 97 === 0, k = 5)
       .orderBy("query_id", "rank")
 
+  /** Hybrid lexical+dense retrieval by reciprocal-rank fusion (RRF,
+    * Cormack et al. 2009) — the retrieval shape RAG-corpus triage
+    * actually runs, ORACLE-CHECKED end to end (round 19): the lexical
+    * arm is [[textBm25]]'s exact-integer BM25 at k = 10 and the dense
+    * arm is [[annQ8]]'s int8-integer-dot brute-force top-10, both over
+    * the SAME `% 97` query set (doc_id and vec_id share the dense
+    * 0..N−1 domain); the dense self-hit is dropped AFTER ranking (its
+    * rank-1 slot stays burned — documented, and mirrored in the
+    * oracle). Fusion is pure integer arithmetic —
+    * `rrf_ppm = Σ_arm 10⁶ DIV (60 + rank)`, the paper's k = 60 —
+    * over a full-outer join on (query, doc), so docs surfaced by one
+    * arm only still score. Top-5 per query via the bounded TopKAgg
+    * heap ((rrf DESC, id ASC) ties), never a global sort. Both arms
+    * keep their own scale shapes: broadcast-gated posting joins and
+    * the broadcast probe batch. */
+  def retrieveHybrid(s: SparkSession, dir: String): DataFrame = {
+    val lex = TextAnalysis.bm25MoreLikeThis(t(s, dir, "documents"), "doc_id",
+        "text", id => id % 97 === 0, k = 10)
+      .select(col("query_id").as("qid"), col("doc_id").as("id"),
+        col("rank").as("r_lex"))
+    val emb = t(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopKQ8(emb,
+        emb.filter(col("vec_id") % 97 === 0),
+        "vec_id", "vec_id", "embedding", k = 10)
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("rank").cast("long").as("r_dense"))
+    lex.join(dense, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(expr("1000000L DIV (60L + r_lex)"), lit(0L)) +
+         coalesce(expr("1000000L DIV (60L + r_dense)"), lit(0L))).as("rrf_ppm"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("rrf_ppm"), (-col("id")).as("nid"),
+          col("r_lex"), col("r_dense")), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "sel")))
+      .select(col("qid"), (col("i") + 1).cast("long").as("rank"),
+        (-col("sel.nid")).as("id"), col("sel.rrf_ppm").as("rrf_ppm"),
+        col("sel.r_lex").as("r_lex"), col("sel.r_dense").as("r_dense"))
+      .orderBy("qid", "rank")
+  }
+
   /** Winnowing-family content fingerprint, ORACLE-CHECKED: min and max
     * md5 over the char-8-gram shingle set — the single-permutation
     * MinHash bound pair, robust to within-document reordering, exactly
@@ -4450,6 +4493,62 @@ object ExtensionOracles {
        |      FROM sc)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, bm25_ppm, n_terms
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** [[Extensions.retrieveHybrid]]: both parents' oracle chains
+    * verbatim (BM25 at k = 10, int8-dot dense ranking with the dense
+    * self-hit dropped post-rank), fused by the same integer RRF and
+    * re-ranked. */
+  val retrieveHybrid: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '$ws')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+       |st AS (SELECT count(DISTINCT doc_id) AS n_docs, CAST(sum(tf) AS BIGINT) AS s_tok FROM tf),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 97 = 0),
+       |c AS (SELECT q.query_id, tf.doc_id,
+       |             (1000000 * (2 * (st.n_docs - dfq.df) + 1)) // (2 * dfq.df + 1) AS idf_ppm,
+       |             (1000000 * 22 * st.s_tok * tf.tf)
+       |               // (10 * st.s_tok * tf.tf + 3 * st.s_tok + 9 * dl.dl * st.n_docs) AS sat_ppm
+       |      FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       |           JOIN dl ON dl.doc_id = tf.doc_id, st
+       |      WHERE tf.doc_id <> q.query_id),
+       |sc AS (SELECT query_id, doc_id,
+       |              CAST(sum((idf_ppm * sat_ppm) // 1000000) AS BIGINT) AS bm25_ppm
+       |       FROM c GROUP BY 1, 2),
+       |lex AS (SELECT query_id AS qid, doc_id AS id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY bm25_ppm DESC, doc_id ASC) AS r_lex
+       |        FROM sc),
+       |lex10 AS (SELECT qid, id, r_lex FROM lex WHERE r_lex <= 10),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |m AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS maxabs FROM v),
+       |qv AS (SELECT vec_id,
+       |              CASE WHEN maxabs > 0
+       |                   THEN list_transform(x, e -> trunc(e * 127.0 / maxabs))
+       |                   ELSE list_transform(x, e -> 0.0) END AS qi FROM m),
+       |cc AS (SELECT vec_id AS id, qi AS qc FROM qv),
+       |qs AS (SELECT vec_id AS qid, qi AS qq FROM qv WHERE vec_id % 97 = 0),
+       |dsc AS (SELECT qid, id,
+       |               list_dot_product(qc, qq) / sqrt(list_dot_product(qc, qc))
+       |                                        / sqrt(list_dot_product(qq, qq)) AS sim
+       |        FROM cc, qs),
+       |dr AS (SELECT qid, id,
+       |              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS r_dense
+       |       FROM dsc),
+       |dense10 AS (SELECT qid, id, r_dense FROM dr WHERE r_dense <= 10 AND id <> qid),
+       |fused AS (SELECT coalesce(l.qid, d.qid) AS qid, coalesce(l.id, d.id) AS id,
+       |                 coalesce(1000000 // (60 + l.r_lex), 0)
+       |                   + coalesce(1000000 // (60 + d.r_dense), 0) AS rrf_ppm,
+       |                 coalesce(l.r_lex, 0) AS r_lex, coalesce(d.r_dense, 0) AS r_dense
+       |          FROM lex10 l FULL OUTER JOIN dense10 d ON l.qid = d.qid AND l.id = d.id),
+       |o AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |                                   ORDER BY rrf_ppm DESC, id ASC) AS rank
+       |      FROM fused)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       |       CAST(r_lex AS BIGINT) AS r_lex, CAST(r_dense AS BIGINT) AS r_dense
+       |FROM o WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** [[Extensions.corpusHist]]: the same guarded tokenizer, the same
     * binary-digit-count bucket. */
