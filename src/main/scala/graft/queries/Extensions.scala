@@ -3114,6 +3114,61 @@ object Extensions {
       .orderBy("k")
   }
 
+  /** cdc_compact_rewrite's written-back base: the stored log's OLDER
+    * HALF (`seq ≤ cut`, cut = the seq midpoint — one bounded driver
+    * scalar) compacted to one winner struct per key — DELETE winners
+    * INCLUDED as tombstones (dropping them here would resurrect an
+    * older base row when no newer delta exists) — and rewritten
+    * `partitionBy(k_bucket)` as the new base file group. Built once
+    * per sf dir, the [[cdcStore]]/layout pattern. */
+  private val cdcCompactStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def cdcCompactStore(s: SparkSession, dir: String): (String, Long) =
+    cdcCompactStores.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cdc_base")
+      ivfTmpRoots.add(root)
+      val base = root.toString + "/cdc_base"
+      val log = s.read.parquet(cdcStore(s, dir))
+      val cut = log.agg(max(col("seq"))).head().getLong(0) / 2
+      log.filter(col("seq") <= cut)
+        .groupBy(col("k_bucket"), col("k"))
+        .agg(max(struct(col("seq"), col("op"), col("cents"))).as("m"))
+        .select(col("k_bucket"), col("k"), col("m.seq").as("seq"),
+          col("m.op").as("op"), col("m.cents").as("cents"))
+        .repartition(col("k_bucket"))
+        .write.partitionBy("k_bucket").mode("overwrite").parquet(base)
+      (base, cut)
+    })
+
+  /** The WRITE side of merge-on-read compaction, closing the loop
+    * [[cdcApplyStored]] opened (round 19): the stored log's older half
+    * is compacted and REWRITTEN as the base file group
+    * ([[cdcCompactStore]] — tombstones kept, `partitionBy(k_bucket)`),
+    * and this query then performs the post-compaction read a
+    * Hudi/Delta reader runs: base ⊎ the live log tail (`seq > cut`,
+    * the deltas that arrived "after" compaction), one struct-max
+    * merge, DELETE winners dropped only at read time. Because
+    * last-writer-wins is an associative idempotent max, compact-then-
+    * merge must equal compacting the whole log — so the query SHARES
+    * [[ExtensionOracles.cdcApplyStored]]'s oracle verbatim (storage
+    * invariance as a driver hash check), and PlanAuditSpec asserts the
+    * bucket filter prunes BOTH scans' partition listings. */
+  def cdcCompactRewrite(s: SparkSession, dir: String): DataFrame = {
+    val (baseDir, cut) = cdcCompactStore(s, dir)
+    val cols = Seq("k_bucket", "k", "seq", "op", "cents").map(col)
+    val base = s.read.parquet(baseDir)
+      .filter(col("k_bucket") < 4).select(cols: _*)
+    val live = s.read.parquet(cdcStore(s, dir))
+      .filter(col("k_bucket") < 4 && col("seq") > cut).select(cols: _*)
+    base.unionByName(live)
+      .groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("cents"))).as("m"))
+      .filter(col("m.op") =!= "D")
+      .select(col("k"), col("m.seq").as("seq"), col("m.cents").as("cents"))
+      .orderBy("k")
+  }
+
   /** Bipartite → unipartite co-occurrence projection: users who act in
     * the same (hour, event_type) bucket become weighted user–user
     * edges — the graph-CONSTRUCTION step feeding the BSP family (the

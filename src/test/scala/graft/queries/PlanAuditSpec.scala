@@ -280,6 +280,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(df.collect().toSeq == plain)
   }
 
+  test("cdc_compact_rewrite: bucket filter prunes BOTH the base and the live-log scans") {
+    val df = graft.SparkEntry.queries("cdc_compact_rewrite")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 2, s"expected base + live-log scans, got ${scans.size}")
+    scans.foreach { scan =>
+      assert(scan.toString.contains("PartitionFilters: [") &&
+        scan.toString.contains("k_bucket"),
+        s"k_bucket not a partition filter:\n${scan.toString.take(2000)}")
+      val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      val buckets = parts.map(_.values.getInt(0)).distinct
+      assert(buckets.forall(_ < 4) && buckets.nonEmpty,
+        s"pruning must keep only k_bucket 0..3, listed: $buckets")
+    }
+    // storage invariance: compact-then-merge == whole-log compaction
+    import org.apache.spark.sql.functions._
+    val plain = graft.queries.Extensions.cdcApply(spark, dir)
+      .filter(col("k") % 16 < 4).collect().toSeq
+    assert(df.collect().toSeq == plain)
+  }
+
   test("layout_hilbert_stored: x-range filter prunes exactly the strip's 16x16 blocks") {
     val df = graft.SparkEntry.queries("layout_hilbert_stored")(spark, dir)
     val scan = df.queryExecution.sparkPlan.collectLeaves()
