@@ -264,6 +264,53 @@ object Extensions {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Cluster assignment over [[dedupMinhash]]'s verified pair set —
+    * the keep-one-per-group step of MinHash dedup, ORACLE-CHECKED
+    * (round 19): since the banded pipeline's verified pairs equal the
+    * exhaustive truth at every SF (the [[dedupMinhash]] gate), the
+    * contracted-graph clustering ([[graft.operators.Dedup.clusters]]:
+    * driver union-find under the 10M-edge bound, distributed min-label
+    * propagation above it) is a deterministic function the oracle
+    * reproduces INDEPENDENTLY — a recursive symmetric-closure CTE over
+    * the same truth pairs, component id = min member — with no
+    * union-find mirroring. */
+  def dedupMinhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .localCheckpoint()   // candidate generation runs once
+    Dedup.clusters(docs.select("doc_id"), "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source near-dup overlap triage, ORACLE-CHECKED (round 19):
+    * which sources mirror each other — the report that drives
+    * source-level dedup decisions (drop a scraped mirror wholesale
+    * instead of fighting it document by document). The verified
+    * near-dup pair set ([[dedupMinhash]]'s banded pipeline — equal to
+    * the exhaustive truth, see its gate) is joined to the doc→source
+    * map on each side (two broadcast-sized skinny joins riding the
+    * pair frame) and aggregated per unordered source pair
+    * (least/greatest normalization). Scale shape: the pair set is
+    * orders of magnitude smaller than the corpus (it survived banding
+    * AND exact verification), so the rollup is a trivial groupBy; the
+    * heavy lifting stays in the banded discovery. */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    val srcMap = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(srcMap.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(srcMap.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"), round(max(col("jaccard")), 4).as("max_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** The exact-verification stage of MinHash dedup as an oracle-checked
     * query: deterministic candidate blocking (exact text length —
     * candidate generation by equi-join, the same shape as the LSH band
@@ -4435,6 +4482,45 @@ object ExtensionOracles {
        |             (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))::DOUBLE AS j
        |      FROM norm a JOIN norm b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** [[Extensions.dedupMinhashClusters]]: connected components over
+    * the exhaustive truth pairs via an INDEPENDENT recursive
+    * symmetric-closure CTE (component id = min member — the same
+    * labeling the union-find produces, derived without mirroring
+    * it). */
+  val dedupMinhashClusters: String =
+    s"""WITH RECURSIVE ${shingleNorm("documents")},
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM norm a JOIN norm b ON a.doc_id < b.doc_id
+       |      WHERE len(list_intersect(a.sg, b.sg))::DOUBLE /
+       |            (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))::DOUBLE >= 0.5),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |      UNION SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |comp AS (SELECT a AS node, min(b) AS mn FROM reach GROUP BY a)
+       |SELECT d.doc_id,
+       |       CAST(least(d.doc_id, coalesce(c.mn, d.doc_id)) AS BIGINT) AS cluster_id
+       |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[Extensions.corpusOverlap]]: the exhaustive truth pairs rolled
+    * up per unordered source pair. */
+  val corpusOverlap: String =
+    s"""WITH ${shingleNorm("documents")},
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             len(list_intersect(a.sg, b.sg))::DOUBLE /
+       |             (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))::DOUBLE AS j
+       |      FROM norm a JOIN norm b ON a.doc_id < b.doc_id),
+       |v AS (SELECT id_a, id_b, j FROM p WHERE j >= 0.5),
+       |s AS (SELECT least(da.source, db.source) AS src_a,
+       |             greatest(da.source, db.source) AS src_b, v.j
+       |      FROM v JOIN documents da ON v.id_a = da.doc_id
+       |             JOIN documents db ON v.id_b = db.doc_id)
+       |SELECT src_a, src_b, count(*) AS n_pairs, round(max(j), 4) AS max_jaccard
+       |FROM s GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
   /** [[Extensions.dedupSimhash]]: the planted-twin truth — same
     * append-two-tokens edit, exact word-3-gram Jaccard per planted

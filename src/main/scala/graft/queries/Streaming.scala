@@ -343,13 +343,15 @@ object StreamingQueries {
     val drainedIx = drained(s, name).localCheckpoint()
     val batchIx = graft.streaming.CorpusStream
       .lshIndexBatch(t(s, dir, "documents")).localCheckpoint()
-    // bounded driver actions: two except-counts over ~32·N skinny rows
-    val mismatch = drainedIx.exceptAll(batchIx).count() +
-      batchIx.exceptAll(drainedIx).count()
+    // bounded driver actions over ~32·N skinny rows: |A| = |B| plus
+    // A exceptAll B empty ⟹ multiset equality (A ⊆ B at equal
+    // cardinality) — one anti-join instead of two
+    val equal = drainedIx.count() == batchIx.count() &&
+      drainedIx.exceptAll(batchIx).isEmpty
     drainedIx.agg(sum(col("n_docs")).as("srows"))
       .select(expr("srows DIV 32").as("n_docs_indexed"),
         col("srows").as("n_band_rows"),
-        lit(if (mismatch == 0) 0L else 1L).as("index_gate"))
+        lit(if (equal) 0L else 1L).as("index_gate"))
   }
 
   /** Streaming CDC apply ([[graft.streaming.CdcStream]]): the cdc_apply

@@ -234,6 +234,53 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("runtime bloom filter: a selective dim predicate injects might_contain on the fact side, answer-identical") {
+    // The 100 TB shuffle-pruning shape: when a dim table carries a
+    // selective filter and the fact side is too big to broadcast-join,
+    // Spark's InjectRuntimeFilter builds a bloom filter from the dim
+    // keys and applies `might_contain` on the fact side BEFORE the
+    // shuffle — most fact rows are dropped pre-exchange. Invisible at
+    // test SFs (the 10 GB application-side threshold), so this audit
+    // lowers the thresholds, forces the shuffle-join regime, and pins
+    // (a) the filter really injects and (b) the answer is identical to
+    // the un-filtered plan — the same force-then-assert treatment as
+    // the AQE skew test above.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    def query() = {
+      val orders = graft.core.Tables.t(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 19 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = graft.core.Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      li.join(orders, Seq("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy("o_custkey")
+    }
+    val plain = query().collect().toSeq
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1024")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = query()
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"runtime bloom filter did not inject:\n${optimized.take(3000)}")
+      assert(q.collect().toSeq == plain)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("layout_zorder_stored: x-range filter prunes z-bucket directories at the scan") {
     val df = graft.SparkEntry.queries("layout_zorder_stored")(spark, dir)
     // sparkPlan, not executedPlan: AQE's wrapper has no children, so
