@@ -2921,8 +2921,28 @@ object Extensions {
     * the same synthesized edges (reachability is block-local + one
     * hop, so the closure stays ~2·sz per node at the verify SF). */
   def graphSccVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, cohesion, n) = blockVolumeGraph(s, dir)
+    val bridges = nodes.filter(col("node") % 100 === 0 && col("node") + 50 < n)
+      .select(col("node").as("src"), (col("node") + 50).as("dst"))
+    graft.operators.Graph.stronglyConnectedComponents(
+        cohesion.unionByName(bridges), nodes,
+        propagationIters = 60, maxRounds = 3)
+      .orderBy("node")
+  }
+
+  /** Block fixture shared by the round-19 `graph_*_volume` additions
+    * (scc/kcore/lpa): blocks of 50 over the FULL doc_id domain, each
+    * made cohesive (and, directed, strongly connected) by an in-block
+    * mirror ring `r → r+1 mod sz` plus 10 in-block quadratic-residue
+    * spread edges `r → (r² + k) mod sz` — 11N edges total, so every
+    * BSP/peel/vote step shuffles a DATA-dominated frame that scales
+    * linearly with sf, while block locality keeps oracle-side
+    * reachability bounded. N is one bounded driver scalar (the
+    * [[volumeGraph]] class); callers add their own coupling edges. */
+  private def blockVolumeGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
     val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
-    val n = nodes.count()   // one bounded driver scalar (volumeGraph class)
+    val n = nodes.count()
     def base(c: Column) = c - (c % 50)
     def sz(c: Column) = least(lit(50L), lit(n) - base(c))
     val ring = nodes.select(col("node").as("src"),
@@ -2934,11 +2954,43 @@ object Extensions {
       .select(col("src"),
         (base(col("src")) + pmod((col("src") - base(col("src"))) *
           (col("src") - base(col("src"))) + col("k"), sz(col("src")))).as("dst"))
-    val bridges = nodes.filter(col("node") % 100 === 0 && col("node") + 50 < n)
+    (nodes, ring.unionByName(spread), n)
+  }
+
+  /** [[graphKcore]]'s volume twin (round 19): the h-index chassis over
+    * the [[blockVolumeGraph]] fixture plus a FIXED 20-node clique on
+    * nodes < 20 — bounded by construction, so the planted dense core
+    * stays O(1) while the histogram/window step processes the
+    * data-dominated 22N-row symmetrized frame. The oracle unrolls the
+    * same 8 h-index steps from the same degree init; the operator's
+    * fixpoint early-exit returns exactly the step-8 state either
+    * way. */
+  def graphKcoreVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, cohesion, _) = blockVolumeGraph(s, dir)
+    val cl = nodes.filter(col("node") < 20)
+    val clique = cl.select(col("node").as("src"))
+      .crossJoin(cl.select(col("node").as("dst")))
+      .filter(col("src") < col("dst"))
+    graft.operators.Graph.corenessHIndex(
+        cohesion.unionByName(clique), nodes, iterations = 8)
+      .orderBy("node")
+  }
+
+  /** [[graphLpa]]'s volume twin (round 19): deterministic label
+    * propagation over [[blockVolumeGraph]] — blocks are the planted
+    * communities (dense inside via ring + spread), loosely coupled by
+    * ONE bridge per adjacent block pair (`offset-25 → next block's
+    * offset-25`) — the dense-inside/sparse-between regime LPA is built
+    * for, at a per-step vote volume of 22N rows. 8 synchronous
+    * (count DESC, label ASC) steps; the oracle unrolls the identical
+    * vote/argmax chain, so the step-8 state hash-matches whether or
+    * not the votes have stabilized. */
+  def graphLpaVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, cohesion, n) = blockVolumeGraph(s, dir)
+    val bridges = nodes.filter(col("node") % 50 === 25 && col("node") + 50 < n)
       .select(col("node").as("src"), (col("node") + 50).as("dst"))
-    graft.operators.Graph.stronglyConnectedComponents(
-        ring.unionByName(spread).unionByName(bridges), nodes,
-        propagationIters = 60, maxRounds = 3)
+    graft.operators.Graph.labelPropagationMinTie(
+        cohesion.unionByName(bridges), nodes, iterations = 8)
       .orderBy("node")
   }
 
@@ -5795,9 +5847,11 @@ object ExtensionOracles {
     * even→odd-bridge synthesis ([[graphScc]]'s closure shape — no step
     * mirroring). Reachability is block-local plus one bridge hop, so
     * the closure stays ~2·block-size rows per node at the verify SF. */
-  val graphSccVolume: String =
-    """WITH RECURSIVE
-      |ids AS (SELECT doc_id AS node FROM documents),
+  /** The [[Extensions.blockVolumeGraph]] synthesis as shared CTEs
+    * (ids/cnt/blk/ring/spread) for the scc/kcore/lpa volume
+    * oracles. */
+  private val blockVolumeCtes: String =
+    """ids AS (SELECT doc_id AS node FROM documents),
       |cnt AS (SELECT count(*) AS n FROM ids),
       |blk AS (SELECT node, node - (node % 50) AS base,
       |               least(50, (SELECT n FROM cnt) - (node - (node % 50))) AS sz
@@ -5806,7 +5860,11 @@ object ExtensionOracles {
       |spread AS (SELECT node AS src,
       |                  base + (((node - base) * (node - base) + k) % sz) AS dst
       |           FROM blk,
-      |                (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10)) t(k)),
+      |                (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10)) t(k))""".stripMargin
+
+  val graphSccVolume: String =
+    s"""WITH RECURSIVE
+      |$blockVolumeCtes,
       |bridges AS (SELECT node AS src, node + 50 AS dst FROM ids
       |            WHERE node % 100 = 0 AND node + 50 < (SELECT n FROM cnt)),
       |edges AS (SELECT DISTINCT src, dst FROM
@@ -6012,8 +6070,11 @@ object ExtensionOracles {
     * H = max_v min(v, #{values ≥ v}). Each cₖ is MATERIALIZED (read by
     * the next step's join; inlining re-evaluates the chain
     * exponentially). Init c₀ = undirected simple degree. */
-  val graphKcore: String = {
-    val steps = (1 to 8).map { i =>
+  /** The unrolled h-index step chain shared by [[graphKcore]] and
+    * [[graphKcoreVolume]]: expects CTEs `nodes(node)`,
+    * `sym(src, dst)`, `c0(node, c)`. */
+  private def hIndexSteps(k: Int): String =
+    (1 to k).map { i =>
       s"""c$i AS MATERIALIZED (
          |  SELECT n.node, coalesce(m.h, 0) AS c
          |  FROM nodes n LEFT JOIN (
@@ -6024,6 +6085,9 @@ object ExtensionOracles {
          |            GROUP BY 1, 2) q1) q2
          |    GROUP BY 1) m ON m.nn = n.node)""".stripMargin
     }.mkString(",\n")
+
+  val graphKcore: String = {
+    val steps = hIndexSteps(8)
     s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
        |raw AS (
        |  SELECT node AS src, node + 1 AS dst FROM nodes
@@ -6050,8 +6114,11 @@ object ExtensionOracles {
     * then `min(label)` among the max-count labels — the deterministic
     * (count DESC, label ASC) argmax. lₖ₋₁ is read twice per step
     * (votes + own-label fallback), so every lₖ is MATERIALIZED. */
-  val graphLpa: String = {
-    val steps = (1 to 8).map { i =>
+  /** The unrolled LPA vote/argmax step chain shared by [[graphLpa]]
+    * and [[graphLpaVolume]]: expects CTEs `sym(src, dst)`,
+    * `l0(node, label)`. */
+  private def lpaSteps(k: Int): String =
+    (1 to k).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT l.node, coalesce(m.lab, l.label) AS label
          |  FROM l${i - 1} l LEFT JOIN (
@@ -6062,6 +6129,9 @@ object ExtensionOracles {
          |            GROUP BY 1, 2) q1) q2
          |    WHERE cnt = mx GROUP BY 1) m ON m.nn = l.node)""".stripMargin
     }.mkString(",\n")
+
+  val graphLpa: String = {
+    val steps = lpaSteps(8)
     s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
        |raw AS (
        |  SELECT node AS src, node + 1 AS dst FROM nodes
@@ -6073,6 +6143,51 @@ object ExtensionOracles {
        |und AS (SELECT DISTINCT least(r.src, r.dst) AS a, greatest(r.src, r.dst) AS b
        |        FROM raw r JOIN nodes n ON r.dst = n.node
        |        WHERE r.src <> r.dst),
+       |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+       |$steps
+       |SELECT node, CAST(label AS BIGINT) AS label FROM l8 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphKcoreVolume]]: the same 8 unrolled h-index
+    * steps over the block-volume synthesis plus the fixed 20-node
+    * clique. */
+  val graphKcoreVolume: String = {
+    val steps = hIndexSteps(8)
+    s"""WITH $blockVolumeCtes,
+       |nodes AS (SELECT node FROM ids),
+       |raw AS (
+       |  SELECT src, dst FROM ring
+       |  UNION ALL SELECT src, dst FROM spread
+       |  UNION ALL
+       |  SELECT a.node, b.node FROM ids a JOIN ids b
+       |    ON a.node < 20 AND b.node < 20 AND a.node < b.node),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM raw WHERE src <> dst),
+       |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+       |c0 AS MATERIALIZED (
+       |  SELECT n.node, coalesce(d.d, 0) AS c
+       |  FROM nodes n LEFT JOIN
+       |    (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1) d USING (node)),
+       |$steps
+       |SELECT node, CAST(c AS BIGINT) AS coreness FROM c8 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphLpaVolume]]: the same 8 unrolled vote/argmax
+    * steps over the block-volume synthesis plus the per-block-pair
+    * offset-25 bridges. */
+  val graphLpaVolume: String = {
+    val steps = lpaSteps(8)
+    s"""WITH $blockVolumeCtes,
+       |nodes AS (SELECT node FROM ids),
+       |raw AS (
+       |  SELECT src, dst FROM ring
+       |  UNION ALL SELECT src, dst FROM spread
+       |  UNION ALL
+       |  SELECT node, node + 50 FROM ids
+       |  WHERE node % 50 = 25 AND node + 50 < (SELECT n FROM cnt)),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM raw WHERE src <> dst),
        |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
        |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
        |$steps
