@@ -2994,6 +2994,19 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** [[graphTriangles]]'s volume twin (round 19): degree-ordered
+    * triangle counting over [[blockVolumeGraph]] alone — the ring ×
+    * quadratic-residue spread closes plenty of in-block triangles
+    * organically, and block locality bounds the oracle's ordered-
+    * triple enumeration to per-block work. The operator's
+    * degree-ordering keeps the wedge join's fan-out at
+    * O(Σ d_min(edge)), the 100 TB triangle shape. */
+  def graphTrianglesVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, cohesion, _) = blockVolumeGraph(s, dir)
+    graft.operators.Graph.triangleCounts(cohesion, nodes)
+      .orderBy("node")
+  }
+
   /** Per-node triangle participation
     * ([[graft.operators.Graph.triangleCounts]]): the local-clustering
     * cohesion signal over a triangle-rich deterministic domain graph —
@@ -5971,6 +5984,27 @@ object ExtensionOracles {
       |FROM nodes n LEFT JOIN (SELECT node, count(*) AS t FROM v GROUP BY 1) c
       |  USING (node)
       |ORDER BY node""".stripMargin
+
+  /** [[Extensions.graphTrianglesVolume]]: the same ordered-triple
+    * enumeration over the block-volume synthesis (block locality keeps
+    * each wedge join per-block at the verify SF). */
+  val graphTrianglesVolume: String =
+    s"""WITH $blockVolumeCtes,
+       |nodes AS (SELECT node FROM ids),
+       |raw AS (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM spread),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM raw WHERE src <> dst),
+       |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |      FROM und e1
+       |      JOIN und e2 ON e2.a = e1.b
+       |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |v AS (SELECT x AS node FROM t
+       |      UNION ALL SELECT y FROM t
+       |      UNION ALL SELECT z FROM t)
+       |SELECT n.node, CAST(coalesce(c.t, 0) AS BIGINT) AS triangles
+       |FROM nodes n LEFT JOIN (SELECT node, count(*) AS t FROM v GROUP BY 1) c
+       |  USING (node)
+       |ORDER BY node""".stripMargin
 
   /** [[Extensions.graphClustering]]: the triangle CTEs plus undirected
     * degree, combined as `(2·t·1e6) // (d·(d−1))`, 0 below degree 2. */
