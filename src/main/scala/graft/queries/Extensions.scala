@@ -3381,6 +3381,50 @@ object Extensions {
     * window formulation shuffles |corpus|·|probes| rows; this shuffles
     * |probes|·k). The ANN family (ann_lsh/ivf/ivfpq) is the sublinear
     * path; this is the exact baseline that defines their recall. */
+  /** Hard-negative mining for retrieval training, ORACLE-CHECKED
+    * (round 19): per query, the top-k most-similar docs that are NOT
+    * near-duplicates — contrastive training wants negatives that are
+    * hard (close in embedding space) but genuinely different; a
+    * near-dup slipping in as a "negative" poisons the loss (it's a
+    * positive). The near-dup screen is the radius rule: candidates at
+    * exact round-4 cosine ≥ 0.9 are EXCLUDED (and counted —
+    * `n_screened`), the top-5 BELOW the bar are the mined negatives.
+    * The [[dedupSemantic]] twins are planted so every query (`% 70` —
+    * planted parents ∩ the probe stride) has exactly the decoy the
+    * screen must catch: without it the twin would be rank-1. Exact
+    * per-query cosine in the broadcast-probe regime (the
+    * [[embKnnGraph]] shape) keeps the screen deterministic — an LSH
+    * screen's recall would leak into the output. Bounded-heap top-k,
+    * never a global sort. */
+  def embHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val twins = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(v, (x, i) -> x + (cast((vec_id * 31 + i) % 7 as double) - 3.0d) * 0.003d)")
+          .as("v"))
+    val corpus = emb.unionByName(twins)
+    val q = emb.filter(col("vec_id") % 70 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(graft.functions.Vecs.cosineSim(col("v"), col("qv")), 4).as("sim"))
+      .localCheckpoint()   // two consumers: the screen count + the top-k
+    val screened = scored.filter(col("sim") >= 0.9)
+      .groupBy("qid").agg(count(lit(1)).as("n_screened"))
+    scored.filter(col("sim") < 0.9)
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("sim"), (-col("id")).as("nid")), 5).as("t"))
+      .join(screened, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_screened"))
+      .select(col("qid"), col("n_screened"), posexplode(col("t")).as(Seq("i", "s")))
+      .select(col("qid"), (col("i") + 1).cast("long").as("rank"),
+        (-col("s.nid")).as("id"), col("s.sim").as("sim"), col("n_screened"))
+      .orderBy("qid", "rank")
+  }
+
   def embKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -4586,6 +4630,29 @@ object ExtensionOracles {
        |             JOIN documents db ON v.id_b = db.doc_id)
        |SELECT src_a, src_b, count(*) AS n_pairs, round(max(j), 4) AS max_jaccard
        |FROM s GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
+  /** [[Extensions.embHardNegatives]]: the same twin synthesis, exact
+    * round-4 cosine per (query, candidate), radius screen at 0.9,
+    * windowed top-5 below the bar plus the screened count. */
+  val embHardNegatives: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |tw AS (SELECT vec_id + 100000 AS vec_id,
+      |              list_transform(v, (x, i) ->
+      |                x + (CAST((vec_id * 31 + (i - 1)) % 7 AS DOUBLE) - 3.0) * 0.003) AS v
+      |       FROM e WHERE vec_id % 7 = 0),
+      |corpus AS (SELECT * FROM e UNION ALL SELECT * FROM tw),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 70 = 0),
+      |sc AS (SELECT qid, c.vec_id AS id,
+      |              round(list_cosine_similarity(c.v, q.qv), 4) AS sim
+      |       FROM corpus c, q WHERE c.vec_id <> q.qid),
+      |scr AS (SELECT qid, count(*) AS n_screened FROM sc WHERE sim >= 0.9 GROUP BY 1),
+      |r AS (SELECT qid, id, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+      |      FROM sc WHERE sim < 0.9)
+      |SELECT r.qid AS qid, CAST(rank AS BIGINT) AS rank, id, sim,
+      |       CAST(coalesce(s.n_screened, 0) AS BIGINT) AS n_screened
+      |FROM r LEFT JOIN scr s ON r.qid = s.qid
+      |WHERE rank <= 5 ORDER BY r.qid, rank""".stripMargin
 
   /** [[Extensions.dedupSimhash]]: the planted-twin truth — same
     * append-two-tokens edit, exact word-3-gram Jaccard per planted

@@ -34,6 +34,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_ivf_kmeans",       // exact-twin gate: 5-row probe broadcast
     "ann_ivfpq_topk",       // exact-twin gate: 5-row probe broadcast
     "emb_knn_graph",        // bounded probe batch (every 10th vector) broadcast
+    "emb_hard_negatives",   // bounded probe batch (every 70th vector) broadcast
     "emb_mmr",              // 5-row query set broadcast into the pool build
     "emb_trunc_recall",     // same probe batch, two ranking passes
     "text_tfidf",           // 1-row corpus-size aggregate (scalar-subquery shape)
