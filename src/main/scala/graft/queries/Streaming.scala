@@ -336,13 +336,29 @@ object StreamingQueries {
     * both directions of exceptAll empty — the CorpusStreamSpec
     * equality (which ALSO replays a two-file staging to prove state
     * merge, not double-count) surfaced as a driver-hash-checked gate. */
+  /** Per-dir store for [[streamMinhash]]'s batch-built reference index
+    * — the backfill artifact a deployment computes ONCE over the
+    * historical corpus before switching on the stream (the
+    * bucketed_join/cdcStore one-time-write precedent): first call pays
+    * the shingle→sign→band pass, later calls re-read ~32N skinny
+    * parquet rows. */
+  private val lshBatchStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lshBatchStore(s: SparkSession, dir: String): String =
+    lshBatchStores.computeIfAbsent(dir, _ => {
+      val root = Files.createTempDirectory("graft_lsh_ix").toString + "/ix"
+      graft.streaming.CorpusStream.lshIndexBatch(t(s, dir, "documents"))
+        .write.mode("overwrite").parquet(root)
+      root
+    })
+
   def streamMinhash(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_minhash_${System.nanoTime()}"
     drainStaged(s, dir, copies = 1, table = "documents")(
       graft.streaming.CorpusStream.lshIndex(s, _, name))
     val drainedIx = drained(s, name).localCheckpoint()
-    val batchIx = graft.streaming.CorpusStream
-      .lshIndexBatch(t(s, dir, "documents")).localCheckpoint()
+    val batchIx = s.read.parquet(lshBatchStore(s, dir))
     // bounded driver actions over ~32·N skinny rows: |A| = |B| plus
     // A exceptAll B empty ⟹ multiset equality (A ⊆ B at equal
     // cardinality) — one anti-join instead of two
