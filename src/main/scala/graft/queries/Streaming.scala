@@ -370,6 +370,27 @@ object StreamingQueries {
         lit(if (equal) 0L else 1L).as("index_gate"))
   }
 
+  /** Streaming SCD type-2 maintenance ([[graft.streaming.ScdStream]]):
+    * the orders change log replayed as an arrival stream, per-customer
+    * priority history folded into half-open validity intervals as rows
+    * arrive — the watermark-buffered event-time-ordered fold of the
+    * funnel chassis, since change detection is order-sensitive. Emits
+    * CLOSED intervals only (an open interval is mutable until the next
+    * change), so the drain equals the batch [[Extensions.scd2History]]
+    * minus each key's current row — the streamSession
+    * minus-the-open-tail pattern — and the oracle is that batch SQL
+    * filtered to `valid_to IS NOT NULL`. */
+  def streamScd(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_scd_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1, table = "orders")(
+      graft.streaming.ScdStream.run(s, _, name))
+    drained(s, name)
+      .select(col("custkey"), col("priority"),
+        date_format(timestamp_micros(col("from_us")), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(timestamp_micros(col("to_us")), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+      .orderBy("custkey", "valid_from", "priority", "valid_to")
+  }
+
   /** Streaming CDC apply ([[graft.streaming.CdcStream]]): the cdc_apply
     * change log replayed as an arriving stream, last-writer-wins as one
     * associative struct-max whose per-key state is a single struct.
@@ -457,6 +478,27 @@ object StreamingOracles {
       |       CAST(32 * count(*) AS BIGINT) AS n_band_rows,
       |       CAST(0 AS BIGINT) AS index_gate
       |FROM documents""".stripMargin
+
+  /** [[StreamingQueries.streamScd]]: the batch scd2History SQL minus
+    * each key's current (open) row — closed validity intervals only,
+    * datetimes formatted on both sides. */
+  val streamScd: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+      |         o_orderdate, o_orderkey,
+      |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |ch AS (SELECT custkey, priority, o_orderdate, o_orderkey FROM o
+      |       WHERE prev IS NULL OR prev <> priority),
+      |r AS (SELECT custkey, priority, o_orderdate AS vf,
+      |             lead(o_orderdate) OVER (PARTITION BY custkey
+      |               ORDER BY o_orderdate, o_orderkey) AS vt
+      |      FROM ch)
+      |SELECT custkey, priority, strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
+      |FROM r WHERE vt IS NOT NULL
+      |ORDER BY custkey, valid_from, priority, valid_to""".stripMargin
 
   /** [[StreamingQueries.streamHllDaily]]: exact per-day distincts with
     * the estimate gate pinned — the batch events_hll_daily oracle
