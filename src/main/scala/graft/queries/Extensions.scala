@@ -1126,6 +1126,68 @@ object Extensions {
       .orderBy("x")
   }
 
+  /** Small-file compaction stores, one pair per source dir per JVM:
+    * the FRAGMENTED table (64 deliberate slivers — the ingest-time
+    * small-file problem: every micro-batch/task writes its own file,
+    * and listing + footer + task overhead at 100 TB scales with file
+    * COUNT, not bytes) and its COMPACTED rewrite — repartitionByRange
+    * on the key into 4 target-size files, the lakehouse OPTIMIZE
+    * operation, which also leaves per-file key ranges DISJOINT so a
+    * key predicate prunes to one file by footer min/max
+    * (LayoutCompactSpec asserts both the file counts and the
+    * disjointness). */
+  private val compactStores = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def compactStore(s: SparkSession, dir: String): (String, String) =
+    compactStores.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_compact_q")
+      ivfTmpRoots.add(root)
+      val frag = root.toString + "/orders_frag"
+      val comp = root.toString + "/orders_compact"
+      t(s, dir, "orders")
+        .select((col("o_orderkey") % 5000).as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(64)   // the sliver regime an unmanaged ingest leaves
+        .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag)
+        .repartitionByRange(4, col("k"))
+        .write.mode("overwrite").parquet(comp)
+      (frag, comp)
+    })
+
+  private[graft] def compactStorePaths(s: SparkSession, dir: String): (String, String) =
+    compactStore(s, dir)
+
+  /** The lakehouse small-file compaction (OPTIMIZE) as a stored
+    * two-phase query, ORACLE-CHECKED (round 19): the fragmented
+    * 64-sliver table is rewritten by `repartitionByRange(4, k)` —
+    * file count 64 → 4 AND per-file key ranges disjoint, so a point
+    * or range predicate on `k` prunes to one file via parquet footer
+    * min/max (no partition directories needed — this is the
+    * row-group/file-skip tier below [[layoutZorderStored]]'s
+    * directory-prune tier). The query re-reads the COMPACTED store
+    * and emits the rollup plus both file counts (`input_file_name`
+    * distincts — deterministic: 15k rows over 64 round-robin slivers
+    * leaves none empty, and 4 range buckets of a dense key domain
+    * are all hit); the oracle recomputes the rollup from raw orders
+    * and pins the counts — storage invariance AND the compaction
+    * contract in one hash check. */
+  def layoutCompactStored(s: SparkSession, dir: String): DataFrame = {
+    val (frag, comp) = compactStore(s, dir)
+    // input_file_name only exists at scan time (a checkpoint would
+    // blank it); the counts are two bounded scans of tiny footers
+    val nFrag = s.read.parquet(frag)
+      .select(input_file_name().as("f")).distinct().count()
+    val compacted = s.read.parquet(comp)
+    val nComp = compacted
+      .select(input_file_name().as("f")).distinct().count()
+    compacted
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        countDistinct(col("k")).as("n_keys"))
+      .select(lit(nFrag).as("files_before"), lit(nComp).as("files_after"),
+        col("n_rows"), col("sum_cents"), col("n_keys"))
+  }
+
   /** One stored Hilbert-ordered orders layout per source dir per JVM —
     * [[zorderStore]]'s discipline on the tighter curve. */
   private val hilbertStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -4591,6 +4653,17 @@ object ExtensionOracles {
        |             (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))::DOUBLE AS j
        |      FROM norm a JOIN norm b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** [[Extensions.layoutCompactStored]]: the rollup recomputed from
+    * raw orders (storage invariance) with the compaction's file-count
+    * contract pinned as literals. */
+  val layoutCompactStored: String =
+    """SELECT CAST(64 AS BIGINT) AS files_before,
+      |       CAST(4 AS BIGINT) AS files_after,
+      |       count(*) AS n_rows,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       count(DISTINCT o_orderkey % 5000) AS n_keys
+      |FROM orders""".stripMargin
 
   /** [[Extensions.dedupMinhashClusters]]: connected components over
     * the exhaustive truth pairs via an INDEPENDENT recursive
