@@ -3710,6 +3710,141 @@ object Extensions {
         col("start_us"), col("end_us"), col("n").as("n_events"))
       .orderBy("user_id", "island_no")
   }
+
+  /** Cohort retention triangle — the product-analytics staple (and the
+    * data-mix health check an LLM ingest pipeline runs on its crawl
+    * sources: does a cohort of first-seen domains/users keep producing
+    * k days later?): users cohorted by FIRST active day, then for each
+    * (cohort_day, day_offset ≤ 7) the count of distinct cohort members
+    * active exactly that many days later. Shape at scale: ONE distinct
+    * over (user, day) — the exchange carries (i64, date), never events
+    * — then the cohort via a min-window inside the SAME user_id
+    * partitioning (one more exchange), then a hash aggregate whose
+    * distinct-count key (cohort, offset, user) is bounded by active
+    * user-days, with map-side partial dedup. No join at all: the
+    * window formulation replaces the groupBy-then-self-join idiom and
+    * saves its third exchange. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohort = min(col("d")).over(Window.partitionBy("user_id"))
+    ud.withColumn("cohort_day", cohort)
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Collocation mining by pointwise mutual information — the
+    * phrase-discovery pass a tokenizer/corpus pipeline runs to find
+    * multiword units ("new york") whose co-occurrence beats chance
+    * (Church & Hanks 1990). All arithmetic EXACT-INTEGER so the
+    * ranking is engine-portable: instead of log(p(xy)/(p(x)p(y))) the
+    * score is the ppm-scaled rational
+    * `c_xy·N_uni²·10⁶ div (c_x·c_y·N_bi)` — log is monotone, so the
+    * PMI order IS this rational's order — computed in DECIMAL(38,0)
+    * (the graph_pagerank_wide treatment; the intermediate
+    * c_xy·N_uni²·10⁶ stays under 38 digits while c_xy·N_uni² < 10³²,
+    * comfortable past 10¹² tokens; the final quotient is ≤
+    * N_uni·10⁶/minCount and fits i64 to ~10¹³ tokens). Shape at
+    * scale: one token-array projection localCheckpointed and scanned
+    * for unigram and adjacent-pair counts (both map-side-combined
+    * hash aggregates), the two totals ride 1-row scalar broadcasts
+    * (PlanAuditSpec boundedScalarBnlj), the vocab joins are term-keyed
+    * equi joins, and the global top-50 is TakeOrderedAndProject with
+    * the (pmi_ppm DESC, gram) total tie-break. A c_xy ≥ 5 floor keeps
+    * hapax noise out, the standard PMI practice. */
+  def textPmi(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .select(graft.functions.Sketches.wordShingles(col("text"), 1).as("tk"))
+      .localCheckpoint()
+    val uni = tk.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()   // three consumers: N_uni + both vocab joins
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()   // two consumers: N_bi + the scored join
+    val totals = uni.agg(sum(col("c")).as("n_uni"))
+      .crossJoin(bi.agg(sum(col("c_xy")).as("n_bi")))
+    bi.filter(col("c_xy") >= 5)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_ppm", expr(
+        """CAST((CAST(c_xy AS DECIMAL(38,0)) * n_uni * n_uni * 1000000)
+          |     div (CAST(c1 AS DECIMAL(38,0)) * c2 * n_bi) AS BIGINT)""".stripMargin))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("gram"),
+        col("c_xy"), col("c1"), col("c2"), col("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("gram")).limit(50)
+  }
+
+  /** The fixed conjunctive probe the inverted-index query answers —
+    * `dup` is the corpus's one rare token (~5% of docs), so the
+    * conjunction is selective at every SF; the spec and the oracle both
+    * derive from this list. */
+  private[graft] val InvIndexTerms = Seq("dup", "vector", "merge")
+  private[graft] val InvIndexBuckets = 64
+
+  /** One stored inverted index per source dir per JVM ([[ivfStores]]'
+    * discipline): postings (term, doc_id, tf) from the shingle kernel's
+    * tokenizer, laid out `partitionBy(tbucket = crc32(term) % 64)`. */
+  private val invStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def invStore(s: SparkSession, dir: String): String =
+    invStores.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_inv_q")
+      ivfTmpRoots.add(root)
+      val st = root.toString + "/postings"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Sketches.wordShingles(col("text"), 1)).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .withColumn("tbucket", pmod(crc32(col("term")), lit(InvIndexBuckets.toLong)))
+        .repartition(col("tbucket"))  // cluster each bucket, not 64 slivers per task
+        .write.partitionBy("tbucket").mode("overwrite").parquet(st)
+      st
+    })
+
+  private[graft] def invStorePath(s: SparkSession, dir: String): String = invStore(s, dir)
+
+  /** Conjunctive keyword search over a STORED term-bucketed inverted
+    * index — the secondary-index primitive (build once, probe by
+    * term): postings `(term, doc_id, tf)` live
+    * `partitionBy(crc32(term) % 64)`, and a query's bucket set is pure
+    * driver arithmetic on its own terms, so the probe reaches the scan
+    * as a STATIC partition filter — 3 of 64 directories listed for a
+    * 3-term query, scan cost tracking QUERY size, never corpus size
+    * (the [[annIvfStored]] property for text retrieval; text_bm25
+    * scores a full corpus, THIS is the shape that answers a keyword
+    * query without touching it). Probe = filter to the terms' buckets
+    * then the terms, one hash aggregate per doc_id; a doc matching
+    * all |terms| postings is a conjunctive hit ((term, doc_id) is
+    * unique in the index, so count(*) IS the distinct-term count).
+    * Oracle-checked from RAW documents — index-build+probe
+    * invariance in one hash: DuckDB tokenizes with the kernel's
+    * regex, filters to the same terms, and applies the same
+    * having-all rule. IndexInvertedSpec additionally pins the
+    * PartitionFilters line and the 3-of-64 directory listing. */
+  def indexInvertedStored(s: SparkSession, dir: String): DataFrame = {
+    val store = invStore(s, dir)
+    val buckets = InvIndexTerms.map { w =>
+      val c = new java.util.zip.CRC32()
+      c.update(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (c.getValue % InvIndexBuckets).toLong
+    }.distinct
+    s.read.parquet(store)
+      .filter(col("tbucket").isin(buckets: _*) &&
+        col("term").isin(InvIndexTerms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("sum_tf"))
+      .filter(col("n_terms") === InvIndexTerms.length)
+      .orderBy("doc_id")
+  }
 }
 
 /** DuckDB oracles for the deterministic extension queries. */
@@ -6617,4 +6752,63 @@ object ExtensionOracles {
       |       min(s) AS start_us, max(e) AS end_us,
       |       CAST(count(*) AS BIGINT) AS n_events
       |FROM g GROUP BY 1, 2 ORDER BY user_id, island_no""".stripMargin
+
+  /** [[Extensions.eventsRetention]]: the same distinct-user-day →
+    * min-window cohort → (cohort, offset) distinct-user rollup. */
+  val eventsRetention: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, d,
+      |             min(d) OVER (PARTITION BY user_id) AS cohort_day FROM ud)
+      |SELECT cohort_day,
+      |       CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM c WHERE date_diff('day', cohort_day, d) <= 7
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** [[Extensions.textPmi]]: the shingle kernel's tokenizer (lower,
+    * \s-class split, empty filter, short-doc rule), adjacent pairs by
+    * 1-based index, and the identical DECIMAL/HUGEINT integer-division
+    * PMI rational — `//` on positive HUGEINTs floors exactly like
+    * Spark's `div` on positive decimals. */
+  val textPmi: String = {
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    s"""WITH d0 AS (SELECT list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |            FROM documents),
+       |d AS (SELECT CASE WHEN len(tk) < 1 THEN [''] ELSE tk END AS tk FROM d0),
+       |uc AS (SELECT tok, count(*) AS c
+       |       FROM (SELECT unnest(tk) AS tok FROM d) GROUP BY 1),
+       |bc AS (SELECT w1, w2, count(*) AS c_xy
+       |       FROM (SELECT tk[i] AS w1, tk[i+1] AS w2
+       |             FROM d, unnest(generate_series(1, len(tk) - 1)) u(i)
+       |             WHERE len(tk) >= 2) GROUP BY 1, 2),
+       |nu AS (SELECT CAST(sum(c) AS HUGEINT) AS n_uni FROM uc),
+       |nb AS (SELECT CAST(sum(c_xy) AS HUGEINT) AS n_bi FROM bc),
+       |s AS (SELECT w1, w2, c_xy, u1.c AS c1, u2.c AS c2,
+       |             CAST((CAST(c_xy AS HUGEINT) * n_uni * n_uni * 1000000)
+       |                  // (CAST(u1.c AS HUGEINT) * u2.c * n_bi) AS BIGINT) AS pmi_ppm
+       |      FROM bc JOIN uc u1 ON bc.w1 = u1.tok
+       |              JOIN uc u2 ON bc.w2 = u2.tok, nu, nb
+       |      WHERE c_xy >= 5)
+       |SELECT concat(w1, ' ', w2) AS gram, c_xy, c1, c2, pmi_ppm
+       |FROM s ORDER BY pmi_ppm DESC, gram LIMIT 50""".stripMargin
+  }
+
+  /** [[Extensions.indexInvertedStored]]: the conjunctive answer
+    * recomputed from RAW documents (never the stored index) — the
+    * kernel tokenizer, the same term list, per-(doc, term) tf, and the
+    * count-equals-|terms| conjunction rule. Proves index build + bucket
+    * probe change nothing about the answer. */
+  val indexInvertedStored: String = {
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    val terms = Extensions.InvIndexTerms.map(t => s"'$t'").mkString(", ")
+    val n = Extensions.InvIndexTerms.length
+    s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |           FROM documents),
+       |e AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+       |m AS (SELECT doc_id, tok, count(*) AS tf FROM e
+       |      WHERE tok IN ($terms) GROUP BY 1, 2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |       CAST(sum(tf) AS BIGINT) AS sum_tf
+       |FROM m GROUP BY doc_id HAVING count(*) = $n ORDER BY doc_id""".stripMargin
+  }
 }

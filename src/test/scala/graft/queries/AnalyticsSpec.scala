@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Brute-force cross-checks for the product-analytics queries
+  * (events_retention, text_pmi) on the sf0.001 fixture — the DuckDB
+  * oracle proves cross-engine hash equality; these prove the SEMANTICS
+  * against an independent straight-line recomputation.
+  */
+class AnalyticsSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("events_retention matches a driver-side brute-force recount") {
+    val got = Extensions.eventsRetention(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+
+    val ud = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "CAST(ts AS DATE) AS d")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val cohort = ud.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val want = ud
+      .map { case (u, d) =>
+        (cohort(u).toString,
+          java.time.temporal.ChronoUnit.DAYS.between(cohort(u), d), u) }
+      .filter(_._2 <= 7)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((c, o), us) => (c, o, us.map(_._3).distinct.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+
+    assert(got.toSeq == want)
+    // every cohort's offset-0 row exists and counts the cohort itself
+    val day0 = got.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    cohort.groupBy(_._2).foreach { case (c, us) =>
+      assert(day0(c.toString) == us.size.toLong)
+    }
+  }
+
+  test("text_pmi: scores recompute exactly and the order/floor/limit hold") {
+    val rows = Extensions.textPmi(spark, dir).collect()
+    assert(rows.length == 50)
+
+    // independent token/bigram census (the kernel's tokenizer: lower,
+    // java-\s split, drop empties; docs with <2 tokens contribute no pair)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.map(t =>
+      t.toLowerCase.split("[ \\t\\n\\x0B\\f\\r]+").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatMap {
+      case s if s.isEmpty => Seq("")   // kernel short-doc rule
+      case s => s
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bi = toks.filter(_.length >= 2)
+      .flatMap(s => s.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nUni = BigInt(uni.values.sum)
+    val nBi = BigInt(bi.values.sum)
+
+    def pmiPpm(cxy: Long, c1: Long, c2: Long): Long =
+      ((BigInt(cxy) * nUni * nUni * 1000000) / (BigInt(c1) * c2 * nBi)).toLong
+
+    rows.foreach { r =>
+      val Array(w1, w2) = r.getAs[String]("gram").split(" ", 2)
+      val (cxy, c1, c2) = (r.getAs[Long]("c_xy"), r.getAs[Long]("c1"), r.getAs[Long]("c2"))
+      assert(cxy >= 5, s"floor violated: $w1 $w2")
+      assert(cxy == bi((w1, w2)) && c1 == uni(w1) && c2 == uni(w2),
+        s"census mismatch for '$w1 $w2'")
+      assert(r.getAs[Long]("pmi_ppm") == pmiPpm(cxy, c1, c2))
+    }
+    // total (pmi DESC, gram) order, and the top-50 boundary is the true one
+    val keys = rows.map(r => (-r.getAs[Long]("pmi_ppm"), r.getAs[String]("gram")))
+    assert(keys.sameElements(keys.sorted))
+    val all = bi.toSeq.filter(_._2 >= 5).map { case ((w1, w2), cxy) =>
+      (-pmiPpm(cxy, uni(w1), uni(w2)), s"$w1 $w2")   // toSeq FIRST: ties collapse in a Map
+    }.sorted.take(50)
+    assert(keys.toSeq == all)
+    // collocations beat chance: the top pair is over 1.0 (1e6 ppm)
+    assert(rows.head.getAs[Long]("pmi_ppm") > 1000000L)
+  }
+}

@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "emb_mmr",              // 5-row query set broadcast into the pool build
     "emb_trunc_recall",     // same probe batch, two ranking passes
     "text_tfidf",           // 1-row corpus-size aggregate (scalar-subquery shape)
+    "text_pmi",             // 1-row N_uni x N_bi totals broadcast
     "text_bm25",            // 1-row corpus-stats aggregate (N, S) broadcast
     "retrieve_hybrid")      // inherits text_bm25's 1-row stats broadcast
 
@@ -50,6 +51,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * is a leaked iteration join, not an intended one. */
   private val boundedScalarBnlj = Map(
     "graph_nf_hll"    -> 12,
+    "graph_clustering_volume" -> 1, // 1-row planted-count aggregate (gate)
     "dedup_simhash"   -> 2,  // 1-row recall-gate counts (n_found, n_planted)
     "dedup_embedding" -> 3)  // 1-row gate counts (n_found, n_stray, n_planted)
 
