@@ -87,12 +87,10 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     catch { case _: Throwable => () }
     // Canonical-number rule (BASELINE.md round 17+): the COMMITTED file
-    // is the cross-round record. Stage it mechanically so a refreshed
-    // bench can never sit uncommitted at round close — the recurring
-    // r17/r18 violation — instead of relying on workflow discipline.
-    try new ProcessBuilder("git", "add", "BENCH_LOCAL.json")
-      .directory(new java.io.File(".")).start().waitFor()
-    catch { case _: Throwable => () }
+    // is the cross-round record. Enforcement lives in BenchRecordSpec
+    // (fails when the committed record's query set drifts from
+    // SparkEntry.queries), not here — a benchmark binary must not
+    // mutate the git index as a side effect.
     spark.stop()
   }
 }

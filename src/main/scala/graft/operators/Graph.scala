@@ -954,4 +954,62 @@ object Graph {
       .select(col("node"),
         expr(s"(coalesce(s, 0L) * ${n}L) DIV ${k}L").as("betweenness_ppm"))
   }
+
+  /** Kleinberg HITS (hubs & authorities, SIAM JCOMP 1999) as the
+    * engine-portable integer fixed point on the [[pageRankE9]] BSP
+    * chassis: per step the mutual update
+    * `a(v) = Σ_{u→v} h(u)` then `h(u) = Σ_{u→v} a(v)`, each side
+    * L∞-NORMALIZED (divide by the step's max, the classic power-
+    * iteration stabilization — chosen over L1/L2 because an integer
+    * max-divide stays exact where a sqrt cannot) into ppm units, so
+    * every score lives in [0, 10⁶] with the step's best hub/authority
+    * pinned at exactly 10⁶ and the iteration can never overflow or
+    * drift. The normalizing products run in DECIMAL(38,0)
+    * (`s·10⁶ ≤ 10¹²·N` exceeds i64 past N ≈ 10⁷ — the pageRankE9
+    * `wide` treatment, unconditional here), landing back in BIGINT
+    * via DIV.
+    *
+    * Scale shape: each step is TWO of the chassis's canonical BSP
+    * shuffles (edges⋈scores on one endpoint, then groupBy the other
+    * with map-side combine absorbing degree skew); the per-step max is
+    * a 1-row broadcast (the dangling-mass pattern), and per-step
+    * localCheckpoints cut lineage so step N+1's plan never replans
+    * step N. Induced-subgraph restriction and the fail-loud empty-
+    * edge guard follow the chassis conventions (an empty edge list
+    * would put a 0 in the normalizing divisor — reject it, never
+    * divide). Returns (node, hub_ppm, auth_ppm). */
+  def hitsPpm(edges: DataFrame, nodes: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "HITS needs at least one mutual update")
+    val Scale = 1000000L
+    val nset = nodes.select(col("node"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint()
+    require(e.limit(1).count() > 0,
+      "hitsPpm: empty induced edge list — the normalizing max would be " +
+        "0; HITS is undefined on an edgeless graph")
+    val normExpr = (raw: String, mx: String) =>
+      expr(s"CAST((CAST(coalesce($raw, 0L) AS DECIMAL(38,0)) * $Scale) DIV $mx AS BIGINT)")
+    var hub = nset.select(col("node"), lit(Scale).as("h")).localCheckpoint()
+    var auth = nset.select(col("node"), lit(0L).as("a"))
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val aMax = aRaw.agg(max(col("ar")).as("amax"))
+      auth = nset.join(aRaw, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("node"), normExpr("ar", "amax").as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val hMax = hRaw.agg(max(col("hr")).as("hmax"))
+      hub = nset.join(hRaw, col("node") === col("src"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("node"), normExpr("hr", "hmax").as("h"))
+        .localCheckpoint()
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+  }
 }

@@ -371,8 +371,25 @@ object Extensions {
     * banding/hamming, where twin self-similarity itself is lost).
     * The simhash VALUE never rides in the output (seeded, engine-
     * specific); DedupSpec pins the kernel behavior. */
+  /** Loud guard for the planted-twin scheme (r19 ADVICE): twins live at
+    * `id + 100000`, so an organic id ≥ 100000 at a larger SF would
+    * silently collide — corrupting the corpus AND the recall/precision
+    * gates instead of failing. One bounded 1-row driver aggregate per
+    * call (the [[graft.operators.TextAnalysis.bm25RequireI64Envelope]]
+    * treatment): the fixture's closed-form oracle requires the fixed
+    * offset, so the guard enforces the fixture's premise explicitly. */
+  private def requireTwinIdHeadroom(df: DataFrame, idCol: String,
+                                    query: String): Unit = {
+    val row = df.agg(max(col(idCol)).cast("long")).head()
+    val m = if (row.isNullAt(0)) -1L else row.getLong(0)
+    require(m < 100000L,
+      s"$query: planted-twin ids (id + 100000) collide with organic ids " +
+        s"(max $idCol = $m >= 100000); raise the twin offset above max(id)")
+  }
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    requireTwinIdHeadroom(docs, "doc_id", "dedup_simhash")
     val twins = docs.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"),
         concat(col("text"), lit(" zq"), (col("doc_id") % 7).cast("string")).as("text"))
@@ -424,6 +441,7 @@ object Extensions {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    requireTwinIdHeadroom(emb, "vec_id", "dedup_embedding")
     val twins = emb.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + 100000L).as("vec_id"),
         expr("transform(v, (x, i) -> x + (cast((vec_id * 31 + i) % 7 as double) - 3.0d) * 0.003d)")
@@ -470,6 +488,7 @@ object Extensions {
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    requireTwinIdHeadroom(emb, "vec_id", "dedup_semantic")
     val twins = emb.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + 100000L).as("vec_id"),
         expr("transform(v, (x, i) -> x + (cast((vec_id * 31 + i) % 7 as double) - 3.0d) * 0.003d)")
@@ -586,7 +605,8 @@ object Extensions {
   private val ivfStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // tmp roots registered at creation, BEFORE the corpus write — a write
   // that fails midway still gets its partial output cleaned at exit
-  private val ivfTmpRoots =
+  // (private[queries]: Streaming's per-dir stores register here too)
+  private[queries] val ivfTmpRoots =
     java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -600,16 +620,23 @@ object Extensions {
       }))
   }
 
-  def annIvfStored(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
-    val store = ivfStores.computeIfAbsent(dir, _ => {
+  private def ivfStore(s: SparkSession, dir: String): String =
+    ivfStores.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      // the codebook is deterministic (stride-sampled), so the probe
+      // side recomputes the same centroids without reading the store
+      val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
       val root = java.nio.file.Files.createTempDirectory("graft_ivf_q")
       ivfTmpRoots.add(root)
       val st = root.toString + "/corpus"
       Similarity.writeIvfCorpus(emb, "vec_id", "embedding", cents, st)
       st
     })
+
+  def annIvfStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val store = ivfStore(s, dir)
     Similarity.ivfTopKStored(s, store, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 10, cents, nprobe = 4)
       .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
@@ -2683,6 +2710,37 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** [[graphPpr]]'s VOLUME twin on the [[volumeGraph]] expander —
+    * TrustRank at data-dominated scale: seeds `node % 997 = 0` (the
+    * [[graphSsspVolume]] convention — 1 seed at sf0.01, 6 at sf0.1,
+    * scaling with the domain), so the seed-restricted base/init/
+    * dangling terms run against a seed set many orders smaller than
+    * the graph, the production shape (a trusted-domain whitelist is
+    * thousands of rows against billions of pages). Same unrolled
+    * oracle with the `% 997` conditional. */
+  def graphPprVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = volumeGraph(s, dir)
+    val seeds = nodes.filter(col("node") % 997 === 0)
+    graft.operators.Graph.pageRankE9(edges, nodes, iterations = 10,
+        seeds = Some(seeds))
+      .orderBy("node")
+  }
+
+  /** [[graphPagerankWeighted]]'s VOLUME twin: weights `dst % 5 + 1`
+    * (the [[graphSsspVolume]] convention), so the out-WEIGHT sum and
+    * the per-edge `rank·w DIV W` contribution both run over the
+    * 10N-edge frame. Narrow i64 path — rank·w ≤ 5·10⁹ and the damped
+    * sum is bounded by 100·SCALE·Σw_in, comfortable at any test SF
+    * (past ~2·10⁷ nodes the `wide` flag lifts both, proven at the
+    * oracle gate by graph_pagerank_wide). */
+  def graphPagerankWeightedVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = volumeGraph(s, dir)
+    val weighted = edges.withColumn("w", col("dst") % 5 + 1)
+    graft.operators.Graph.pageRankE9(weighted, nodes, iterations = 10,
+        weightCol = Some("w"))
+      .orderBy("node")
+  }
+
   /** [[graphPagerank]] through the decimal-128 arithmetic path
     * (`wide = true`) — the configuration a >9·10⁷-node graph needs,
     * declared so the widened damped sum is proven AT THE ORACLE GATE,
@@ -2722,6 +2780,27 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** HITS hubs & authorities ([[graft.operators.Graph.hitsPpm]]) over
+    * the [[graphPagerank]] quadratic-residue fixture — the
+    * link-analysis dual PageRank misses: a directory page that links
+    * to every good authority scores as a HUB even with zero in-links,
+    * and the two scores separate navigational from content pages in a
+    * crawl-quality prior (Kleinberg 1999). 8 mutual updates,
+    * L∞-normalized to ppm each step — all-integer, so the oracle
+    * unrolls the same 16 CTEs (ar→a→hr→h per step) and hash-matches
+    * exactly; the fixture's in-degree skew (squares mod 100 concentrate
+    * on quadratic residues) gives both scores real structure. */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val dom = t(s, dir, "documents").select((col("doc_id") % 100).as("node"))
+    val nodes = dom.distinct()
+    val edges = dom
+      .select(col("node").as("src"), explode(array(lit(1), lit(2), lit(3))).as("k"))
+      .select(col("src"), ((col("src") * col("src") + col("k")) % 100).as("dst"))
+      .distinct()
+    graft.operators.Graph.hitsPpm(edges, nodes, iterations = 8)
+      .orderBy("node")
+  }
+
   /** Volume-scale graph fixture shared by the `graph_*_volume` family:
     * nodes = the FULL `doc_id` domain (dense 0..N−1 — N grows with the
     * scale factor, 500 at sf0.01, 5000 at sf0.1, millions at corpus
@@ -2746,6 +2825,19 @@ object Extensions {
       .select(col("src"),
         ((col("src") * col("src") + col("k")) % n).as("dst"))
     (nodes, edges)
+  }
+
+  /** [[graphHits]]'s VOLUME twin on the [[volumeGraph]] expander — the
+    * data-dominated proof run for the mutual-update chassis (the
+    * 100-node fixture proves semantics; this proves each of the 16
+    * per-step shuffles tracks the 10N-edge frame, and exercises the
+    * DECIMAL(38,0) normalizing product on sums that would pass i64
+    * here but not at 10⁷ nodes). Same unrolled oracle over the volume
+    * edge synthesis. */
+  def graphHitsVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = volumeGraph(s, dir)
+    graft.operators.Graph.hitsPpm(edges, nodes, iterations = 8)
+      .orderBy("node")
   }
 
   /** PageRank on the [[volumeGraph]] fixture — the volume-scale proof
@@ -3288,6 +3380,40 @@ object Extensions {
       .orderBy("k")
   }
 
+  /** Time travel over the stored CDC log — the as-of-sequence snapshot
+    * read that completes the lakehouse tier (Delta's `VERSION AS OF` /
+    * Hudi's point-in-time query): replaying `seq ≤ S` through the SAME
+    * one-shuffle struct-max as [[cdcApply]] reconstructs the table
+    * exactly as it stood after change S, tombstones honored AS OF that
+    * point (a key deleted before S but re-upserted after stays deleted
+    * in the snapshot). S = the seq midpoint, one bounded driver scalar
+    * (the [[cdcCompactRewrite]] cut precedent — min/max come from
+    * parquet footer stats, no data scan). Shape at scale: the stored
+    * layout's SECOND partition dimension earns its keep here — the
+    * as-of filter reaches the scan as `seq_era ≤ S DIV 10000`, a
+    * STATIC partition filter pruning every directory written after
+    * the as-of point ([[cdcApplyStored]] prunes the key dimension;
+    * this prunes time — together they span the layout's design), with
+    * the exact `seq ≤ S` predicate pushed into the surviving eras'
+    * row groups. The oracle recomputes S with the same integer
+    * midpoint and replays the filtered log through the row_number
+    * formulation; PlanAuditSpec pins the era listing and the
+    * replay-equals-filtered-apply invariance. */
+  def cdcTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val store = cdcStore(s, dir)
+    val env = s.read.parquet(store)
+      .agg(min(col("seq")).cast("long"), max(col("seq")).cast("long")).head()
+    val asOf = (env.getLong(0) + env.getLong(1)) / 2
+    s.read.parquet(store)
+      .filter(col("seq_era") <= asOf / 10000L && col("seq") <= asOf)
+      .groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("cents"))).as("m"))
+      .filter(col("m.op") =!= "D")
+      .select(col("k"), col("m.seq").as("seq"), col("m.cents").as("cents"),
+        lit(asOf).as("as_of_seq"))
+      .orderBy("k")
+  }
+
   /** cdc_compact_rewrite's written-back base: the stored log's OLDER
     * HALF (`seq ≤ cut`, cut = the seq midpoint — one bounded driver
     * scalar) compacted to one winner struct per key — DELETE winners
@@ -3461,6 +3587,7 @@ object Extensions {
   def embHardNegatives(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    requireTwinIdHeadroom(emb, "vec_id", "emb_hard_negatives")
     val twins = emb.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + 100000L).as("vec_id"),
         expr("transform(v, (x, i) -> x + (cast((vec_id * 31 + i) % 7 as double) - 3.0d) * 0.003d)")
@@ -3733,8 +3860,47 @@ object Extensions {
       .withColumn("day_offset", datediff(col("d"), col("cohort_day")).cast("long"))
       .filter(col("day_offset") <= 7)
       .groupBy("cohort_day", "day_offset")
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      // count, NOT countDistinct: the frame is already distinct (user,
+      // day) and cohort_day/day_offset are functions of that key, so a
+      // user appears at most once per group — the distinct would only
+      // add an Expand + second shuffle phase for the same result
+      .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
+  }
+
+  /** DAU/WAU stickiness — [[eventsRetention]]'s sibling on the same
+    * distinct user-day frame (the second product-analytics chassis a
+    * crawl-health dashboard runs: of everyone active in the trailing
+    * week, what share came back today?): per observed day, DAU =
+    * distinct active users, WAU = distinct users active in the
+    * trailing 7-day window, `stickiness_ppm = DAU·10⁶ DIV WAU`.
+    * Shape at scale: ONE distinct over (user, day) — the exchange
+    * carries (i64, date), never events — then the trailing window via
+    * a BOUNDED 7× explode (each user-day covers the 7 window-days it
+    * can serve) re-deduped per (user, window_day); both counts are
+    * hash aggregates with map-side partial dedup, joined day-to-day
+    * (skinny date-keyed frames). No window function over users, no
+    * range self-join — the explode formulation keeps the shuffle
+    * linear in active user-days × 7. Days with activity gaps
+    * contribute to later WAUs but emit no row themselves (inner join
+    * on the DAU side — a day nobody visited has no stickiness). */
+  def eventsStickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint()   // two consumers: DAU direct, WAU exploded
+    val dau = ud.groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(array((0 to 6).map(lit(_)): _*)).as("k"), col("d"))
+      .select(col("user_id"), expr("date_add(d, k)").as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 1000000) DIV wau").as("stickiness_ppm"))
+      .orderBy("day")
   }
 
   /** Collocation mining by pointwise mutual information — the
@@ -3792,7 +3958,12 @@ object Extensions {
 
   /** One stored inverted index per source dir per JVM ([[ivfStores]]'
     * discipline): postings (term, doc_id, tf) from the shingle kernel's
-    * tokenizer, laid out `partitionBy(tbucket = crc32(term) % 64)`. */
+    * tokenizer, laid out `partitionBy(tbucket = crc32(term) % 64)`.
+    * Since round 20 the build also persists the BM25 serving artifacts
+    * BESIDE the postings — `doclen` (doc_id, dl) and a 1-row `stats`
+    * (n_docs, s_tok, max_dl) — derived by re-reading the written
+    * postings (skinny i64 rows, one extra build-time pass), so a
+    * scored probe ([[indexBm25Probe]]) never touches raw text. */
   private val invStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def invStore(s: SparkSession, dir: String): String =
@@ -3807,6 +3978,13 @@ object Extensions {
         .withColumn("tbucket", pmod(crc32(col("term")), lit(InvIndexBuckets.toLong)))
         .repartition(col("tbucket"))  // cluster each bucket, not 64 slivers per task
         .write.partitionBy("tbucket").mode("overwrite").parquet(st)
+      val doclen = s.read.parquet(st)
+        .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      doclen.write.mode("overwrite").parquet(root.toString + "/doclen")
+      s.read.parquet(root.toString + "/doclen")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"),
+          max(col("dl")).as("max_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(root.toString + "/stats")
       st
     })
 
@@ -3832,11 +4010,7 @@ object Extensions {
     * PartitionFilters line and the 3-of-64 directory listing. */
   def indexInvertedStored(s: SparkSession, dir: String): DataFrame = {
     val store = invStore(s, dir)
-    val buckets = InvIndexTerms.map { w =>
-      val c = new java.util.zip.CRC32()
-      c.update(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      (c.getValue % InvIndexBuckets).toLong
-    }.distinct
+    val buckets = invBuckets(InvIndexTerms)
     s.read.parquet(store)
       .filter(col("tbucket").isin(buckets: _*) &&
         col("term").isin(InvIndexTerms: _*))
@@ -3844,6 +4018,95 @@ object Extensions {
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("sum_tf"))
       .filter(col("n_terms") === InvIndexTerms.length)
       .orderBy("doc_id")
+  }
+
+  /** A query's bucket set is pure driver arithmetic on its own terms. */
+  private def invBuckets(terms: Seq[String]): Seq[Long] =
+    terms.map { w =>
+      val c = new java.util.zip.CRC32()
+      c.update(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (c.getValue % InvIndexBuckets).toLong
+    }.distinct
+
+  /** BM25-scored keyword search SERVED FROM the stored inverted index —
+    * [[indexInvertedStored]]'s partition-pruned posting probe carrying
+    * [[graft.operators.TextAnalysis.bm25MoreLikeThis]]'s exact-integer
+    * scoring (the same two ppm rationals, k1 = 1.2 / b = 0.75 cleared
+    * to `DIV`s — engine-portable, no float), with the corpus stats the
+    * score needs persisted BESIDE the index at build time: `stats`
+    * (1 row: n_docs, s_tok, max_dl — broadcast and i64-envelope-
+    * guarded via [[graft.operators.TextAnalysis.bm25RequireI64Envelope]])
+    * and `doclen` (doc_id, dl — skinny i64 pairs, equi-joined to the
+    * candidates). Shape at scale: the probe reaches the scan as a
+    * STATIC partition filter (3 of 64 directories for the 3-term
+    * disjunction — scan cost tracks query size, never corpus size);
+    * per-term df comes from the probed postings themselves ((term,
+    * doc_id) is unique, so a per-term count IS df — no extra
+    * artifact); the doclen join touches only candidate doc_ids; the
+    * global top-20 is the bounded TopKAgg heap ((score DESC, doc_id
+    * ASC) ties), never a global sort. Disjunctive semantics — BM25
+    * ranks any doc matching ≥ 1 term, the standard keyword-search
+    * contract (the conjunctive twin is [[indexInvertedStored]]).
+    * Oracle-checked from RAW documents: DuckDB tokenizes with the
+    * kernel's regex and recomputes N/S/dl/df and both rationals —
+    * index build + stats persistence + bucket probe change nothing
+    * about the answer. */
+  def indexBm25Probe(s: SparkSession, dir: String): DataFrame = {
+    val store = invStore(s, dir)
+    val root = store.stripSuffix("/postings")
+    val statsRow = s.read.parquet(root + "/stats").head()
+    TextAnalysis.bm25RequireI64Envelope(
+      statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
+    val stats = s.read.parquet(root + "/stats")
+    val buckets = invBuckets(InvIndexTerms)
+    val cand = s.read.parquet(store)
+      .filter(col("tbucket").isin(buckets: _*) &&
+        col("term").isin(InvIndexTerms: _*))
+      .localCheckpoint()   // two consumers: df counts + the scored join
+    val dfq = cand.groupBy("term").agg(count(lit(1)).as("df"))
+    cand.join(broadcast(dfq), "term")
+      .join(s.read.parquet(root + "/doclen"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm",
+        expr("(1000000 * (2 * (n_docs - df) + 1)) DIV (2 * df + 1)"))
+      .withColumn("sat_ppm",
+        expr("(1000000 * 22 * s_tok * tf) DIV (10 * s_tok * tf + 3 * s_tok + 9 * dl * n_docs)"))
+      .withColumn("contrib", expr("(idf_ppm * sat_ppm) DIV 1000000"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("bm25_ppm"), count(lit(1)).as("n_terms"))
+      .groupBy()
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("bm25_ppm"), (-col("doc_id")).as("nid"), col("n_terms")), 20).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "sel")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        (-col("sel.nid")).as("doc_id"), col("sel.bm25_ppm").as("bm25_ppm"),
+        col("sel.n_terms").as("n_terms"))
+      .orderBy("rank")
+  }
+
+  /** Build every per-source-dir stored artifact ONCE — the operational
+    * `query --prepare` path: a 100 TB deployment builds its indexes and
+    * layouts OFFLINE (a scheduled build job) and serves probes from
+    * them, so build cost must be separable from query cost. Forces each
+    * lazily-built per-dir store (IVF corpus, inverted index + BM25
+    * stats, z-order/hilbert/compacted layouts, bucketed join tables,
+    * CDC log + compacted base, the streaming LSH batch index); every
+    * builder is `computeIfAbsent`-idempotent, so stored-probe queries
+    * issued afterwards in the same session pay probe cost only.
+    * Returns (artifact, location) pairs for operator display. */
+  def prepareStores(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val (bOrders, bLineitem) = bucketedTables(s, dir)
+    Seq(
+      "ivf_corpus"     -> ivfStore(s, dir),
+      "inverted_index" -> invStore(s, dir),
+      "zorder_layout"  -> zorderStore(s, dir),
+      "hilbert_layout" -> hilbertStore(s, dir),
+      "compact_layout" -> compactStore(s, dir)._2,
+      "bucketed_orders"   -> bOrders,
+      "bucketed_lineitem" -> bLineitem,
+      "cdc_log"        -> cdcStore(s, dir),
+      "cdc_base"       -> cdcCompactStore(s, dir)._1,
+      "lsh_batch_index" -> StreamingQueries.lshBatchStore(s, dir))
   }
 }
 
@@ -5961,6 +6224,126 @@ object ExtensionOracles {
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
   }
 
+  /** Shared HITS unroll: per step the mutual-update CTE quartet
+    * (in-sum → L∞-normalize → out-sum → L∞-normalize), HUGEINT
+    * products mirroring the engine's DECIMAL(38,0), `//` ≡ DIV on
+    * these non-negative scores. */
+  private def hitsIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(h.h) AS s
+         |  FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST(coalesce((CAST(r.s AS HUGEINT) * 1000000)
+         |                         // (SELECT max(s) FROM ar$i), 0) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN ar$i r USING (node)),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(a.a) AS s
+         |  FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST(coalesce((CAST(r.s AS HUGEINT) * 1000000)
+         |                         // (SELECT max(s) FROM hr$i), 0) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN hr$i r USING (node))""".stripMargin
+    }.mkString(",\n")
+
+  /** [[Extensions.graphHits]]: 8 unrolled mutual updates over the
+    * quadratic-residue fixture; the edge list keeps the engine's
+    * induced-subgraph restriction (a dst residue absent from the node
+    * set would otherwise join the normalizing max). */
+  val graphHits: String = {
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id % 100 AS src,
+       |         ((doc_id % 100) * (doc_id % 100) + k) % 100 AS dst
+       |  FROM documents, (VALUES (1), (2), (3)) t(k)
+       |  WHERE ((doc_id % 100) * (doc_id % 100) + k) % 100
+       |          IN (SELECT DISTINCT doc_id % 100 FROM documents)),
+       |h0 AS (SELECT node, 1000000 AS h FROM nodes),
+       |${hitsIterCtes(8)}
+       |SELECT h8.node, CAST(h8.h AS BIGINT) AS hub_ppm,
+       |       CAST(a8.a AS BIGINT) AS auth_ppm
+       |FROM h8 JOIN a8 USING (node) ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphHitsVolume]]: the same 8 unrolled mutual
+    * updates over the volume edge synthesis (the dense 0..N−1 domain
+    * needs no induced restriction — every dst is a node). */
+  val graphHitsVolume: String = {
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_id AS src,
+       |         (doc_id * doc_id + k) % (SELECT count(*) FROM documents) AS dst
+       |  FROM documents,
+       |       (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10)) t(k)),
+       |h0 AS (SELECT node, 1000000 AS h FROM nodes),
+       |${hitsIterCtes(8)}
+       |SELECT h8.node, CAST(h8.h AS BIGINT) AS hub_ppm,
+       |       CAST(a8.a AS BIGINT) AS auth_ppm
+       |FROM h8 JOIN a8 USING (node) ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphPprVolume]]: [[graphPpr]]'s unrolled seed-gated
+    * iterations with the `% 997` seed conditional, over the volume
+    * edge synthesis. */
+  val graphPprVolume: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         (CASE WHEN n.node % 997 = 0
+         |               THEN 15000000000 // (100 * (SELECT count(*) FROM seeds)) ELSE 0 END)
+         |           + (85 * (coalesce(c.s, 0)
+         |                    + CASE WHEN n.node % 997 = 0
+         |                           THEN (SELECT coalesce(sum(d.rank_e9), 0) FROM r${i - 1} d
+         |                                 WHERE d.node NOT IN (SELECT src FROM deg))
+         |                                // (SELECT count(*) FROM seeds)
+         |                           ELSE 0 END)) // 100 AS rank_e9
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank_e9 // e.outdeg) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY 1) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $volumeEdgeCtes,
+       |seeds AS (SELECT node FROM nodes WHERE node % 997 = 0),
+       |deg AS (SELECT src, count(*) AS outdeg FROM raw GROUP BY 1),
+       |edges AS (SELECT r.src, r.dst, d.outdeg FROM raw r JOIN deg d USING (src)),
+       |r0 AS (SELECT node, CASE WHEN node % 997 = 0
+       |                         THEN 1000000000 // (SELECT count(*) FROM seeds)
+       |                         ELSE 0 END AS rank_e9
+       |       FROM nodes),
+       |$iters
+       |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphPagerankWeightedVolume]]:
+    * [[graphPagerankWeighted]]'s unrolled weighted iterations
+    * (`rank·w // W(src)`, deg = Σ out-weights) with the volume
+    * fixture's `dst % 5 + 1` weights. */
+  val graphPagerankWeightedVolume: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         15000000000 // (100 * (SELECT count(*) FROM nodes))
+         |           + (85 * (coalesce(c.s, 0)
+         |                    + (SELECT coalesce(sum(d.rank_e9), 0) FROM r${i - 1} d
+         |                       WHERE d.node NOT IN (SELECT src FROM deg))
+         |                      // (SELECT count(*) FROM nodes))) // 100 AS rank_e9
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank_e9 * e.w // e.outdeg) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY 1) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $volumeEdgeCtes,
+       |wraw AS (SELECT src, dst, dst % 5 + 1 AS w FROM raw),
+       |deg AS (SELECT src, sum(w) AS outdeg FROM wraw GROUP BY 1),
+       |edges AS (SELECT r.src, r.dst, r.w, d.outdeg FROM wraw r JOIN deg d USING (src)),
+       |r0 AS (SELECT node, 1000000000 // (SELECT count(*) FROM nodes) AS rank_e9
+       |       FROM nodes),
+       |$iters
+       |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r10 ORDER BY node""".stripMargin
+  }
+
   /** [[Extensions.graphCcVolume]]: [[graphCc]]'s 8 unrolled min-label
     * steps over the symmetrized volume edge list. */
   val graphCcVolume: String = {
@@ -6356,6 +6739,24 @@ object ExtensionOracles {
       |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
       |      FROM log WHERE k % 16 < 4)
       |SELECT k, seq, cents FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY k""".stripMargin
+
+  /** [[Extensions.cdcTimeTravel]]: the same integer midpoint as-of
+    * point, then [[cdcApply]]'s last-writer-wins SQL over the
+    * `seq ≤ S` prefix of the log — `//` ≡ the engine's truncating
+    * division on these non-negative sequence numbers. */
+  val cdcTimeTravel: String =
+    """WITH log AS (
+      |  SELECT o_orderkey % 5000 AS k, o_orderkey AS seq,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |s AS (SELECT (min(seq) + max(seq)) // 2 AS as_of FROM log),
+      |r AS (SELECT l.*, s.as_of,
+      |             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |      FROM log l, s WHERE l.seq <= s.as_of)
+      |SELECT k, seq, cents, CAST(as_of AS BIGINT) AS as_of_seq
+      |FROM r WHERE rn = 1 AND op <> 'D'
       |ORDER BY k""".stripMargin
 
   /** [[Extensions.graphCoaccess]]: the same dedup → per-bucket top-B
@@ -6765,6 +7166,19 @@ object ExtensionOracles {
       |FROM c WHERE date_diff('day', cohort_day, d) <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** [[Extensions.eventsStickiness]]: the same distinct user-day frame,
+    * the 7-value unnest standing in for the engine's bounded explode,
+    * and the integer ppm ratio (`//` ≡ DIV on these positive counts). */
+  val eventsStickiness: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1),
+      |w AS (SELECT DISTINCT user_id, d + k AS day
+      |      FROM ud, (VALUES (0), (1), (2), (3), (4), (5), (6)) t(k)),
+      |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+      |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+      |       CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_ppm
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   /** [[Extensions.textPmi]]: the shingle kernel's tokenizer (lower,
     * \s-class split, empty filter, short-doc rule), adjacent pairs by
     * 1-based index, and the identical DECIMAL/HUGEINT integer-division
@@ -6810,5 +7224,34 @@ object ExtensionOracles {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        |       CAST(sum(tf) AS BIGINT) AS sum_tf
        |FROM m GROUP BY doc_id HAVING count(*) = $n ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[Extensions.indexBm25Probe]]: the disjunctive BM25 top-20
+    * recomputed from RAW documents (never the stored index or its
+    * persisted stats) — the kernel tokenizer, the same term list, and
+    * both ppm rationals verbatim from [[textBm25]] (`//` ≡ Spark's DIV
+    * on these all-non-negative operands). Proves index build + stats
+    * persistence + bucket probe change nothing about the ranking. */
+  val indexBm25Probe: String = {
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    val terms = Extensions.InvIndexTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |           FROM documents),
+       |e AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+       |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM e GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tok FROM dl),
+       |m AS (SELECT * FROM tf WHERE term IN ($terms)),
+       |dfq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+       |c AS (SELECT m.doc_id,
+       |             (1000000 * (2 * (st.n_docs - dfq.df) + 1)) // (2 * dfq.df + 1) AS idf_ppm,
+       |             (1000000 * 22 * st.s_tok * m.tf)
+       |               // (10 * st.s_tok * m.tf + 3 * st.s_tok + 9 * dl.dl * st.n_docs) AS sat_ppm
+       |      FROM m JOIN dfq USING (term) JOIN dl USING (doc_id), st),
+       |sc AS (SELECT doc_id, CAST(sum((idf_ppm * sat_ppm) // 1000000) AS BIGINT) AS bm25_ppm,
+       |              count(*) AS n_terms FROM c GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (ORDER BY bm25_ppm DESC, doc_id ASC) AS rank FROM sc)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25_ppm, n_terms
+       |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
 }

@@ -345,12 +345,16 @@ object StreamingQueries {
   private val lshBatchStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def lshBatchStore(s: SparkSession, dir: String): String =
+  private[queries] def lshBatchStore(s: SparkSession, dir: String): String =
     lshBatchStores.computeIfAbsent(dir, _ => {
-      val root = Files.createTempDirectory("graft_lsh_ix").toString + "/ix"
+      val root = Files.createTempDirectory("graft_lsh_ix")
+      // registered for the same exit-time cleanup as the IVF / stored-
+      // layout roots — a batch index must not leak in /tmp across runs
+      Extensions.ivfTmpRoots.add(root)
+      val ix = root.toString + "/ix"
       graft.streaming.CorpusStream.lshIndexBatch(t(s, dir, "documents"))
-        .write.mode("overwrite").parquet(root)
-      root
+        .write.mode("overwrite").parquet(ix)
+      ix
     })
 
   def streamMinhash(s: SparkSession, dir: String): DataFrame = {

@@ -101,6 +101,27 @@ class MainSpec extends AnyFunSuite with SparkSpec {
     Main.run(List("query", "q5_groupby_agg", "/root/testdata/sf0.001"), spark)
   }
 
+  test("query --prepare builds every stored artifact; a stored probe then runs against it") {
+    val dir = "/root/testdata/sf0.001"
+    val built = graft.queries.Extensions.prepareStores(spark, dir)
+    assert(built.size == 10 && built.map(_._1).distinct.size == 10)
+    // each artifact location really exists on disk (bucketed tables are
+    // catalog names, not paths — assert via the catalog instead)
+    built.foreach { case (name, loc) =>
+      if (name.startsWith("bucketed_"))
+        assert(spark.catalog.tableExists(loc), s"$name table missing: $loc")
+      else
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(loc)),
+          s"$name store missing at $loc")
+    }
+    // the CLI path prints rather than returns; must not throw, and the
+    // second build is the computeIfAbsent no-op (same locations)
+    Main.run(List("query", "--prepare", dir), spark)
+    assert(graft.queries.Extensions.prepareStores(spark, dir) == built)
+    // a stored-probe query served from the prepared artifacts
+    Main.run(List("query", "index_bm25_probe", dir), spark)
+  }
+
   test("unknown subcommand and unknown query raise usage errors, not JVM exits") {
     intercept[IllegalArgumentException](Main.run(List("bogus"), spark))
     intercept[IllegalArgumentException](

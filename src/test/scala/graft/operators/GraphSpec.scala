@@ -716,6 +716,85 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(d.values.max <= 16L * 5L)                 // w <= 5 per hop
   }
 
+  private def runHits(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                      iters: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Graph.hitsPpm(edges.toDF("src", "dst"), nodes.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  /** Independent HITS in plain Double arithmetic with the same L∞
+    * normalization — no step mirroring of the engine's integer code. */
+  private def hitsExact(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                        iters: Int): Map[Long, (Double, Double)] = {
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      val ar = nodes.map(v => v -> edges.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      val am = ar.values.max
+      a = ar.map { case (k, v) => k -> v / am }
+      val hr = nodes.map(u => u -> edges.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+      val hm = hr.values.max
+      h = hr.map { case (k, v) => k -> v / hm }
+    }
+    nodes.map(n => n -> (h(n), a(n))).toMap
+  }
+
+  test("hits: star — the center is the unique max hub, leaves the max authorities") {
+    // 0 links to 1..4; nothing links back: 0 is a pure hub (auth 0),
+    // every leaf a pure equal authority (hub 0)
+    val r = runHits((1L to 4L).map(0L -> _), 0L to 4L, 5)
+    assert(r(0L) == (1000000L, 0L))
+    (1L to 4L).foreach(l => assert(r(l) == (0L, 1000000L)))
+  }
+
+  test("hits: L-infinity pin — every step's best hub and authority sit at exactly 1e6") {
+    val edges = Seq(0L -> 1L, 0L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 0L)
+    val r = runHits(edges, 0L to 3L, 7)
+    assert(r.values.map(_._1).max == 1000000L)
+    assert(r.values.map(_._2).max == 1000000L)
+  }
+
+  test("hits: co-citation asymmetry — the directory page out-scores an equally-linked content page as hub") {
+    // 0 and 1 both point at authorities 2,3; 0 additionally points at 4
+    // which 2,3 also endorse... keep it simple: 0 covers BOTH popular
+    // targets, 1 only one — 0 must be the stronger hub
+    val edges = Seq(0L -> 2L, 0L -> 3L, 1L -> 2L, 4L -> 2L, 4L -> 3L)
+    val r = runHits(edges, 0L to 4L, 6)
+    assert(r(0L)._1 > r(1L)._1)
+    assert(r(2L)._2 > r(3L)._2)   // 2 has three endorsers, 3 has two
+  }
+
+  test("hits: integer fixed point tracks independent double HITS within 2 ppm-per-mille on the declared fixture") {
+    val dom = (0L until 100L)
+    val edges = dom.flatMap(d => Seq(1L, 2L, 3L).map(k => d -> ((d * d + k) % 100)))
+      .distinct
+    val got = runHits(edges, dom, 8)
+    val exact = hitsExact(edges, dom, 8)
+    dom.foreach { n =>
+      val (hi, ai) = got(n)
+      val (hd, ad) = exact(n)
+      assert(math.abs(hi - math.round(hd * 1e6)) <= 2000,
+        s"hub($n): integer $hi vs exact ${math.round(hd * 1e6)}")
+      assert(math.abs(ai - math.round(ad * 1e6)) <= 2000,
+        s"auth($n): integer $ai vs exact ${math.round(ad * 1e6)}")
+    }
+  }
+
+  test("hits: edges leaving the node set are dropped (induced subgraph)") {
+    // 9 is not a node: 0→9 must not leak into 0's hub sum or the max
+    val withStray = Seq(0L -> 1L, 0L -> 9L, 2L -> 1L)
+    val induced = Seq(0L -> 1L, 2L -> 1L)
+    assert(runHits(withStray, 0L to 2L, 4) == runHits(induced, 0L to 2L, 4))
+  }
+
+  test("hits: empty induced edge list fails loudly, never divides by zero") {
+    val ex = intercept[IllegalArgumentException] {
+      runHits(Seq(5L -> 6L), 0L to 2L, 3)   // both endpoints outside
+    }
+    assert(ex.getMessage.contains("edgeless"))
+  }
+
   test("declared graph_pagerank query: 100 domains, outdeg 3, ranks ordered and mass-bounded") {
     val df = graft.queries.Extensions.graphPagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()

@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "text_tfidf",           // 1-row corpus-size aggregate (scalar-subquery shape)
     "text_pmi",             // 1-row N_uni x N_bi totals broadcast
     "text_bm25",            // 1-row corpus-stats aggregate (N, S) broadcast
-    "retrieve_hybrid")      // inherits text_bm25's 1-row stats broadcast
+    "retrieve_hybrid",      // inherits text_bm25's 1-row stats broadcast
+    "index_bm25_probe")     // 1-row PERSISTED stats read broadcast
 
   /** Queries allowed a BOUNDED number of SCALAR-BROADCAST BNLJs rather
     * than a blanket pass: graph_nf_hll unions one per-horizon delta
@@ -51,9 +52,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * is a leaked iteration join, not an intended one. */
   private val boundedScalarBnlj = Map(
     "graph_nf_hll"    -> 12,
-    "graph_clustering_volume" -> 1, // 1-row planted-count aggregate (gate)
     "dedup_simhash"   -> 2,  // 1-row recall-gate counts (n_found, n_planted)
     "dedup_embedding" -> 3)  // 1-row gate counts (n_found, n_stray, n_planted)
+
+  // an allowlist entry for a query that no longer exists would silently
+  // grant a future query of that name an unreviewed BNLJ allowance
+  test("every allowlist key names a declared query") {
+    val declared = graft.SparkEntry.queries.keySet
+    val dead = (intendedTinyBroadcast ++ boundedScalarBnlj.keySet) -- declared
+    assert(dead.isEmpty, s"dead allowlist entries: ${dead.mkString(", ")}")
+  }
 
   graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, no stray nested-loop join") {
@@ -327,6 +335,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.functions._
     val plain = graft.queries.Extensions.cdcApply(spark, dir)
       .filter(col("k") % 16 < 4).collect().toSeq
+    assert(df.collect().toSeq == plain)
+  }
+
+  test("cdc_time_travel: as-of filter prunes seq_era directories at the scan") {
+    val df = graft.SparkEntry.queries("cdc_time_travel")(spark, dir)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in cdc_time_travel plan"))
+    assert(scan.toString.contains("PartitionFilters: [") &&
+      scan.toString.contains("seq_era"),
+      s"seq_era not applied as a partition filter:\n${scan.toString.take(2000)}")
+    // the time dimension prunes: every era directory written after the
+    // as-of point vanishes from the listing (key buckets all survive —
+    // a snapshot spans the whole key domain)
+    import org.apache.spark.sql.functions._
+    val log = graft.streaming.CdcStream.changeLog(
+      graft.core.Tables.t(spark, dir, "orders"))
+    val env = log.agg(min(col("seq")).cast("long"), max(col("seq")).cast("long")).head()
+    val asOf = (env.getLong(0) + env.getLong(1)) / 2
+    val maxEra = asOf / 10000L
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    // partition schema order is (k_bucket, seq_era); inferred int
+    val eras = parts.map(_.values.getInt(1).toLong).distinct
+    assert(eras.nonEmpty && eras.forall(_ <= maxEra),
+      s"pruning must keep only seq_era <= $maxEra, listed: $eras")
+    // replay invariance: the as-of snapshot == the derived log filtered
+    // to seq <= S and compacted (time travel changes WHERE we cut the
+    // log, never the merge semantics)
+    val plain = log.filter(col("seq") <= asOf)
+      .groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("cents"))).as("m"))
+      .filter(col("m.op") =!= "D")
+      .select(col("k"), col("m.seq").as("seq"), col("m.cents").as("cents"),
+        lit(asOf).as("as_of_seq"))
+      .orderBy("k").collect().toSeq
     assert(df.collect().toSeq == plain)
   }
 
