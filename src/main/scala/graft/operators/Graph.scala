@@ -993,14 +993,21 @@ object Graph {
       expr(s"CAST((CAST(coalesce($raw, 0L) AS DECIMAL(38,0)) * $Scale) DIV $mx AS BIGINT)")
     var hub = nset.select(col("node"), lit(Scale).as("h")).localCheckpoint()
     var auth = nset.select(col("node"), lit(0L).as("a"))
-    for (_ <- 1 to iterations) {
+    // ONE checkpoint per mutual update, on the hub side only: auth
+    // stays lazy inside hub's lineage (its shuffle exchanges are
+    // reused, not recomputed — ReuseExchange dedups the identical
+    // aRaw subtree between the max aggregate and the join side), so a
+    // step costs one materialization job, not two; only the LAST
+    // auth is checkpointed, for the final join. Halves the per-step
+    // fixed job overhead on overhead-dominated graphs.
+    for (i <- 1 to iterations) {
       val aRaw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
       val aMax = aRaw.agg(max(col("ar")).as("amax"))
       auth = nset.join(aRaw, col("node") === col("dst"), "left")
         .crossJoin(broadcast(aMax))
         .select(col("node"), normExpr("ar", "amax").as("a"))
-        .localCheckpoint()
+      if (i == iterations) auth = auth.localCheckpoint()
       val hRaw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
       val hMax = hRaw.agg(max(col("hr")).as("hmax"))

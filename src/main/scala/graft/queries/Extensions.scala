@@ -3971,10 +3971,17 @@ object Extensions {
       val root = java.nio.file.Files.createTempDirectory("graft_inv_q")
       ivfTmpRoots.add(root)
       val st = root.toString + "/postings"
+      // POSITIONAL postings (round 20): the sorted 0-based position
+      // list rides as one more parquet column — phrase probes read it,
+      // boolean/BM25 probes never do (columnar pruning makes a
+      // positional index cost nothing to non-positional queries, the
+      // Lucene-with-positions trade without a second artifact)
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.Sketches.wordShingles(col("text"), 1)).as("term"))
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), posexplode(
+          graft.functions.Sketches.wordShingles(col("text"), 1)).as(Seq("pos", "term")))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
         .withColumn("tbucket", pmod(crc32(col("term")), lit(InvIndexBuckets.toLong)))
         .repartition(col("tbucket"))  // cluster each bucket, not 64 slivers per task
         .write.partitionBy("tbucket").mode("overwrite").parquet(st)
@@ -4062,6 +4069,10 @@ object Extensions {
     val cand = s.read.parquet(store)
       .filter(col("tbucket").isin(buckets: _*) &&
         col("term").isin(InvIndexTerms: _*))
+      // explicit projection BEFORE the checkpoint: a checkpoint
+      // materializes whatever it is handed, so without this the probe
+      // would persist the positions arrays it never reads
+      .select(col("term"), col("doc_id"), col("tf"))
       .localCheckpoint()   // two consumers: df counts + the scored join
     val dfq = cand.groupBy("term").agg(count(lit(1)).as("df"))
     cand.join(broadcast(dfq), "term")
@@ -4082,6 +4093,107 @@ object Extensions {
         (-col("sel.nid")).as("doc_id"), col("sel.bm25_ppm").as("bm25_ppm"),
         col("sel.n_terms").as("n_terms"))
       .orderBy("rank")
+  }
+
+  /** The fixed 2-term phrase the positional probe answers — chosen for
+    * cross-SF presence WITH within-document repeats (n_occ > n_docs),
+    * so the occurrence count is genuinely exercised. */
+  private[graft] val PhraseTerms = Seq("window", "join")
+
+  /** Exact phrase search over the STORED positional inverted index —
+    * the adjacency query a boolean or BM25 probe cannot answer
+    * ("window join" as a phrase, not two terms anywhere): each
+    * posting's sorted 0-based position list rides beside (term,
+    * doc_id, tf) in the same parquet ([[invStore]]), and the phrase
+    * match is pure position arithmetic — doc matches where
+    * positions(w1) ∩ (positions(w2) − 1) ≠ ∅, n_occ the intersection
+    * size, first_pos its minimum. Shape at scale: the probe reaches
+    * the scan as a STATIC partition filter (≤ 2 of 64 directories),
+    * the two term slices equi-join on doc_id (skinny frames — a
+    * term's postings, never the corpus), and the position arrays
+    * stream through one codegen'd projection; non-phrase probes of
+    * the SAME store never read the positions column (columnar
+    * pruning), so the positional upgrade is free for them.
+    * Oracle-checked from RAW documents: DuckDB re-tokenizes and
+    * counts adjacent (w1, w2) bigram hits per doc — stored-positions
+    * probe ≡ raw adjacency scan in one hash. */
+  def indexPhraseProbe(s: SparkSession, dir: String): DataFrame = {
+    val store = invStore(s, dir)
+    val buckets = invBuckets(PhraseTerms)
+    val post = s.read.parquet(store)
+      .filter(col("tbucket").isin(buckets: _*) &&
+        col("term").isin(PhraseTerms: _*))
+    val a = post.filter(col("term") === PhraseTerms(0))
+      .select(col("doc_id"), col("positions").as("p1"))
+    val b = post.filter(col("term") === PhraseTerms(1))
+      .select(col("doc_id"), col("positions").as("p2"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"),
+        expr("array_intersect(p1, transform(p2, x -> x - 1))").as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"), size(col("hits")).cast("long").as("n_occ"),
+        array_min(col("hits")).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Data-quality expectation suite — the publish gate (Deequ /
+    * Great-Expectations primitive) a warehouse runs before a batch
+    * goes live, and the proper form of the reference's conform loop's
+    * sanity checks: declared per-table expectations (PK uniqueness,
+    * not-null, value/date ranges, row-count floor) evaluated as ONE
+    * aggregate pass per table, emitted as one row per check with the
+    * observed value, the declared [lo, hi] envelope, and an `ok` bit.
+    * All-integer observables (cents, epoch days, counts) so the gate
+    * is engine-portable. Shape at scale: one scan + one agg per table
+    * computes every metric (the checks unpivot from a 1-row frame —
+    * no per-check passes); the PK check's exact countDistinct is the
+    * one Expand in the plan, the strict variant a publish gate wants
+    * (the always-cheap alternative is events_hll_daily's sketch
+    * distinct, at ±2% — use it past the point where the PK column's
+    * shuffle hurts). A failing expectation emits ok = 0 rather than
+    * throwing: the gate's consumer decides whether to block the
+    * publish — and the oracle pins all 12 rows, so a silently
+    * shifting observable hash-fails the driver gate. */
+  def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    val MaxL = Long.MaxValue
+    val o = t(s, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("nd"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nnull"),
+      round(min(col("o_totalprice")) * 100).cast("long").as("minc"),
+      round(max(col("o_totalprice")) * 100).cast("long").as("maxc"),
+      datediff(to_date(min(col("o_orderdate"))), lit("1970-01-01")).cast("long").as("mind"),
+      datediff(to_date(max(col("o_orderdate"))), lit("1970-01-01")).cast("long").as("maxd"))
+    val l = t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nnull"),
+      min(col("l_quantity")).cast("long").as("minq"),
+      max(col("l_quantity")).cast("long").as("maxq"),
+      round(max(col("l_discount")) * 100).cast("long").as("maxdisc"))
+    def checks(df: DataFrame, tbl: String,
+               items: Seq[(String, Column, Long, Long)]): DataFrame =
+      df.select(explode(array(items.map { case (chk, obs, lo, hi) =>
+          struct(lit(tbl).as("tbl"), lit(chk).as("chk"),
+            obs.cast("long").as("observed"), lit(lo).as("lo"), lit(hi).as("hi"))
+        }: _*)).as("c"))
+        .select(col("c.*"))
+    checks(o, "orders", Seq(
+        ("row_count_positive", col("n"), 1L, MaxL),
+        ("pk_dup_count", col("n") - col("nd"), 0L, 0L),
+        ("custkey_null_count", col("nnull"), 0L, 0L),
+        ("totalprice_min_cents", col("minc"), 100000L, 50000000L),
+        ("totalprice_max_cents", col("maxc"), 100000L, 50000000L),
+        ("orderdate_min_epochday", col("mind"), 9131L, 11687L),
+        ("orderdate_max_epochday", col("maxd"), 9131L, 11687L)))
+      .unionByName(checks(l, "lineitem", Seq(
+        ("row_count_positive", col("n"), 1L, MaxL),
+        ("orderkey_null_count", col("nnull"), 0L, 0L),
+        ("quantity_min", col("minq"), 1L, 50L),
+        ("quantity_max", col("maxq"), 1L, 50L),
+        ("discount_max_pct", col("maxdisc"), 0L, 10L))))
+      .withColumn("ok",
+        when(col("observed").between(col("lo"), col("hi")), 1L).otherwise(0L))
+      .orderBy("tbl", "chk")
   }
 
   /** Build every per-source-dir stored artifact ONCE — the operational
@@ -7253,5 +7365,57 @@ object ExtensionOracles {
        |r AS (SELECT *, row_number() OVER (ORDER BY bm25_ppm DESC, doc_id ASC) AS rank FROM sc)
        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25_ppm, n_terms
        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
+  /** [[Extensions.dqExpectations]]: the same two single-pass metric
+    * aggregates, unpivoted as a UNION ALL of check rows with the
+    * declared envelopes inlined. */
+  val dqExpectations: String =
+    """WITH o AS (SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd,
+      |                  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nnull,
+      |                  CAST(round(min(o_totalprice) * 100) AS BIGINT) AS minc,
+      |                  CAST(round(max(o_totalprice) * 100) AS BIGINT) AS maxc,
+      |                  date_diff('day', DATE '1970-01-01', CAST(min(o_orderdate) AS DATE)) AS mind,
+      |                  date_diff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE)) AS maxd
+      |           FROM orders),
+      |l AS (SELECT count(*) AS n,
+      |             sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nnull,
+      |             CAST(min(l_quantity) AS BIGINT) AS minq,
+      |             CAST(max(l_quantity) AS BIGINT) AS maxq,
+      |             CAST(round(max(l_discount) * 100) AS BIGINT) AS maxdisc
+      |      FROM lineitem),
+      |c AS (
+      |  SELECT 'orders' AS tbl, 'row_count_positive' AS chk, CAST(n AS BIGINT) AS observed,
+      |         CAST(1 AS BIGINT) AS lo, CAST(9223372036854775807 AS BIGINT) AS hi FROM o
+      |  UNION ALL SELECT 'orders', 'pk_dup_count', CAST(n - nd AS BIGINT), 0, 0 FROM o
+      |  UNION ALL SELECT 'orders', 'custkey_null_count', CAST(nnull AS BIGINT), 0, 0 FROM o
+      |  UNION ALL SELECT 'orders', 'totalprice_min_cents', minc, 100000, 50000000 FROM o
+      |  UNION ALL SELECT 'orders', 'totalprice_max_cents', maxc, 100000, 50000000 FROM o
+      |  UNION ALL SELECT 'orders', 'orderdate_min_epochday', CAST(mind AS BIGINT), 9131, 11687 FROM o
+      |  UNION ALL SELECT 'orders', 'orderdate_max_epochday', CAST(maxd AS BIGINT), 9131, 11687 FROM o
+      |  UNION ALL SELECT 'lineitem', 'row_count_positive', CAST(n AS BIGINT), 1, 9223372036854775807 FROM l
+      |  UNION ALL SELECT 'lineitem', 'orderkey_null_count', CAST(nnull AS BIGINT), 0, 0 FROM l
+      |  UNION ALL SELECT 'lineitem', 'quantity_min', minq, 1, 50 FROM l
+      |  UNION ALL SELECT 'lineitem', 'quantity_max', maxq, 1, 50 FROM l
+      |  UNION ALL SELECT 'lineitem', 'discount_max_pct', maxdisc, 0, 10 FROM l)
+      |SELECT tbl, chk, observed, lo, hi,
+      |       CAST(CASE WHEN observed BETWEEN lo AND hi THEN 1 ELSE 0 END AS BIGINT) AS ok
+      |FROM c ORDER BY tbl, chk""".stripMargin
+
+  /** [[Extensions.indexPhraseProbe]]: adjacency recomputed from RAW
+    * documents — the kernel tokenizer, then every 1-based bigram
+    * index i with tk[i] = w1 ∧ tk[i+1] = w2; the phrase's 0-based
+    * start is i − 1. Proves the stored positional probe equals a raw
+    * adjacency scan. */
+  val indexPhraseProbe: String = {
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    val Seq(w1, w2) = Extensions.PhraseTerms
+    s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |           FROM documents),
+       |m AS (SELECT doc_id, i FROM d, UNNEST(range(1, len(tk))) AS s(i)
+       |      WHERE tk[i] = '$w1' AND tk[i + 1] = '$w2')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+       |       CAST(min(i) - 1 AS BIGINT) AS first_pos
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

@@ -229,6 +229,30 @@ object StreamingQueries {
       .orderBy("day")
   }
 
+  /** Streaming cohort retention ([[graft.streaming.EtlStream
+    * .userCalendar]]): the per-user day-set/first-seen state drained
+    * complete, then the triangle (cohort_day, day_offset ≤ 7, n_users)
+    * computed batch-side from the calendars — days are distinct per
+    * user by state construction, so the count needs no distinct. Staged
+    * at copies = 2 so every event is re-delivered in a LATER
+    * micro-batch: the chained dedup + set-union/min state must absorb
+    * the replay bit-for-bit, and the gate proving it is that the drain
+    * equals the batch [[Extensions.eventsRetention]] — whose oracle
+    * this query shares VERBATIM (the stream_funnel ≡ q29 pattern). */
+  def streamRetention(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_retention_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 2)(
+      graft.streaming.EtlStream.userCalendar(s, _, name))
+    drained(s, name)
+      .select(col("cohort_day"), explode(col("days")).as("d"))
+      .select(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_window_${System.nanoTime()}"
     drainStaged(s, dir, copies = 1)(

@@ -192,6 +192,31 @@ object EtlStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming per-user activity calendar — the ingest-time state
+    * behind cohort retention: each micro-batch folds its (user, day)
+    * arrivals into a per-user day SET plus the running first-seen day
+    * (both order-independent — min and set-union commute with any
+    * arrival split), with `dropDuplicates(user_id, d)` chained ahead
+    * so re-delivered events never touch the agg (the dedup-then-
+    * aggregate chained-stateful shape [[hllDaily]] proves). Complete
+    * mode: the drained table is each user's full calendar, from which
+    * the retention triangle is pure batch arithmetic. State is
+    * bounded by active user-days; the unbounded deployment caps the
+    * horizon with `dropDuplicatesWithinWatermark` + a bounded offset
+    * window, which truncates exactly the triangle rows a dashboard
+    * ages out anyway. */
+  def userCalendar(spark: SparkSession, eventsDir: String,
+                   outputTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.core.Tables.eventStream(spark, eventsDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .dropDuplicates("user_id", "d")
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_day"), collect_set(col("d")).as("days"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(outputTable)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** [[eventWindowCounts]]' unbounded-stream twin: APPEND mode with
     * watermark eviction — each (day, type) group emits exactly once
     * when the watermark passes the day's end and leaves the state

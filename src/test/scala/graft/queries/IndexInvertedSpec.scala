@@ -32,6 +32,55 @@ class IndexInvertedSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("phrase probe matches a direct adjacency scan (positional-index invariance)") {
+    val got = Extensions.indexPhraseProbe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val Seq(w1, w2) = Extensions.PhraseTerms
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val tk = r.getString(1).toLowerCase.split("[ \\t\\n\\x0B\\f\\r]+")
+          .filter(_.nonEmpty)
+        val hits = tk.indices.dropRight(1)
+          .filter(i => tk(i) == w1 && tk(i + 1) == w2)
+        if (hits.isEmpty) None
+        else Some((r.getLong(0), hits.length.toLong, hits.min.toLong))
+      }.sortBy(_._1).toSeq
+
+    assert(got.nonEmpty, "phrase probe found no matches on the fixture")
+    assert(got == want)
+  }
+
+  test("phrase probe prunes partitions; non-phrase probes never read the positions column") {
+    val plan = Extensions.indexPhraseProbe(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [tbucket"),
+      s"phrase bucket set not pushed as a partition filter:\n${plan.take(3000)}")
+    // the positional upgrade must cost the boolean/BM25 probes nothing:
+    // their scans' ReadSchema must exclude the positions column.
+    // index_inverted_stored's scan is visible in its final plan;
+    // index_bm25_probe's sits behind a localCheckpoint (the text_tfidf
+    // situation), so its PRE-checkpoint projection — the exact frame
+    // the query checkpoints — is asserted instead
+    val store = Extensions.invStorePath(spark, dir)
+    val conjScans = Extensions.indexInvertedStored(spark, dir)
+      .queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .filter(_.toString.contains("tbucket"))
+    assert(conjScans.nonEmpty, "no postings scan in the conjunctive plan")
+    conjScans.foreach(sc => assert(!sc.toString.contains("positions"),
+      s"conjunctive probe reads positions:\n${sc.toString.take(2000)}"))
+    val bm25Pre = spark.read.parquet(store)
+      .filter(col("term").isin(Extensions.InvIndexTerms: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+    val bm25Scan = bm25Pre.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no scan in the bm25 candidate projection"))
+    assert(!bm25Scan.toString.contains("positions"),
+      s"bm25 candidate projection reads positions:\n${bm25Scan.toString.take(2000)}")
+  }
+
   test("probe buckets reach the scan as a static partition filter") {
     val probe = Extensions.indexInvertedStored(spark, dir)
     val plan = probe.queryExecution.executedPlan.toString

@@ -131,7 +131,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
                                                      // the media sweep must
                                                      // never scan the payload
     ("mm_image_phash", "text", "doc_id"),            // documents: id only
-    ("mm_audio_fp", "text", "doc_id"))               // documents: id only
+    ("mm_audio_fp", "text", "doc_id"),               // documents: id only
+    ("index_phrase_probe", "tf", "positions"),       // postings: positions, never tf
+    ("dq_expectations", "o_orderstatus", "o_custkey"))  // orders: 4 metric cols only
     // (q33_graph_walk's scans sit inside the recursive-CTE loop nodes,
     //  which don't surface a ReadSchema line in the printed plan)
     // (text_familiarity's and corpus_incremental's shingle scans sit
