@@ -280,7 +280,7 @@ object Graph {
     * (degree, wedge self-join, closing-edge semi-join) + the final
     * explode/count, all on compact (long, long) keys. */
   /** Canonical undirected simple edge set (a < b), induced on `nset`. */
-  private def canonicalUndirected(edges: DataFrame, nset: DataFrame): DataFrame =
+  private[graft] def canonicalUndirected(edges: DataFrame, nset: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
       .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
@@ -289,7 +289,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .distinct().localCheckpoint()
 
-  private def undirectedDegree(und: DataFrame): DataFrame =
+  private[graft] def undirectedDegree(und: DataFrame): DataFrame =
     und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
 
@@ -978,6 +978,57 @@ object Graph {
     * edge guard follow the chassis conventions (an empty edge list
     * would put a 0 in the normalizing divisor — reject it, never
     * divide). Returns (node, hub_ppm, auth_ppm). */
+  /** Newman modularity of a community labeling, exact integer ppm —
+    * the quality measure that closes the community family: LPA/CC
+    * ASSIGN communities, this SCORES the assignment, the number a
+    * curation pipeline thresholds before trusting mirror-clusters.
+    * Over the canonical undirected simple closure with m edges,
+    * per-community intra-edge count e_c and degree sum d_c,
+    * {{{ Q = Σ_c (e_c/m − (d_c/2m)²) = (Σ_c (4·m·e_c − d_c²)) / (4m²) }}}
+    * cleared to the integer rational `q_ppm = 10⁶·num div (4m²)`
+    * computed in arbitrary-precision DRIVER arithmetic over two
+    * bounded scalars (10⁶·num overflows i64 past m ≈ 3·10⁴ — BigInt
+    * sidesteps the whole envelope; the oracle's HUGEINT mirrors it).
+    * `num ≥ 0` is REQUIRED loudly: Spark's DIV truncates toward zero
+    * while SQL `//` floors, so a negative-modularity labeling would
+    * silently diverge engines by one ulp instead of failing.
+    * Returns one row per community (label, n_nodes, intra_edges,
+    * degree_sum) with the global q_ppm attached — per-community
+    * metrics are two hash aggregates over the edge list (map-side
+    * combine under degree skew), never an all-pairs form. */
+  def modularityPpm(edges: DataFrame, nodes: DataFrame,
+                    labels: DataFrame): DataFrame = {
+    val nset = nodes.select(col("node"))
+    val und = canonicalUndirected(edges, nset)
+    val la = labels.select(col("node").as("a"), col("label").as("l_a"))
+    val lb = labels.select(col("node").as("b"), col("label").as("l_b"))
+    val intra = und.join(la, "a").join(lb, "b")
+      .filter(col("l_a") === col("l_b"))
+      .groupBy(col("l_a").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val comm = labels
+      .join(undirectedDegree(und), labels("node") === col("n"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("d")), lit(0L)).as("degree_sum"))
+      .join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"))
+      .localCheckpoint()   // two consumers: the rows + the global total
+    val m = und.count()
+    require(m > 0, "modularityPpm: empty undirected edge set — Q undefined")
+    // DECIMAL(38,0) sums: d_c² ≤ 4m² wraps i64 past m ≈ 1.5·10⁹ edges
+    val num = BigInt(comm.agg((sum(col("intra_edges").cast("decimal(38,0)")) * 4L * m -
+        sum(col("degree_sum").cast("decimal(38,0)") * col("degree_sum"))).as("num"))
+      .head().getDecimal(0).toBigInteger)
+    require(num >= 0,
+      s"modularityPpm: negative modularity numerator $num — truncating " +
+        "DIV and flooring // disagree below zero; use a floor division " +
+        "on both sides before scoring anti-community labelings")
+    val qPpm = (BigInt(1000000) * num / (BigInt(4) * m * m)).toLong
+    comm.withColumn("q_ppm", lit(qPpm)).orderBy("label")
+  }
+
   def hitsPpm(edges: DataFrame, nodes: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "HITS needs at least one mutual update")
     val Scale = 1000000L

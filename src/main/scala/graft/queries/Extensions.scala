@@ -3557,6 +3557,30 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** Community-quality scoring over the [[graphLpa]] assignment
+    * ([[graft.operators.Graph.modularityPpm]]): Newman modularity in
+    * exact integer ppm — LPA assigns, this SCORES, the measure that
+    * decides whether detected mirror-clusters are real structure or
+    * noise (blocks-of-10 with sparse bridges score high; a random
+    * labeling near zero). Runs the REAL 8-step LPA in-query, then two
+    * hash aggregates over the canonical undirected closure; the
+    * oracle replays the same unrolled LPA steps and the same integer
+    * rational, so assignment AND measure land in one hash. */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 10 < 9 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val skip = nodes.filter(col("node") % 10 < 8 && col("node") < 98)
+      .select(col("node").as("src"), (col("node") + 2).as("dst"))
+    val bridges = nodes.filter(col("node") % 10 === 5 && col("node") < 90)
+      .select(col("node").as("src"), (col("node") + 10).as("dst"))
+    val edges = chain.unionByName(skip).unionByName(bridges)
+    val labels = graft.operators.Graph.labelPropagationMinTie(
+      edges, nodes, iterations = 8)
+    graft.operators.Graph.modularityPpm(edges, nodes, labels)
+  }
+
   /** Exact k-NN graph over the embedding table — the all-pairs
     * construction semantic-dedup clustering and diversity sampling
     * start from: each probe vector (every 10th `vec_id`, the bounded
@@ -3745,6 +3769,69 @@ object Extensions {
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy(col("custkey"), col("valid_from"), col("priority"),
         col("valid_to").asc_nulls_first)
+
+  /** INCREMENTAL SCD2 maintenance — the nightly dimension-update
+    * operator ([[scd2History]] builds from scratch; a warehouse never
+    * re-reads years of history to absorb a day of changes): the
+    * change stream is split at a cut date (the epoch-day midpoint,
+    * one bounded driver scalar from parquet footer stats — the
+    * [[cdcTimeTravel]] convention), the OLD half folded to the
+    * existing history table (localCheckpointed — the stored
+    * dimension stand-in, built once, read twice), and the DELTA batch
+    * merged in: per-key change detection over the delta SEEDED with
+    * each key's current attribute (the first delta row compares
+    * against the open interval, not against nothing — the boundary
+    * condition that makes incremental equal full), each key's open
+    * interval closed at its first delta change, new intervals
+    * appended with the last left open. Per-key windows in one
+    * exchange over the DELTA only + an equi-join to the current rows
+    * — cost tracks the batch, never the history. The gate is the
+    * whole point: the result shares [[scd2History]]'s full-rebuild
+    * oracle VERBATIM, so the driver hash certifies
+    * merge(H_old, delta) ≡ rebuild(all) — the associativity a
+    * lakehouse dimension pipeline silently relies on. */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+      col("o_orderpriority").as("priority"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("id"))
+    val env = o.agg(
+      datediff(to_date(min(col("ts"))), lit("1970-01-01")).cast("long"),
+      datediff(to_date(max(col("ts"))), lit("1970-01-01")).cast("long")).head()
+    val cutDay = (env.getLong(0) + env.getLong(1)) / 2
+    val isOld = datediff(to_date(col("ts")), lit("1970-01-01")) < cutDay
+    val hOld = graft.operators.Temporal.scd2History(
+        o.filter(isOld), "custkey", "priority", "ts", "id")
+      .localCheckpoint()
+    val cur = hOld.filter(col("is_current"))
+      .select(col("custkey"), col("priority").as("cur_priority"))
+    val w = Window.partitionBy("custkey").orderBy("ts", "id")
+    // seeded change detection: lag within the delta, the current
+    // attribute as the phantom row 0 (null for brand-new keys)
+    val changes = o.filter(!isOld)
+      .join(cur, Seq("custkey"), "left")
+      .withColumn("prev",
+        coalesce(lag(col("priority"), 1).over(w), col("cur_priority")))
+      .filter(col("prev").isNull || col("prev") =!= col("priority"))
+    val newIv = changes
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("custkey"), col("priority"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .localCheckpoint()   // two consumers: rows + the close-at frame
+    val firstChange = newIv.groupBy("custkey")
+      .agg(min(col("valid_from")).as("close_at"))
+    val curMerged = hOld.filter(col("is_current"))
+      .join(firstChange, Seq("custkey"), "left")
+      .select(col("custkey"), col("priority"), col("valid_from"),
+        col("close_at").as("valid_to"), col("close_at").isNull.as("is_current"))
+    hOld.filter(!col("is_current"))
+      .select(col("custkey"), col("priority"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .unionByName(curMerged)
+      .unionByName(newIv)
+      .orderBy(col("custkey"), col("valid_from"), col("priority"),
+        col("valid_to").asc_nulls_first)
+  }
 
   /** Robust per-entity outlier census — median/MAD flagging in EXACT
     * integer cents (the data-quality sweep an event pipeline runs
@@ -6969,6 +7056,50 @@ object ExtensionOracles {
        |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
        |$steps
        |SELECT node, CAST(label AS BIGINT) AS label FROM l8 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphModularity]]: [[graphLpa]]'s 8 unrolled
+    * vote/argmax steps verbatim, then the per-community metrics and
+    * the integer modularity rational over the same und/sym closure —
+    * HUGEINT sums mirror the engine's DECIMAL(38,0)/BigInt, `//` ≡
+    * the guarded-non-negative driver division. */
+  val graphModularity: String = {
+    val steps = lpaSteps(8)
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |raw AS (
+       |  SELECT node AS src, node + 1 AS dst FROM nodes
+       |  WHERE node % 10 < 9 AND node < 99
+       |  UNION ALL
+       |  SELECT node, node + 2 FROM nodes WHERE node % 10 < 8 AND node < 98
+       |  UNION ALL
+       |  SELECT node, node + 10 FROM nodes WHERE node % 10 = 5 AND node < 90),
+       |und AS (SELECT DISTINCT least(r.src, r.dst) AS a, greatest(r.src, r.dst) AS b
+       |        FROM raw r JOIN nodes n ON r.dst = n.node
+       |        WHERE r.src <> r.dst),
+       |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+       |$steps,
+       |deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1),
+       |intra AS (SELECT la.label, count(*) AS e_c
+       |          FROM und JOIN l8 la ON und.a = la.node
+       |                   JOIN l8 lb ON und.b = lb.node
+       |          WHERE la.label = lb.label GROUP BY 1),
+       |mm AS (SELECT count(*) AS m FROM und),
+       |comm AS (SELECT l.label, count(*) AS n_nodes,
+       |                CAST(coalesce(sum(d.d), 0) AS BIGINT) AS degree_sum
+       |         FROM l8 l LEFT JOIN deg d USING (node) GROUP BY 1),
+       |t AS (SELECT c.label, c.n_nodes,
+       |             CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+       |             c.degree_sum
+       |      FROM comm c LEFT JOIN intra i USING (label)),
+       |tot AS (SELECT CAST(sum(intra_edges) AS HUGEINT) * 4 * mm.m
+       |               - CAST(sum(CAST(degree_sum AS HUGEINT) * degree_sum) AS HUGEINT) AS num,
+       |               mm.m AS m
+       |        FROM t, mm GROUP BY mm.m)
+       |SELECT CAST(t.label AS BIGINT) AS label,
+       |       CAST(t.n_nodes AS BIGINT) AS n_nodes, t.intra_edges, t.degree_sum,
+       |       CAST((1000000 * tot.num) // (4 * tot.m * tot.m) AS BIGINT) AS q_ppm
+       |FROM t, tot ORDER BY label""".stripMargin
   }
 
   /** [[Extensions.graphKcoreVolume]]: the same 8 unrolled h-index

@@ -805,4 +805,63 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     // the d²+k quadratic-residue spread must differentiate the ranks
     assert(rows.map(_.getLong(1)).distinct.length > 10)
   }
+
+  private def runModularity(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                            labels: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Graph.modularityPpm(edges.toDF("src", "dst"), nodes.toDF("node"),
+      labels.toDF("node", "label")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+  }
+
+  test("modularity: two bridged triangles, perfect labeling — closed form 70/196") {
+    // triangles {0,1,2} and {3,4,5}, bridge 2–3; m=7, e_c=3, d_c=7 each
+    // num = 2·(4·7·3 − 49) = 70; q_ppm = 70e6 div 196 = 357142
+    val edges = Seq(0L -> 1L, 0L -> 2L, 1L -> 2L,
+      3L -> 4L, 3L -> 5L, 4L -> 5L, 2L -> 3L)
+    val labels = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    val got = runModularity(edges, 0L to 5L, labels)
+    assert(got.toSeq == Seq((0L, 3L, 3L, 7L, 357142L), (1L, 3L, 3L, 7L, 357142L)))
+  }
+
+  test("modularity: the all-one-community labeling scores exactly zero") {
+    // e_c = m and d_c = 2m make the numerator 4m·m − (2m)² = 0 identically
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L)
+    val got = runModularity(edges, 0L to 3L, (0L to 3L).map(_ -> 9L))
+    assert(got.toSeq == Seq((9L, 4L, 4L, 8L, 0L)))
+  }
+
+  test("modularity: duplicate/reversed raw edges collapse to the simple closure") {
+    // same triangle stated 3 ways — m must stay 3, not 9
+    val edges = Seq(0L -> 1L, 1L -> 0L, 0L -> 1L, 1L -> 2L, 2L -> 1L, 2L -> 0L)
+    val got = runModularity(edges, 0L to 2L, (0L to 2L).map(_ -> 0L))
+    assert(got.toSeq == Seq((0L, 3L, 3L, 6L, 0L)))
+  }
+
+  test("modularity: anti-community labeling (negative numerator) fails loudly") {
+    // 4-cycle with alternating labels: zero intra edges, num = −32
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L)
+    val labels = Seq(0L -> 0L, 2L -> 0L, 1L -> 1L, 3L -> 1L)
+    val ex = intercept[IllegalArgumentException] {
+      runModularity(edges, 0L to 3L, labels)
+    }
+    assert(ex.getMessage.contains("negative modularity"))
+  }
+
+  test("modularity: empty induced edge set fails loudly, never divides by zero") {
+    val ex = intercept[IllegalArgumentException] {
+      runModularity(Seq(7L -> 8L), 0L to 2L, (0L to 2L).map(_ -> 0L))
+    }
+    assert(ex.getMessage.contains("empty undirected edge set"))
+  }
+
+  test("declared graph_modularity query: bridged blocks-of-10 score high, labels cover all nodes") {
+    val rows = graft.queries.Extensions
+      .graphModularity(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getLong(1)).sum == 100L)      // n_nodes partitions the 100 nodes
+    val q = rows.map(_.getLong(4)).distinct
+    assert(q.length == 1 && q.head > 700000L,        // strong community structure
+      s"blocks-of-10 modularity should exceed 0.7, got ${q.head} ppm")
+  }
 }
