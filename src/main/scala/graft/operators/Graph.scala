@@ -1029,6 +1029,59 @@ object Graph {
     comm.withColumn("q_ppm", lit(qPpm)).orderBy("label")
   }
 
+  /** Per-community conductance in exact integer ppm — modularity's
+    * complement ([[modularityPpm]] scores the whole labeling; THIS
+    * localizes the verdict, the per-cluster cut quality a curation
+    * pipeline thresholds to keep tight mirror-clusters and discard
+    * porous ones). Over the canonical undirected simple closure with
+    * m edges, per-community cut count (edges with exactly one endpoint
+    * inside) and volume d_c (degree sum),
+    * {{{ φ(c) = cut_c / min(d_c, 2m − d_c) }}}
+    * cleared to `phi_ppm = 10⁶·cut_c div min(d_c, 2m − d_c)` in
+    * DECIMAL(38,0) (10⁶·cut wraps i64 past m ≈ 4.6·10¹²; both engines
+    * divide non-negative operands, where DIV ≡ floor). The divisor is
+    * REQUIRED positive loudly for every community: a zero means an
+    * edgeless community (φ undefined) or the all-one-community
+    * labeling (2m − d_c = 0) — fail, never divide. Each cut edge
+    * counts toward BOTH endpoint communities (the standard per-cluster
+    * definition). Shape: two hash aggregates over the labeled edge
+    * list (map-side combine under skew), never all-pairs. Returns
+    * (label, n_nodes, cut_edges, degree_sum, phi_ppm). */
+  def conductancePpm(edges: DataFrame, nodes: DataFrame,
+                     labels: DataFrame): DataFrame = {
+    val nset = nodes.select(col("node"))
+    val und = canonicalUndirected(edges, nset)
+    val la = labels.select(col("node").as("a"), col("label").as("l_a"))
+    val lb = labels.select(col("node").as("b"), col("label").as("l_b"))
+    val cut = und.join(la, "a").join(lb, "b")
+      .filter(col("l_a") =!= col("l_b"))
+      .select(explode(array(col("l_a"), col("l_b"))).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("cut_edges"))
+    val m = und.count()
+    require(m > 0, "conductancePpm: empty undirected edge set — φ undefined")
+    val comm = labels
+      .join(undirectedDegree(und), labels("node") === col("n"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("d")), lit(0L)).as("degree_sum"))
+      .join(cut, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        col("degree_sum"),
+        least(col("degree_sum"), lit(2L * m) - col("degree_sum")).as("den"))
+      .localCheckpoint()   // two consumers: the divisor guard + the rows
+    val minDen = comm.agg(min(col("den"))).head().getLong(0)
+    require(minDen > 0,
+      s"conductancePpm: a community has min(vol, 2m−vol) = $minDen — an " +
+        "edgeless community or the all-one-community labeling has no " +
+        "conductance; fix the labeling, never divide by zero")
+    comm.withColumn("phi_ppm",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cut_edges) " +
+          "DIV CAST(den AS DECIMAL(38,0)) AS BIGINT)"))
+      .drop("den")
+      .orderBy("label")
+  }
+
   def hitsPpm(edges: DataFrame, nodes: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "HITS needs at least one mutual update")
     val Scale = 1000000L

@@ -643,6 +643,64 @@ object Extensions {
       .orderBy("qid", "rank")
   }
 
+  /** One stored BASE IVF corpus per dir per JVM for the freshness probe
+    * ([[annIvfDelta]]): the 7/8 of vectors with `vec_id % 8 != 7`,
+    * codebook trained on that indexed subset only (the staleness
+    * premise — the index and its centroids predate the tail). */
+  private val ivfBaseStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfBaseStore(s: SparkSession, dir: String): String =
+    ivfBaseStores.computeIfAbsent(dir, _ => {
+      val base = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(8L)) =!= 7L)
+      val cents = Similarity.sampleCentroids(base, "vec_id", "embedding", nlist = 16)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_base")
+      ivfTmpRoots.add(root)
+      val st = root.toString + "/corpus"
+      Similarity.writeIvfCorpus(base, "vec_id", "embedding", cents, st)
+      st
+    })
+
+  /** Merge-on-read ANN FRESHNESS — [[indexInvertedDelta]]'s premise on
+    * the vector tier (an IVF index rebuilds on a cadence; vectors land
+    * continuously; retrieval must not miss the unindexed tail): the
+    * probe unions the STORED base-IVF arm (nprobe = 4 over the indexed
+    * 7/8, codebook trained pre-tail) with an EXACT cosine arm over the
+    * unindexed tail (`vec_id % 8 = 7`, brute-forced — the tail is small
+    * by construction, the flat-tail + IVF serving layout). Shape at
+    * scale: base probe cost tracks nprobe/nlist (partition-pruned
+    * stored lists), tail cost tracks index staleness, never corpus
+    * size. Gate: the [[annIvf]] exact-twin discipline — emits the exact
+    * brute-force top-10 with a recall gate pinned to 0, sharing
+    * [[ExtensionOracles.annExactTop10]] VERBATIM; floor 50% sits above
+    * the base-only measured band's low end (60-68% on the FULL index;
+    * the delta arm adds exact coverage of the tail, so a probe that
+    * silently dropped the tail arm AND lost IVF recall flips the
+    * gate). */
+  def annIvfDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(pmod(col("vec_id"), lit(8L)) =!= 7L)
+    val cents = Similarity.sampleCentroids(base, "vec_id", "embedding", nlist = 16)
+    val store = ivfBaseStore(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    val ivfArm = Similarity.ivfTopKStored(s, store, q,
+        "vec_id", "embedding", k = 10, cents, nprobe = 4)
+      .select(col("qid"), col("id"))
+    val qv = q.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val tailArm = emb.filter(pmod(col("vec_id"), lit(8L)) === 7L)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(qv))
+      .select(col("qid"), col("vec_id").as("id"),
+        graft.functions.Vecs.cosineSim(col("v"), col("qv")).as("sim"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("sim"), (-col("id")).as("nid")), 10).as("t"))
+      .select(col("qid"), posexplode(col("t")).as(Seq("i", "s")))
+      .select(col("qid"), (-col("s.nid")).as("id"))
+    annGate(annExactTopK(emb, 10), ivfArm.unionByName(tailArm), floorPct = 50)
+  }
+
   /** ANN via a k-means-REFINED IVF codebook: the stride-sampled seed of
     * [[annIvf]] is Lloyd-iterated twice ([[Similarity.kmeansRefine]])
     * before the same probe path runs — the trained-codebook flow of a
@@ -3148,6 +3206,23 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** [[graphModularity]]'s volume twin: the Newman-modularity scoring
+    * aggregates proven data-dominated on [[blockVolumeGraph]] — LPA-8
+    * over the 11N-edge fixture (the [[graphLpaVolume]] run verbatim),
+    * then the two per-community hash aggregates and the integer
+    * rational over ~N/50 planted blocks. The per-community frame is
+    * O(communities), the driver artifact two DECIMAL(38,0) scalars —
+    * the shape that holds when N is the corpus, not 100 residues. */
+  def graphModularityVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, cohesion, n) = blockVolumeGraph(s, dir)
+    val bridges = nodes.filter(col("node") % 50 === 25 && col("node") + 50 < n)
+      .select(col("node").as("src"), (col("node") + 50).as("dst"))
+    val edges = cohesion.unionByName(bridges)
+    val labels = graft.operators.Graph.labelPropagationMinTie(
+      edges, nodes, iterations = 8)
+    graft.operators.Graph.modularityPpm(edges, nodes, labels)
+  }
+
   /** [[graphTriangles]]'s volume twin (round 19): degree-ordered
     * triangle counting over [[blockVolumeGraph]] alone — the ring ×
     * quadratic-residue spread closes plenty of in-block triangles
@@ -3581,6 +3656,30 @@ object Extensions {
     graft.operators.Graph.modularityPpm(edges, nodes, labels)
   }
 
+  /** Per-community conductance of the [[graphLpa]] assignment
+    * ([[graft.operators.Graph.conductancePpm]]) — [[graphModularity]]
+    * localizes to the cluster level: one integer cut-quality ppm per
+    * detected community over the same bridged blocks-of-10 graph, the
+    * threshold that separates tight mirror-clusters (keep) from porous
+    * ones (re-split). Same chassis: the REAL 8-step LPA in-query, two
+    * hash aggregates over the canonical undirected closure, loud
+    * zero-divisor guard; the oracle replays the unrolled LPA then the
+    * identical min(vol, 2m−vol) rational in HUGEINT. */
+  def graphConductance(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 10 < 9 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val skip = nodes.filter(col("node") % 10 < 8 && col("node") < 98)
+      .select(col("node").as("src"), (col("node") + 2).as("dst"))
+    val bridges = nodes.filter(col("node") % 10 === 5 && col("node") < 90)
+      .select(col("node").as("src"), (col("node") + 10).as("dst"))
+    val edges = chain.unionByName(skip).unionByName(bridges)
+    val labels = graft.operators.Graph.labelPropagationMinTie(
+      edges, nodes, iterations = 8)
+    graft.operators.Graph.conductancePpm(edges, nodes, labels)
+  }
+
   /** Exact k-NN graph over the embedding table — the all-pairs
     * construction semantic-dedup clustering and diversity sampling
     * start from: each probe vector (every 10th `vec_id`, the bounded
@@ -3955,6 +4054,31 @@ object Extensions {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Weekly cohort retention — [[eventsRetention]]'s reporting
+    * granularity (daily triangles are noisy for small cohorts; the
+    * weekly roll-up is what a growth dashboard actually charts):
+    * distinct (user, week) frame with week = epoch-day DIV 7 (fixed
+    * 7-day buckets anchored at 1970-01-01 — engine-portable integer
+    * arithmetic, no locale/ISO-week divergence between engines),
+    * cohort week = each user's first active week via one per-user
+    * min-window, offsets capped at 8 weeks. Same plan shape and the
+    * same count-not-countDistinct argument: (user, week) is unique
+    * after the distinct and cohort/offset are functions of it. */
+  def eventsRetentionWeekly(s: SparkSession, dir: String): DataFrame = {
+    val uw = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) DIV 7")
+          .as("w"))
+      .distinct()
+    val cohort = min(col("w")).over(Window.partitionBy("user_id"))
+    uw.withColumn("cohort_week", cohort)
+      .withColumn("week_offset", col("w") - col("cohort_week"))
+      .filter(col("week_offset") <= 8)
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** DAU/WAU stickiness — [[eventsRetention]]'s sibling on the same
     * distinct user-day frame (the second product-analytics chassis a
     * crawl-health dashboard runs: of everyone active in the trailing
@@ -4223,6 +4347,126 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** BM25-SCORED phrase search over the stored positional index — the
+    * composition a retrieval user actually runs ("window join" as a
+    * ranked query, not a boolean one): the phrase is a VIRTUAL TERM —
+    * tf = the doc's adjacency count from [[indexPhraseProbe]]'s
+    * position intersection, df = the number of phrase-matching docs —
+    * scored with [[indexBm25Probe]]'s exact-integer rationals (same
+    * k1 = 1.2 / b = 0.75 cleared to DIVs, same persisted `stats` /
+    * `doclen` artifacts, same i64 envelope guard — phrase tf ≤ dl ≤
+    * max_dl, so the guard transfers). Shape at scale: the probe reaches
+    * the scan as a STATIC partition filter (≤ 2 of 64 directories),
+    * the candidate frame is phrase-matching docs only (df and the
+    * doclen join touch candidates, never the corpus), df and stats are
+    * 1-row broadcasts, and the top-20 is the bounded TopKAgg heap
+    * ((score DESC, doc_id ASC) ties) — never a global sort.
+    * Oracle-checked from RAW documents: DuckDB re-tokenizes, counts
+    * adjacent bigrams, recomputes N/S/dl/df and both rationals — index
+    * build + positional probe + scoring change nothing about the
+    * ranking. */
+  def indexBm25Phrase(s: SparkSession, dir: String): DataFrame = {
+    val store = invStore(s, dir)
+    val root = store.stripSuffix("/postings")
+    val statsRow = s.read.parquet(root + "/stats").head()
+    TextAnalysis.bm25RequireI64Envelope(
+      statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
+    val stats = s.read.parquet(root + "/stats")
+    val buckets = invBuckets(PhraseTerms)
+    val post = s.read.parquet(store)
+      .filter(col("tbucket").isin(buckets: _*) &&
+        col("term").isin(PhraseTerms: _*))
+    val a = post.filter(col("term") === PhraseTerms(0))
+      .select(col("doc_id"), col("positions").as("p1"))
+    val b = post.filter(col("term") === PhraseTerms(1))
+      .select(col("doc_id"), col("positions").as("p2"))
+    val cand = a.join(b, "doc_id")
+      // explicit skinny projection BEFORE the checkpoint (the invStore
+      // discipline): persist (doc_id, tf) longs, never position arrays
+      .select(col("doc_id"),
+        expr("CAST(size(array_intersect(p1, transform(p2, x -> x - 1))) AS BIGINT)")
+          .as("tf"))
+      .filter(col("tf") > 0)
+      .localCheckpoint()   // two consumers: the df count + the scored join
+    val dfq = cand.agg(count(lit(1)).as("df"))
+    cand.crossJoin(broadcast(dfq))
+      .join(s.read.parquet(root + "/doclen"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm",
+        expr("(1000000 * (2 * (n_docs - df) + 1)) DIV (2 * df + 1)"))
+      .withColumn("sat_ppm",
+        expr("(1000000 * 22 * s_tok * tf) DIV (10 * s_tok * tf + 3 * s_tok + 9 * dl * n_docs)"))
+      .withColumn("bm25_ppm", expr("(idf_ppm * sat_ppm) DIV 1000000"))
+      .groupBy()
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("bm25_ppm"), (-col("doc_id")).as("nid"), col("tf")), 20).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "sel")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        (-col("sel.nid")).as("doc_id"), col("sel.bm25_ppm").as("bm25_ppm"),
+        col("sel.tf").as("n_occ"))
+      .orderBy("rank")
+  }
+
+  /** One stored BASE index per source dir per JVM for the merge-on-read
+    * probe ([[indexInvertedDelta]]): postings for the 7/8 of documents
+    * with `doc_id % 8 != 7`, same layout as [[invStore]] minus the
+    * positional column (the delta probe is conjunctive-only). */
+  private val invBaseStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def invBaseStore(s: SparkSession, dir: String): String =
+    invBaseStores.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_inv_base")
+      ivfTmpRoots.add(root)
+      val st = root.toString + "/postings"
+      t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(8L)) =!= 7L)
+        .select(col("doc_id"), explode(
+          graft.functions.Sketches.wordShingles(col("text"), 1)).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tbucket", pmod(crc32(col("term")), lit(InvIndexBuckets.toLong)))
+        .repartition(col("tbucket"))
+        .write.partitionBy("tbucket").mode("overwrite").parquet(st)
+      st
+    })
+
+  /** Merge-on-read index FRESHNESS — the gap between an index build and
+    * now ([[indexInvertedStored]] assumes the index covers the corpus;
+    * in a live pipeline it never does — documents land continuously and
+    * the index rebuilds on a cadence): the conjunctive probe unions the
+    * STORED base postings (docs with `doc_id % 8 != 7`, the indexed
+    * 7/8) with postings tokenized AT PROBE TIME from the unindexed
+    * delta tail (`doc_id % 8 = 7`), then applies the same
+    * count-equals-|terms| rule — the cdc_apply_stored merge-on-read
+    * pattern transferred to the secondary-index tier. Shape at scale:
+    * the base probe reaches the stored scan as a STATIC partition
+    * filter (3 of 64 directories — corpus-size-independent), and the
+    * delta arm scans only the unindexed tail (cost tracks index
+    * staleness, never corpus size — exactly the freshness/latency trade
+    * a serving tier operates). The gate is the whole point: shares
+    * [[indexInvertedStored]]'s RAW-documents oracle VERBATIM, so the
+    * driver hash certifies probe(base ∪ delta) ≡ probe(full index) ≡
+    * direct scan. */
+  def indexInvertedDelta(s: SparkSession, dir: String): DataFrame = {
+    val store = invBaseStore(s, dir)
+    val buckets = invBuckets(InvIndexTerms)
+    val base = s.read.parquet(store)
+      .filter(col("tbucket").isin(buckets: _*) &&
+        col("term").isin(InvIndexTerms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val delta = t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(8L)) === 7L)
+      .select(col("doc_id"), explode(
+        graft.functions.Sketches.wordShingles(col("text"), 1)).as("term"))
+      .filter(col("term").isin(InvIndexTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    base.unionByName(delta)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("sum_tf"))
+      .filter(col("n_terms") === InvIndexTerms.length)
+      .orderBy("doc_id")
+  }
+
   /** Data-quality expectation suite — the publish gate (Deequ /
     * Great-Expectations primitive) a warehouse runs before a batch
     * goes live, and the proper form of the reference's conform loop's
@@ -4297,6 +4541,7 @@ object Extensions {
     val (bOrders, bLineitem) = bucketedTables(s, dir)
     Seq(
       "ivf_corpus"     -> ivfStore(s, dir),
+      "ivf_base"       -> ivfBaseStore(s, dir),
       "inverted_index" -> invStore(s, dir),
       "zorder_layout"  -> zorderStore(s, dir),
       "hilbert_layout" -> hilbertStore(s, dir),
@@ -4304,6 +4549,7 @@ object Extensions {
       "bucketed_orders"   -> bOrders,
       "bucketed_lineitem" -> bLineitem,
       "cdc_log"        -> cdcStore(s, dir),
+      "inverted_base"  -> invBaseStore(s, dir),
       "cdc_base"       -> cdcCompactStore(s, dir)._1,
       "lsh_batch_index" -> StreamingQueries.lshBatchStore(s, dir))
   }
@@ -7102,6 +7348,46 @@ object ExtensionOracles {
        |FROM t, tot ORDER BY label""".stripMargin
   }
 
+  /** [[Extensions.graphConductance]]: [[graphLpa]]'s 8 unrolled steps
+    * verbatim, then the per-community cut/volume aggregates and the
+    * min(vol, 2m−vol) rational over the same und/sym closure — each
+    * cut edge unnested to both endpoint communities, HUGEINT `//`
+    * mirroring the engine's DECIMAL(38,0) DIV on non-negative
+    * operands. */
+  val graphConductance: String = {
+    val steps = lpaSteps(8)
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |raw AS (
+       |  SELECT node AS src, node + 1 AS dst FROM nodes
+       |  WHERE node % 10 < 9 AND node < 99
+       |  UNION ALL
+       |  SELECT node, node + 2 FROM nodes WHERE node % 10 < 8 AND node < 98
+       |  UNION ALL
+       |  SELECT node, node + 10 FROM nodes WHERE node % 10 = 5 AND node < 90),
+       |und AS (SELECT DISTINCT least(r.src, r.dst) AS a, greatest(r.src, r.dst) AS b
+       |        FROM raw r JOIN nodes n ON r.dst = n.node
+       |        WHERE r.src <> r.dst),
+       |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+       |$steps,
+       |deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1),
+       |mm AS (SELECT count(*) AS m FROM und),
+       |cut AS (SELECT label, count(*) AS cut_edges FROM (
+       |          SELECT unnest([la.label, lb.label]) AS label
+       |          FROM und JOIN l8 la ON und.a = la.node
+       |                   JOIN l8 lb ON und.b = lb.node
+       |          WHERE la.label <> lb.label) GROUP BY 1),
+       |comm AS (SELECT l.label, count(*) AS n_nodes,
+       |                CAST(coalesce(sum(d.d), 0) AS BIGINT) AS degree_sum
+       |         FROM l8 l LEFT JOIN deg d USING (node) GROUP BY 1)
+       |SELECT CAST(c.label AS BIGINT) AS label, CAST(c.n_nodes AS BIGINT) AS n_nodes,
+       |       CAST(coalesce(cut.cut_edges, 0) AS BIGINT) AS cut_edges, c.degree_sum,
+       |       CAST((CAST(1000000 AS HUGEINT) * coalesce(cut.cut_edges, 0))
+       |            // least(CAST(c.degree_sum AS HUGEINT),
+       |                     2 * mm.m - c.degree_sum) AS BIGINT) AS phi_ppm
+       |FROM comm c LEFT JOIN cut USING (label), mm ORDER BY label""".stripMargin
+  }
+
   /** [[Extensions.graphKcoreVolume]]: the same 8 unrolled h-index
     * steps over the block-volume synthesis plus the fixed 20-node
     * clique. */
@@ -7145,6 +7431,47 @@ object ExtensionOracles {
        |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
        |$steps
        |SELECT node, CAST(label AS BIGINT) AS label FROM l8 ORDER BY node""".stripMargin
+  }
+
+  /** [[Extensions.graphModularityVolume]]: [[graphLpaVolume]]'s CTE
+    * chain verbatim, then [[graphModularity]]'s per-community metrics
+    * and integer rational over the volume fixture's und/sym closure. */
+  val graphModularityVolume: String = {
+    val steps = lpaSteps(8)
+    s"""WITH $blockVolumeCtes,
+       |nodes AS (SELECT node FROM ids),
+       |raw AS (
+       |  SELECT src, dst FROM ring
+       |  UNION ALL SELECT src, dst FROM spread
+       |  UNION ALL
+       |  SELECT node, node + 50 FROM ids
+       |  WHERE node % 50 = 25 AND node + 50 < (SELECT n FROM cnt)),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM raw WHERE src <> dst),
+       |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+       |$steps,
+       |deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1),
+       |intra AS (SELECT la.label, count(*) AS e_c
+       |          FROM und JOIN l8 la ON und.a = la.node
+       |                   JOIN l8 lb ON und.b = lb.node
+       |          WHERE la.label = lb.label GROUP BY 1),
+       |mm AS (SELECT count(*) AS m FROM und),
+       |comm AS (SELECT l.label, count(*) AS n_nodes,
+       |                CAST(coalesce(sum(d.d), 0) AS BIGINT) AS degree_sum
+       |         FROM l8 l LEFT JOIN deg d USING (node) GROUP BY 1),
+       |t AS (SELECT c.label, c.n_nodes,
+       |             CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+       |             c.degree_sum
+       |      FROM comm c LEFT JOIN intra i USING (label)),
+       |tot AS (SELECT CAST(sum(intra_edges) AS HUGEINT) * 4 * mm.m
+       |               - CAST(sum(CAST(degree_sum AS HUGEINT) * degree_sum) AS HUGEINT) AS num,
+       |               mm.m AS m
+       |        FROM t, mm GROUP BY mm.m)
+       |SELECT CAST(t.label AS BIGINT) AS label,
+       |       CAST(t.n_nodes AS BIGINT) AS n_nodes, t.intra_edges, t.degree_sum,
+       |       CAST((1000000 * tot.num) // (4 * tot.m * tot.m) AS BIGINT) AS q_ppm
+       |FROM t, tot ORDER BY label""".stripMargin
   }
 
   /** [[Extensions.graphBetweenness]]: both Brandes phases unrolled as
@@ -7409,6 +7736,21 @@ object ExtensionOracles {
       |FROM c WHERE date_diff('day', cohort_day, d) <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** [[Extensions.eventsRetentionWeekly]]: the same fixed 7-day epoch
+    * buckets (`//` ≡ DIV on the non-negative epoch-day counts), the
+    * same min-window cohort and capped-offset rollup. */
+  val eventsRetentionWeekly: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+      |            FROM events),
+      |c AS (SELECT user_id, w,
+      |             min(w) OVER (PARTITION BY user_id) AS cw FROM uw)
+      |SELECT CAST(cw AS BIGINT) AS cohort_week,
+      |       CAST(w - cw AS BIGINT) AS week_offset,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM c WHERE w - cw <= 8
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   /** [[Extensions.eventsStickiness]]: the same distinct user-day frame,
     * the 7-value unnest standing in for the engine's bounded explode,
     * and the integer ppm ratio (`//` ≡ DIV on these positive counts). */
@@ -7548,5 +7890,37 @@ object ExtensionOracles {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
        |       CAST(min(i) - 1 AS BIGINT) AS first_pos
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[Extensions.indexBm25Phrase]]: the phrase-as-virtual-term BM25
+    * top-20 recomputed from RAW documents — the kernel tokenizer,
+    * adjacency counts per doc (tf), the matching-doc count (df), and
+    * both ppm rationals verbatim from [[indexBm25Probe]] (`//` ≡ DIV
+    * on these non-negative operands). Proves positional index build +
+    * stats persistence + phrase scoring change nothing about the
+    * ranking. */
+  val indexBm25Phrase: String = {
+    val kws = graft.functions.SketchUtil.WsClassRegex
+    val Seq(w1, w2) = Extensions.PhraseTerms
+    s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$kws'), t -> t <> '') AS tk
+       |           FROM documents),
+       |e AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+       |tf0 AS (SELECT doc_id, tok, count(*) AS tf FROM e GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf0 GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tok FROM dl),
+       |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+       |        SELECT doc_id, i FROM d, UNNEST(range(1, len(tk))) s(i)
+       |        WHERE tk[i] = '$w1' AND tk[i + 1] = '$w2') GROUP BY 1),
+       |dfq AS (SELECT count(*) AS df FROM m),
+       |c AS (SELECT m.doc_id, m.tf,
+       |             (1000000 * (2 * (st.n_docs - dfq.df) + 1)) // (2 * dfq.df + 1) AS idf_ppm,
+       |             (1000000 * 22 * st.s_tok * m.tf)
+       |               // (10 * st.s_tok * m.tf + 3 * st.s_tok + 9 * dl.dl * st.n_docs) AS sat_ppm
+       |      FROM m JOIN dl USING (doc_id), st, dfq),
+       |sc AS (SELECT doc_id, CAST((idf_ppm * sat_ppm) // 1000000 AS BIGINT) AS bm25_ppm, tf FROM c),
+       |r AS (SELECT *, row_number() OVER (ORDER BY bm25_ppm DESC, doc_id ASC) AS rank FROM sc)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25_ppm,
+       |       CAST(tf AS BIGINT) AS n_occ
+       |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
 }

@@ -856,6 +856,61 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("empty undirected edge set"))
   }
 
+  private def runConductance(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                             labels: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Graph.conductancePpm(edges.toDF("src", "dst"), nodes.toDF("node"),
+      labels.toDF("node", "label")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+  }
+
+  test("conductance: two bridged triangles, perfect labeling — closed form 1e6 div 7") {
+    // m=7; each community: cut=1 (the bridge), vol=7, min(7, 14−7)=7
+    val edges = Seq(0L -> 1L, 0L -> 2L, 1L -> 2L,
+      3L -> 4L, 3L -> 5L, 4L -> 5L, 2L -> 3L)
+    val labels = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    val got = runConductance(edges, 0L to 5L, labels)
+    assert(got.toSeq == Seq((0L, 3L, 1L, 7L, 142857L), (1L, 3L, 1L, 7L, 142857L)))
+  }
+
+  test("conductance: a cut edge counts toward BOTH endpoint communities") {
+    // path 0–1–2 labeled {0},{1},{2}: every edge is cut; middle vol=2
+    val edges = Seq(0L -> 1L, 1L -> 2L)
+    val labels = Seq(0L -> 0L, 1L -> 1L, 2L -> 2L)
+    val got = runConductance(edges, 0L to 2L, labels)
+    // ends: cut=1, vol=1, min(1, 3)=1 → 1e6; middle: cut=2, vol=2, min(2,2)=2 → 1e6
+    assert(got.toSeq == Seq((0L, 1L, 1L, 1L, 1000000L),
+      (1L, 1L, 2L, 2L, 1000000L), (2L, 1L, 1L, 1L, 1000000L)))
+  }
+
+  test("conductance: the all-one-community labeling fails loudly (2m − vol = 0)") {
+    val edges = Seq(0L -> 1L, 1L -> 2L)
+    val ex = intercept[IllegalArgumentException] {
+      runConductance(edges, 0L to 2L, (0L to 2L).map(_ -> 0L))
+    }
+    assert(ex.getMessage.contains("min(vol, 2m−vol)"))
+  }
+
+  test("conductance: an edgeless community (isolated node) fails loudly") {
+    // node 3 is isolated — its singleton community has vol = 0
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L)
+    val labels = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 9L)
+    val ex = intercept[IllegalArgumentException] {
+      runConductance(edges, 0L to 3L, labels)
+    }
+    assert(ex.getMessage.contains("min(vol, 2m−vol)"))
+  }
+
+  test("declared graph_conductance query: every detected community is sparse-cut (φ < 0.5)") {
+    val rows = graft.queries.Extensions
+      .graphConductance(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getLong(1)).sum == 100L)   // n_nodes partitions the nodes
+    val phis = rows.map(_.getLong(4))
+    assert(phis.forall(p => p > 0L && p < 500000L),
+      s"blocks-of-10 cuts should be sparse but positive (bridges exist): ${phis.mkString(",")}")
+  }
+
   test("declared graph_modularity query: bridged blocks-of-10 score high, labels cover all nodes") {
     val rows = graft.queries.Extensions
       .graphModularity(spark, "/root/testdata/sf0.001").collect()

@@ -38,6 +38,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("events_retention_weekly matches a driver-side brute-force recount") {
+    val got = Extensions.eventsRetentionWeekly(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val uw = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "CAST(ts AS DATE) AS d")
+      .collect().map(r => (r.getLong(0),
+        java.time.temporal.ChronoUnit.DAYS.between(
+          epoch, r.getDate(1).toLocalDate) / 7)).distinct
+    val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val want = uw
+      .map { case (u, w) => (cohort(u), w - cohort(u), u) }
+      .filter(_._2 <= 8)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((c, o), us) => (c, o, us.map(_._3).distinct.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+
+    assert(got.toSeq == want)
+    // offset-0 of each cohort counts the whole cohort
+    val week0 = got.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    cohort.groupBy(_._2).foreach { case (c, us) =>
+      assert(week0(c) == us.size.toLong)
+    }
+  }
+
   test("text_pmi: scores recompute exactly and the order/floor/limit hold") {
     val rows = Extensions.textPmi(spark, dir).collect()
     assert(rows.length == 50)

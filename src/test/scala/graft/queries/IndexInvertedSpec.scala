@@ -105,4 +105,53 @@ class IndexInvertedSpec extends AnyFunSuite with SparkSpec {
     assert(readBuckets.length <= Extensions.InvIndexTerms.length,
       s"read ${readBuckets.toSeq} — more directories than probe terms")
   }
+
+  test("bm25 phrase probe: partition-pruned, ranked by score then doc_id") {
+    val df = Extensions.indexBm25Phrase(spark, dir)
+    // the stored scan sits behind the candidate localCheckpoint (the
+    // text_tfidf situation) — assert the prune on the PRE-checkpoint
+    // frame, the exact probe expression the query checkpoints
+    val store = Extensions.invStorePath(spark, dir)
+    val probeBuckets = Extensions.PhraseTerms.map { w =>
+      val c = new java.util.zip.CRC32()
+      c.update(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (c.getValue % Extensions.InvIndexBuckets).toLong
+    }.distinct
+    val pre = spark.read.parquet(store)
+      .filter(col("tbucket").isin(probeBuckets: _*) &&
+        col("term").isin(Extensions.PhraseTerms: _*))
+    val prePlan = pre.queryExecution.executedPlan.toString
+    assert(prePlan.contains("PartitionFilters: [tbucket"),
+      s"phrase bucket set not pushed as a partition filter:\n${prePlan.take(2000)}")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "phrase scoring found no matches on the fixture")
+    assert(rows.map(_._1).toSeq == (1L to rows.length), "ranks must be dense from 1")
+    // (score DESC, doc_id ASC) total order
+    assert(rows.map(t => (-t._3, t._2)).toSeq ==
+      rows.map(t => (-t._3, t._2)).sortBy(identity).toSeq)
+    // every ranked doc genuinely contains the phrase (n_occ ≥ 1) and the
+    // candidate set equals the boolean phrase probe's doc set (top-20 cap aside)
+    assert(rows.forall(_._4 >= 1L))
+    val phraseDocs = Extensions.indexPhraseProbe(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._2).toSet.subsetOf(phraseDocs))
+  }
+
+  test("delta probe: merge-on-read over a stale base index equals the full-index answer") {
+    val got = Extensions.indexInvertedDelta(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Extensions.indexInvertedStored(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "base ∪ delta probe must equal the full-index probe")
+    // the freshness gate is only meaningful if the delta tail actually
+    // contributes matches — otherwise base-only would pass vacuously
+    assert(want.exists(_._1 % 8 == 7),
+      "fixture has no conjunctive match in the unindexed tail — gate is vacuous")
+    // and the base arm stays partition-pruned
+    val plan = Extensions.indexInvertedDelta(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [tbucket"),
+      s"delta probe's base arm lost the partition filter:\n${plan.take(3000)}")
+  }
 }

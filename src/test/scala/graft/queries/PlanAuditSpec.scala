@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_q8_range",         // 5-row quantized query set (radius variant)
     "ann_lsh_topk",         // exact-twin gate: 5-row probe broadcast
     "ann_ivf_topk",         // exact-twin gate: 5-row probe broadcast
+    "ann_ivf_delta",        // exact-twin gate: 5-row probe broadcast (tail arm)
     "ann_ivf_kmeans",       // exact-twin gate: 5-row probe broadcast
     "ann_ivfpq_topk",       // exact-twin gate: 5-row probe broadcast
     "emb_knn_graph",        // bounded probe batch (every 10th vector) broadcast
@@ -41,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "text_pmi",             // 1-row N_uni x N_bi totals broadcast
     "text_bm25",            // 1-row corpus-stats aggregate (N, S) broadcast
     "retrieve_hybrid",      // inherits text_bm25's 1-row stats broadcast
-    "index_bm25_probe")     // 1-row PERSISTED stats read broadcast
+    "index_bm25_probe",     // 1-row PERSISTED stats read broadcast
+    "index_bm25_phrase")    // 1-row phrase-df count + persisted stats broadcasts
 
   /** Queries allowed a BOUNDED number of SCALAR-BROADCAST BNLJs rather
     * than a blanket pass: graph_nf_hll unions one per-horizon delta
