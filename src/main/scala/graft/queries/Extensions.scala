@@ -1314,6 +1314,76 @@ object Extensions {
       .orderBy("x")
   }
 
+  /** One stored lineitem layout + ZONE-MAP SIDECAR pair per source dir
+    * per JVM: rows land in 40-day `l_shipdate` ranges (bin =
+    * ship-epoch-days DIV 40, ~63 populated ranges over the 1995–2001
+    * span), and the build ALSO collects per-bin min/max of a
+    * correlated NON-layout column — `receipt_days = ship_days +
+    * l_orderkey % 30` (the deterministic receipt synthesis; a real
+    * receipt date trails shipment by a bounded handling window, which
+    * is exactly why its per-range min/max stays narrow) — into a tiny
+    * stats parquet, the Iceberg/Delta manifest min/max in miniature. */
+  private val zonemapStores = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def zonemapStore(s: SparkSession, dir: String): (String, String) =
+    zonemapStores.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_zonemap_q")
+      ivfTmpRoots.add(root)
+      val st = root.toString + "/lineitem_zm"
+      val zm = root.toString + "/zonemap"
+      t(s, dir, "lineitem")
+        .select(datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+          .cast("long").as("sd"),
+          col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+        .select((col("sd") + col("l_orderkey") % 30).as("receipt_days"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_returnflag"),
+          expr("sd DIV 40").as("bin"))
+        .repartition(col("bin"))   // one clustered file per range dir
+        .write.partitionBy("bin").mode("overwrite").parquet(st)
+      s.read.parquet(st).groupBy(col("bin").cast("long").as("bin"))
+        .agg(min(col("receipt_days")).as("min_r"),
+          max(col("receipt_days")).as("max_r"))
+        .coalesce(1).write.mode("overwrite").parquet(zm)
+      (st, zm)
+    })
+
+  /** Stats-sidecar data skipping — the pruning tier NEITHER
+    * [[layoutZorderStored]] (static driver arithmetic on the LAYOUT
+    * key) nor [[layoutCompactStored]] (parquet footer min/max on the
+    * SORT key) can reach: the predicate is on a column the layout
+    * never ordered by (`receipt_days`; layout is 40-day `l_shipdate`
+    * ranges), so the candidate range set is knowable only from
+    * COLLECTED per-range stats — the Iceberg manifest / Delta
+    * data-skipping primitive. The probe reads the O(ranges) sidecar,
+    * keeps ranges whose [min_r, max_r] overlaps the 60-day receipt
+    * window (a bounded driver artifact: ≤ ~90 bin ids), and turns
+    * them into a static partition filter — 3 of ~63 directories
+    * listed, because receipt trails shipment by < 30 days so each
+    * range's receipt envelope spans ≤ 69 days. Scan cost tracks the
+    * predicate's PHYSICAL clustering (via the correlation), not the
+    * corpus. Oracle: recomputes the same per-bin min/max + overlap
+    * rule AND the aggregate from raw lineitem — pruning contract and
+    * answer invariance in one hash check; PlanAuditSpec pins the
+    * partition listing. */
+  def layoutZonemapStored(s: SparkSession, dir: String): DataFrame = {
+    val (st, zm) = zonemapStore(s, dir)
+    val (lo, hi) = (1900L, 1959L)
+    val stats = s.read.parquet(zm)
+    val binsTotal = stats.count()
+    val bins = stats.filter(col("max_r") >= lo && col("min_r") <= hi)
+      .select(col("bin")).collect().map(_.getLong(0)).sorted
+    s.read.parquet(st)
+      .filter(col("bin").isin(bins: _*) &&
+        col("receipt_days").between(lo, hi))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("l_returnflag"), col("n"), col("sum_cents"),
+        lit(bins.length.toLong).as("bins_read"),
+        lit(binsTotal).as("bins_total"))
+      .orderBy("l_returnflag")
+  }
+
   /** Global token-offset assignment
     * ([[graft.operators.Packing.assignOffsets]]): each document's
     * exclusive prefix sum of whitespace-token counts in doc_id order —
@@ -3271,6 +3341,57 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** Link prediction ([[graft.operators.Graph.linkPredict]]) over the
+    * triangle fixture: chain + skip edges leave plenty of distance-2
+    * non-edges (every in-block (d, d+2) pair whose skip edge the
+    * block-boundary rule withheld, plus all (d, d+3)s through two
+    * centers), so the wedge → anti-join → score chain is exercised on
+    * every branch. Exact integer scores (common-neighbor count,
+    * Jaccard ppm, resource-allocation ppm, preferential attachment),
+    * total (jaccard DESC,
+    * common DESC, a, b) order; the oracle enumerates wedges over the
+    * same canonical undirected closure. The fixture's max degree is 4,
+    * so the declared center cap (10) is non-binding here — its
+    * semantics are pinned separately by [[graphLinkpredVolume]]'s
+    * planted hub, which the cap must exclude. */
+  def graphLinkpred(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select((col("doc_id") % 100).as("node")).distinct()
+    val chain = nodes.filter(col("node") % 7 =!= 6 && col("node") < 99)
+      .select(col("node").as("src"), (col("node") + 1).as("dst"))
+    val skip = nodes.filter(col("node") % 7 < 5 && col("node") < 98)
+      .select(col("node").as("src"), (col("node") + 2).as("dst"))
+    graft.operators.Graph.linkPredict(
+        chain.unionByName(skip), nodes, maxCenterDegree = 10L)
+      .orderBy(col("jaccard_ppm").desc, col("common").desc, col("a"), col("b"))
+  }
+
+  /** [[graphLinkpred]]'s volume twin: the wedge → score chain proven
+    * data-dominated on [[blockVolumeGraph]] (11N edges, in-block
+    * degree ≤ ~23, so wedge fan-out is a flat few-hundred per center),
+    * PLUS a planted star hub (node 0 → every node ≡ 0 mod 5) whose
+    * N/5 degree exceeds the declared center cap (50) at EVERY shipped
+    * SF — the cap semantics under real skew: the hub produces NO
+    * wedges (else it alone would emit (N/5)² ≈ N²/25 candidate
+    * pairs), while pairs it touches still surface through in-block
+    * centers and still count its TRUE degree in their Jaccard/PA
+    * terms. Output folded to one row per node (its predicted-link
+    * count at jaccard ≥ 0.15) to keep the verify frame O(N); the
+    * oracle runs the same wedge enumeration + cap. */
+  def graphLinkpredVolume(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, cohesion, _) = blockVolumeGraph(s, dir)
+    val hub = nodes.filter(col("node") % 5 === 0 && col("node") > 0)
+      .select(lit(0L).as("src"), col("node").as("dst"))
+    val scored = graft.operators.Graph.linkPredict(
+      cohesion.unionByName(hub), nodes, maxCenterDegree = 50L)
+    val perSide = scored.filter(col("jaccard_ppm") >= 150000L)
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_pred"))
+    nodes.join(perSide, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .orderBy("node")
+  }
+
   /** [[graphHarmonic]]'s web-scale twin
     * ([[graft.operators.Graph.harmonicCentralityHyperBall]]): the same
     * directed fixture and 12-step horizon, but O(m)-bytes-per-node
@@ -4114,6 +4235,79 @@ object Extensions {
       .orderBy("day")
   }
 
+  /** Change-point detection on the daily event volume — the CUSUM
+    * statistic (Page 1954) a crawl-health / ingest-monitoring pipeline
+    * runs to locate WHEN a level shift happened (a source went dark, a
+    * scraper was blocked, a bot flooded in), complementing
+    * [[eventsAnomaly]]'s which-days-are-outliers view. Exact integer
+    * throughout: instead of Σᵢ(nᵢ − mean) (a rational — mean = T/D),
+    * the cumulative deviation is D-scaled, `cusum_d = Σᵢ≤d (nᵢ·D − T)`
+    * with D = #days, T = Σnᵢ — the same monotone rescaling trick as
+    * text_pmi, so argmax |cusum| is the classic CUSUM change-point
+    * estimate and every value hash-matches the oracle. `is_peak`
+    * flags the argmax rows (all of them on ties — deterministic).
+    * Scale shape: the raw event volume collapses to O(days) rows in
+    * ONE map-side-combined count aggregate; the ordered window and
+    * both scalar totals then run on the daily frame (a 1-row
+    * broadcast each, PlanAuditSpec's boundedScalarBnlj class), so
+    * nothing unbounded ever sits in one partition. */
+  def eventsChangepoint(s: SparkSession, dir: String): DataFrame =
+    cusumDaily(t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[eventsChangepoint]]'s CUSUM tail over a `(day, n)` daily frame —
+    * shared with the streaming twin, whose drained state lands here as
+    * the same O(days) input. */
+  private[queries] def cusumDaily(dailyIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyIn
+      .localCheckpoint()   // three consumers: totals, window, peak scan
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.crossJoin(broadcast(tot))
+      .withColumn("cusum",
+        sum(col("n") * col("n_days") - col("total")).over(w))
+      .localCheckpoint()   // two consumers: max scan + final projection
+    val mx = cusum.agg(max(abs(col("cusum"))).as("mx"))
+    cusum.crossJoin(broadcast(mx))
+      .select(col("day"), col("n"), col("cusum"),
+        when(abs(col("cusum")) === col("mx"), lit(1L)).otherwise(lit(0L))
+          .as("is_peak"))
+      .orderBy("day")
+  }
+
+  /** Greedy prefix selection under a per-language TOKEN BUDGET — the
+    * curation step that turns "we can afford B tokens of each
+    * language" into a concrete keep set (the mixture-balancing
+    * complement of [[domainQuota]]'s count quotas and [[corpusMix]]'s
+    * ratio targets: budgets are TOKENS, the unit training cost is
+    * priced in, not document counts). Docs are taken in doc_id
+    * (arrival) order per language while the running token total stays
+    * ≤ B = 2000 — a per-partition cumulative-sum window, the
+    * [[corpusOffsets]] prefix-sum shape keyed by language, so
+    * parallelism is per-language and nothing global sorts. Tokens =
+    * the whitespace kernel ([[graft.operators.TextAnalysis
+    * .tokenCountWs]]); output is the per-language fill report with
+    * the exact fill ratio in ppm. */
+  def corpusTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+      .select(col("lang"), col("n_kept"), col("kept_tokens"),
+        expr(s"(kept_tokens * 1000000) DIV $budget").as("fill_ppm"))
+      .orderBy("lang")
+  }
+
   /** Collocation mining by pointwise mutual information — the
     * phrase-discovery pass a tokenizer/corpus pipeline runs to find
     * multiword units ("new york") whose co-occurrence beats chance
@@ -4546,6 +4740,7 @@ object Extensions {
       "zorder_layout"  -> zorderStore(s, dir),
       "hilbert_layout" -> hilbertStore(s, dir),
       "compact_layout" -> compactStore(s, dir)._2,
+      "zonemap_layout" -> zonemapStore(s, dir)._1,
       "bucketed_orders"   -> bOrders,
       "bucketed_lineitem" -> bLineitem,
       "cdc_log"        -> cdcStore(s, dir),
@@ -5507,6 +5702,32 @@ object ExtensionOracles {
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
       |       count(DISTINCT o_orderkey % 5000) AS n_keys
       |FROM orders""".stripMargin
+
+  /** [[Extensions.layoutZonemapStored]]: the same bin / synthetic
+    * receipt derivation from RAW lineitem, the same per-bin min/max
+    * stats and overlap rule for the pruning counts, and the windowed
+    * rollup — storage and sidecar invisible at the answer. */
+  val layoutZonemapStored: String =
+    """WITH b AS (
+      |  SELECT date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+      |           // 40 AS bin,
+      |         date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+      |           + l_orderkey % 30 AS receipt_days,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |         l_returnflag
+      |  FROM lineitem),
+      |zm AS (SELECT bin, min(receipt_days) AS min_r, max(receipt_days) AS max_r
+      |       FROM b GROUP BY 1),
+      |sel AS (SELECT count(*) FILTER (WHERE max_r >= 1900 AND min_r <= 1959)
+      |               AS bins_read,
+      |             count(*) AS bins_total FROM zm)
+      |SELECT l_returnflag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(bins_read AS BIGINT) AS bins_read,
+      |       CAST(bins_total AS BIGINT) AS bins_total
+      |FROM b, sel
+      |WHERE receipt_days BETWEEN 1900 AND 1959
+      |GROUP BY 1, bins_read, bins_total
+      |ORDER BY l_returnflag""".stripMargin
 
   /** [[Extensions.dedupMinhashClusters]]: connected components over
     * the exhaustive truth pairs via an INDEPENDENT recursive
@@ -7128,6 +7349,68 @@ object ExtensionOracles {
         |ORDER BY node""".stripMargin
   }
 
+  /** Shared wedge → anti-join → exact-integer score tail of the two
+    * link-prediction oracles ([[Extensions.graphLinkpred]] /
+    * [[graft.operators.Graph.linkPredict]]): expects CTEs `und(a, b)`
+    * (canonical undirected closure) upstream; `cap` mirrors the
+    * operator's declared center-degree guard. */
+  private def linkPredictCtes(cap: Long): String =
+    s"""deg AS (SELECT node, count(*) AS d FROM (
+       |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) u GROUP BY 1),
+       |cadj AS (SELECT w, x, deg.d AS dw FROM (
+       |    SELECT a AS w, b AS x FROM und UNION ALL SELECT b, a FROM und) j
+       |  JOIN deg ON j.w = deg.node WHERE deg.d <= $cap),
+       |pairs AS (SELECT l.x AS a, r.x AS b, count(*) AS common,
+       |                 sum(1000000 // l.dw) AS ra
+       |          FROM cadj l JOIN cadj r ON l.w = r.w AND l.x < r.x
+       |          GROUP BY 1, 2),
+       |cand AS (SELECT p.a, p.b, p.common, p.ra FROM pairs p
+       |         ANTI JOIN und e ON p.a = e.a AND p.b = e.b),
+       |scored AS (
+       |  SELECT c.a, c.b, CAST(c.common AS BIGINT) AS common,
+       |         CAST((c.common * 1000000) // (d1.d + d2.d - c.common)
+       |              AS BIGINT) AS jaccard_ppm,
+       |         CAST(c.ra AS BIGINT) AS ra_ppm,
+       |         CAST(d1.d * d2.d AS BIGINT) AS pref_attach
+       |  FROM cand c JOIN deg d1 ON c.a = d1.node
+       |              JOIN deg d2 ON c.b = d2.node)""".stripMargin
+
+  /** [[Extensions.graphLinkpred]]: the same canonical closure as
+    * [[graphTriangles]], then the shared capped-wedge score tail. */
+  val graphLinkpred: String =
+    s"""WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+       |raw AS (
+       |  SELECT node AS src, node + 1 AS dst FROM nodes
+       |  WHERE node % 7 <> 6 AND node < 99
+       |  UNION ALL
+       |  SELECT node, node + 2 FROM nodes WHERE node % 7 < 5 AND node < 98),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM raw WHERE src <> dst),
+       |${linkPredictCtes(10L)}
+       |SELECT a, b, common, jaccard_ppm, ra_ppm, pref_attach FROM scored
+       |ORDER BY jaccard_ppm DESC, common DESC, a, b""".stripMargin
+
+  /** [[Extensions.graphLinkpredVolume]]: the block-volume synthesis
+    * plus the planted over-cap star hub, the shared score tail, and
+    * the per-node fold at jaccard ≥ 0.15. */
+  val graphLinkpredVolume: String =
+    s"""WITH $blockVolumeCtes,
+       |nodes AS (SELECT node FROM ids),
+       |hub AS (SELECT 0 AS src, node AS dst FROM ids
+       |        WHERE node % 5 = 0 AND node > 0),
+       |raw AS (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM spread
+       |        UNION ALL SELECT src, dst FROM hub),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM raw WHERE src <> dst),
+       |${linkPredictCtes(50L)},
+       |pn AS (SELECT node, count(*) AS c FROM (
+       |    SELECT a AS node FROM scored WHERE jaccard_ppm >= 150000
+       |    UNION ALL
+       |    SELECT b FROM scored WHERE jaccard_ppm >= 150000) u GROUP BY 1)
+       |SELECT n.node, CAST(coalesce(pn.c, 0) AS BIGINT) AS n_pred
+       |FROM nodes n LEFT JOIN pn USING (node)
+       |ORDER BY node""".stripMargin
+
   /** [[Extensions.graphNf]]: the same 12 unrolled BFS steps, cumulative
     * pair counts per horizon via a correlated count over the
     * MATERIALIZED final pair set (12 evaluations of a count over one
@@ -7763,6 +8046,43 @@ object ExtensionOracles {
       |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
       |       CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_ppm
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
+  /** [[Extensions.eventsChangepoint]]: the same daily rollup, the same
+    * D-scaled integer deviation under a cumulative ordered window, and
+    * the argmax-|cusum| peak flag. */
+  val eventsChangepoint: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      |           FROM events GROUP BY 1),
+      |t AS (SELECT count(*) AS n_days, sum(n) AS total FROM d),
+      |c AS (SELECT day, n,
+      |             sum(n * n_days - total) OVER (
+      |               ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |      FROM d, t),
+      |m AS (SELECT max(abs(cusum)) AS mx FROM c)
+      |SELECT day, CAST(n AS BIGINT) AS n, CAST(cusum AS BIGINT) AS cusum,
+      |       CAST(CASE WHEN abs(cusum) = mx THEN 1 ELSE 0 END AS BIGINT)
+      |         AS is_peak
+      |FROM c, m ORDER BY day""".stripMargin
+
+  /** [[Extensions.corpusTokenBudget]]: the whitespace token kernel,
+    * the same per-language doc_id-ordered cumulative window and
+    * ≤-budget prefix rule, and the ppm fill rational. */
+  val corpusTokenBudget: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN len(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '$ws')) END AS n_tok
+       |  FROM documents),
+       |c AS (SELECT lang, n_tok,
+       |             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM tk)
+       |SELECT lang, count(*) AS n_kept,
+       |       CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+       |       CAST((sum(n_tok) * 1000000) // 2000 AS BIGINT) AS fill_ppm
+       |FROM c WHERE cum <= 2000
+       |GROUP BY 1 ORDER BY lang""".stripMargin
 
   /** [[Extensions.textPmi]]: the shingle kernel's tokenizer (lower,
     * \s-class split, empty filter, short-doc rule), adjacent pairs by

@@ -253,6 +253,24 @@ object StreamingQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Streaming change-point monitoring — the operational split for
+    * Page-1954 CUSUM at ingest time: the per-day volume rollup is
+    * maintained incrementally by the [[graft.streaming.EtlStream
+    * .eventWindowCounts]] state (complete mode), and the CUSUM scan is
+    * pure batch arithmetic over the drained O(days) frame
+    * ([[Extensions.cusumDaily]], the shared tail). Gate: shares
+    * events_changepoint's oracle VERBATIM, so drain ≡ batch lands in
+    * the driver hash. */
+  def streamChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_changepoint_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1)(
+      graft.streaming.EtlStream.eventWindowCounts(s, _, name))
+    Extensions.cusumDaily(
+      drained(s, name)
+        .groupBy(to_date(col("day")).as("day"))
+        .agg(sum(col("cnt")).as("n")))
+  }
+
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_window_${System.nanoTime()}"
     drainStaged(s, dir, copies = 1)(

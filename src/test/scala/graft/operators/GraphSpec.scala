@@ -919,4 +919,54 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(q.length == 1 && q.head > 700000L,        // strong community structure
       s"blocks-of-10 modularity should exceed 0.7, got ${q.head} ppm")
   }
+
+  private def predict(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                      cap: Long): Map[(Long, Long), (Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Graph.linkPredict(edges.toDF("src", "dst"), nodes.toDF("node"), cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+  }
+
+  test("linkPredict path graph: only the two distance-2 pairs, closed-form scores") {
+    // 0-1-2-3: candidates (0,2) via 1 and (1,3) via 2; (0,3) shares no
+    // neighbor. jaccard = 1e6·1 DIV (1+2-1) = 500000, RA = 1e6 DIV
+    // d(center)=2 = 500000, PA = 1·2 = 2.
+    val p = predict(Seq(0L -> 1L, 1L -> 2L, 2L -> 3L), 0L to 3L, 10L)
+    assert(p == Map((0L, 2L) -> ((1L, 500000L, 500000L, 2L)),
+      (1L, 3L) -> ((1L, 500000L, 500000L, 2L))))
+  }
+
+  test("linkPredict never re-predicts an existing edge") {
+    // triangle 0-1-2 plus pendant 3-0: (1,2) are adjacent WITH a common
+    // neighbor — must not surface; (1,3) and (2,3) via center 0 must.
+    val p = predict(Seq(0L -> 1L, 0L -> 2L, 1L -> 2L, 0L -> 3L), 0L to 3L, 10L)
+    assert(!p.contains((1L, 2L)))
+    // d(1)=d(2)=2, d(3)=1: jaccard = 1e6 DIV (2+1-1) = 500000,
+    // RA = 1e6 DIV d(0)=3 = 333333, PA = 2
+    assert(p == Map((1L, 3L) -> ((1L, 500000L, 333333L, 2L)),
+      (2L, 3L) -> ((1L, 500000L, 333333L, 2L))))
+  }
+
+  test("linkPredict center cap: an over-cap hub yields no wedges; true degrees still score") {
+    val star = (1L to 5L).map(l => 0L -> l)
+    // cap below the hub degree (5): the only wedge center is excluded
+    assert(predict(star, 0L to 5L, 3L).isEmpty)
+    // cap admits the hub: all C(5,2) leaf pairs, jaccard = 1e6·1 DIV 1,
+    // RA = 1e6 DIV 5 (the RA downweighting of a promiscuous center)
+    val open = predict(star, 0L to 5L, 10L)
+    assert(open.size == 10 && open.values.forall(_ == ((1L, 1000000L, 200000L, 1L))))
+    // a second edge to one leaf pair keeps TRUE degree in the score:
+    // leaves 1,2 joined directly — excluded as existing; (1,3) now has
+    // d(1)=2 so jaccard = 1e6 DIV (2+1-1) = 500000
+    val p2 = predict(star :+ (1L -> 2L), 0L to 5L, 10L)
+    assert(!p2.contains((1L, 2L)))
+    assert(p2((1L, 3L)) == ((1L, 500000L, 200000L, 2L)))
+  }
+
+  test("linkPredict canonicalizes duplicate/directed input edges (common counted once)") {
+    val p = predict(Seq(0L -> 1L, 1L -> 0L, 1L -> 2L, 1L -> 2L), 0L to 2L, 10L)
+    assert(p == Map((0L, 2L) -> ((1L, 1000000L, 500000L, 1L))))
+  }
 }

@@ -105,4 +105,63 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     // collocations beat chance: the top pair is over 1.0 (1e6 ppm)
     assert(rows.head.getAs[Long]("pmi_ppm") > 1000000L)
   }
+
+  test("events_changepoint matches a driver-side brute-force CUSUM") {
+    val got = Extensions.eventsChangepoint(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("CAST(ts AS DATE) AS d")
+      .collect().map(_.getDate(0).toString)
+      .groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+      .toSeq.sortBy(_._1)
+    val dDays = daily.size.toLong
+    val total = daily.map(_._2).sum
+    val cusums = daily.map(_._2 * dDays - total)
+      .scanLeft(0L)(_ + _).tail
+    val mx = cusums.map(math.abs).max
+    val want = daily.zip(cusums).map { case ((d, n), c) =>
+      (d, n, c, if (math.abs(c) == mx) 1L else 0L) }
+    assert(got.toSeq == want)
+    // telescoping invariant: Σ(nᵢ·D − T) over all days is exactly T·D − D·T = 0
+    assert(got.last._3 == 0L)
+    assert(got.count(_._4 == 1L) >= 1)
+  }
+
+  test("stream_changepoint drain equals the batch events_changepoint bit-for-bit") {
+    val batch = Extensions.eventsChangepoint(spark, dir).collect().toSeq
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    val drained = StreamingQueries.streamChangepoint(spark, dir).collect().toSeq
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(drained == batch)
+  }
+
+  test("corpus_token_budget matches a driver-side greedy prefix fill") {
+    val got = Extensions.corpusTokenBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    // mirror the engine kernel exactly: Spark trim strips SPACES only,
+    // and WsClass is [ \t\n\f\r]+ (no \x0B, unlike java \s)
+    def nTok(t: String) = {
+      val s = t.replaceAll("^ +| +$", "")
+      if (s.isEmpty) 0L else s.split("[ \\t\\n\\f\\r]+").length.toLong
+    }
+    val want = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (lang, ds) =>
+      var cum = 0L; var kept = 0L; var toks = 0L
+      ds.sortBy(_._1).foreach { case (_, _, t) =>
+        val n = nTok(t)
+        cum += n
+        if (cum <= 2000L) { kept += 1; toks += n }
+      }
+      (lang, kept, toks, toks * 1000000L / 2000L)
+    }
+    assert(got.toSeq == want)
+    // the budget binds for every language at every shipped SF, and no
+    // language overshoots it
+    assert(got.forall(t => t._3 <= 2000L && t._4 <= 1000000L && t._2 >= 1L))
+  }
 }

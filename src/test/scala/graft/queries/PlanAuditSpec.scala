@@ -55,7 +55,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   private val boundedScalarBnlj = Map(
     "graph_nf_hll"    -> 12,
     "dedup_simhash"   -> 2,  // 1-row recall-gate counts (n_found, n_planted)
-    "dedup_embedding" -> 3)  // 1-row gate counts (n_found, n_stray, n_planted)
+    "dedup_embedding" -> 3,  // 1-row gate counts (n_found, n_stray, n_planted)
+    "events_changepoint" -> 1, // 1-row max-|cusum| aggregate (peak flag);
+                               // the totals broadcast sits behind the
+                               // daily-frame localCheckpoint
+    "stream_changepoint" -> 1) // the same shared CUSUM tail over the
+                               // drained daily state
 
   // an allowlist entry for a query that no longer exists would silently
   // grant a future query of that name an unreviewed BNLJ allowance
@@ -126,6 +131,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     //  invisible in the final plan — the text_tfidf situation; its
     //  pre-checkpoint projection is url_filter's shape)
     ("corpus_shard", "source", "text"),              // documents: id+text only
+    ("corpus_token_budget", "source", "lang"),       // documents: id+lang+text
     ("text_winnow", "lang", "text"),                 // documents: id+text only
     ("q30_full_outer", "c_mktsegment", "c_acctbal"), // customer: key+balance only
     ("skew_join", "l_partkey", "l_quantity"),        // lineitem: key+qty only
@@ -318,6 +324,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       .groupBy("x").agg(count(lit(1)).as("n"), sum(col("y")).as("sum_y"))
       .orderBy("x").collect().toSeq
     assert(df.collect().toSeq == plain)
+  }
+
+  test("layout_zonemap_stored: receipt predicate prunes ship-range dirs via the stats sidecar") {
+    // The predicate column (receipt_days) is NOT the layout key — the
+    // candidate set exists only because the build collected per-range
+    // min/max stats. The sidecar-derived bin list must still reach the
+    // scan as a static partition filter, and the receipt-trails-ship
+    // correlation bounds the listing to the window's ~3 ranges.
+    val df = graft.SparkEntry.queries("layout_zonemap_stored")(spark, dir)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in layout_zonemap_stored plan"))
+    assert(scan.toString.contains("PartitionFilters: [bin"),
+      s"sidecar bins not applied as a partition filter:\n${scan.toString.take(2000)}")
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(parts.size <= 4,
+      s"${parts.size} ship-range dirs listed; the 60-day receipt window must keep <= 4 of ~63")
+    // sidecar invariance double-check: pruned read == plain computation
+    import org.apache.spark.sql.functions._
+    val plain = graft.core.Tables.t(spark, dir, "lineitem")
+      .select((datediff(to_date(col("l_shipdate")), lit("1992-01-01")).cast("long")
+        + col("l_orderkey") % 30).as("receipt_days"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_returnflag"))
+      .filter(col("receipt_days").between(1900, 1959))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("l_returnflag").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = df.collect().toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) == plain)
+    // the pruning contract the sidecar exists for: few ranges read, many present
+    assert(rows.head.getLong(3) <= 4L && rows.head.getLong(4) >= 50L,
+      s"bins_read=${rows.head.getLong(3)} bins_total=${rows.head.getLong(4)}")
   }
 
   test("cdc_apply_stored: file-group filter prunes k_bucket directories at the scan") {
