@@ -4145,6 +4145,97 @@ object Extensions {
       .orderBy("user_id", "island_no")
   }
 
+  /** Interval OVERLAP join — both sides are INTERVALS (view-activity
+    * windows × click-activity windows per user), the two-sided
+    * generalization of [[graft.queries.Inventory]] q14's
+    * point-in-range join and the join tier of the interval algebra
+    * [[intervalMerge]] starts: per user, every (view, click) window
+    * pair that overlaps, with the exact overlap duration summed.
+    * Durations are the deterministic event_id synthesis (1–4 h /
+    * 0.5–3 h), half-open [s, e) overlap.
+    *
+    * Scale shape — grid-bucketed equi join, never a non-equi range
+    * join: each interval explodes to the 4-h grid cells it spans
+    * (grid ≥ max duration ⇒ ≤ 2 cells per interval), the join is a
+    * plain hash equi join on (user, cell), and each overlapping pair
+    * is kept EXACTLY ONCE by the overlap-start-ownership rule — only
+    * the cell containing greatest(s_a, s_b) emits the pair, a cell
+    * both sides provably carry (the overlap start lies inside both
+    * intervals). No DISTINCT pass, no pair ever shuffled twice;
+    * per-cell fan-out is bounded by per-user activity within one grid
+    * cell, the same bound q14 rides. The oracle is the plain non-equi
+    * join — bucketing must be answer-invisible. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val g = 14400000000L   // 4-h grid in µs, ≥ both max durations
+    val ev = t(s, dir, "events")
+    def intervals(tpe: String, durMod: Long, durMin: Long,
+                  sN: String, eN: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), unix_micros(col("ts")).as(sN),
+          (unix_micros(col("ts")) +
+            (col("event_id") % durMod + durMin) * 1000000L).as(eN))
+    val ax = intervals("view", 10800L, 3600L, "s_a", "e_a")
+      .withColumn("cell", explode(sequence(
+        expr(s"s_a DIV $g"), expr(s"(e_a - 1) DIV $g"))))
+    val bx = intervals("click", 9000L, 1800L, "s_b", "e_b")
+      .withColumn("cell", explode(sequence(
+        expr(s"s_b DIV $g"), expr(s"(e_b - 1) DIV $g"))))
+    ax.join(bx, Seq("user_id", "cell"))
+      .filter(col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+      .filter(col("cell") === expr(s"greatest(s_a, s_b) DIV $g"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("e_a"), col("e_b")) -
+          greatest(col("s_a"), col("s_b"))).as("overlap_us"))
+      .orderBy("user_id")
+  }
+
+  /** Distribution-drift gate between two corpus halves — the
+    * feature-drift check a training pipeline runs before trusting a
+    * new ingest window (PSI/KL need logs; the metric here is TOTAL
+    * VARIATION DISTANCE over ppm-floored shares, integer end to end
+    * and scale-independent: shares are ≤ 10⁶ whatever the corpus
+    * size, so nothing overflows at 10¹² events). Reference = days
+    * ≤ Jan 15, current = the rest; per event_type the exact counts
+    * and ppm shares, plus the global `tvd_ppm = Σ|Δshare| div 2` and
+    * a ≥ 5% drift flag on every row. Shape: two map-side-combined
+    * count aggregates, a full-outer type join (types may appear in
+    * one half only), totals and the TVD as 1-row scalar broadcasts
+    * (boundedScalarBnlj class). */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+    val ref = ev.filter(col("d") <= lit("2024-01-15").cast("date"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_ref"))
+    val cur = ev.filter(col("d") > lit("2024-01-15").cast("date"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_cur"))
+    driftReport(ref.join(cur, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+  }
+
+  /** [[dqDrift]]'s scoring tail over a `(event_type, n_ref, n_cur)`
+    * census — separable so the drift/no-drift contract is
+    * closed-form-testable on planted distributions. */
+  private[queries] def driftReport(jIn: DataFrame): DataFrame = {
+    val j = jIn.localCheckpoint()   // consumers: totals + shares
+    val tot = j.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val scored = j.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        expr("(n_ref * 1000000) DIV t_ref").as("share_ref_ppm"),
+        expr("(n_cur * 1000000) DIV t_cur").as("share_cur_ppm"))
+      .localCheckpoint()   // consumers: TVD scan + final projection
+    val tvd = scored.agg(
+      expr("sum(abs(share_ref_ppm - share_cur_ppm)) DIV 2").as("tvd_ppm"))
+    scored.crossJoin(broadcast(tvd))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        col("share_ref_ppm"), col("share_cur_ppm"), col("tvd_ppm"),
+        when(col("tvd_ppm") >= 50000L, lit(1L)).otherwise(lit(0L))
+          .as("drift_flag"))
+      .orderBy("event_type")
+  }
+
   /** Cohort retention triangle — the product-analytics staple (and the
     * data-mix health check an LLM ingest pipeline runs on its crawl
     * sources: does a cohort of first-seen domains/users keep producing
@@ -8083,6 +8174,49 @@ object ExtensionOracles {
        |       CAST((sum(n_tok) * 1000000) // 2000 AS BIGINT) AS fill_ppm
        |FROM c WHERE cum <= 2000
        |GROUP BY 1 ORDER BY lang""".stripMargin
+
+  /** [[Extensions.intervalJoin]]: the PLAIN non-equi overlap join —
+    * the grid bucketing and exactly-once ownership rule must be
+    * answer-invisible. */
+  val intervalJoin: String =
+    """WITH a AS (SELECT user_id, epoch_us(ts) AS s_a,
+      |                  epoch_us(ts) + (event_id % 10800 + 3600) * 1000000 AS e_a
+      |           FROM events WHERE event_type = 'view'),
+      |b AS (SELECT user_id, epoch_us(ts) AS s_b,
+      |             epoch_us(ts) + (event_id % 9000 + 1800) * 1000000 AS e_b
+      |      FROM events WHERE event_type = 'click')
+      |SELECT a.user_id AS user_id, count(*) AS n_pairs,
+      |       CAST(sum(least(e_a, e_b) - greatest(s_a, s_b)) AS BIGINT)
+      |         AS overlap_us
+      |FROM a JOIN b ON a.user_id = b.user_id AND s_a < e_b AND s_b < e_a
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** [[Extensions.dqDrift]]: the same two half-censuses, full-outer
+    * type join, ppm-floored shares, and TVD-over-shares rational. */
+  val dqDrift: String =
+    """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+      |r AS (SELECT event_type, count(*) AS n_ref FROM e
+      |      WHERE d <= DATE '2024-01-15' GROUP BY 1),
+      |c AS (SELECT event_type, count(*) AS n_cur FROM e
+      |      WHERE d > DATE '2024-01-15' GROUP BY 1),
+      |j AS (SELECT coalesce(r.event_type, c.event_type) AS event_type,
+      |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      |      FROM r FULL OUTER JOIN c ON r.event_type = c.event_type),
+      |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j),
+      |s AS (SELECT event_type, n_ref, n_cur,
+      |             (n_ref * 1000000) // t_ref AS share_ref_ppm,
+      |             (n_cur * 1000000) // t_cur AS share_cur_ppm
+      |      FROM j, t),
+      |v AS (SELECT sum(abs(share_ref_ppm - share_cur_ppm)) // 2 AS tvd_ppm
+      |      FROM s)
+      |SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+      |       CAST(n_cur AS BIGINT) AS n_cur,
+      |       CAST(share_ref_ppm AS BIGINT) AS share_ref_ppm,
+      |       CAST(share_cur_ppm AS BIGINT) AS share_cur_ppm,
+      |       CAST(tvd_ppm AS BIGINT) AS tvd_ppm,
+      |       CAST(CASE WHEN tvd_ppm >= 50000 THEN 1 ELSE 0 END AS BIGINT)
+      |         AS drift_flag
+      |FROM s, v ORDER BY event_type""".stripMargin
 
   /** [[Extensions.textPmi]]: the shingle kernel's tokenizer (lower,
     * \s-class split, empty filter, short-doc rule), adjacent pairs by

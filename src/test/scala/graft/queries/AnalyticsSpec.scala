@@ -164,4 +164,53 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     // language overshoots it
     assert(got.forall(t => t._3 <= 2000L && t._4 <= 1000000L && t._2 >= 1L))
   }
+
+  test("interval_join matches a driver-side all-pairs overlap scan") {
+    val got = Extensions.intervalJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // Tables.t, not raw parquet: events.ts may be TIMESTAMP_NTZ on disk
+    val ev = graft.core.Tables.t(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) AS s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def side(tpe: String, durMod: Long, durMin: Long) = ev.filter(_._2 == tpe)
+      .map { case (u, _, id, s) => (u, s, s + (id % durMod + durMin) * 1000000L) }
+    val a = side("view", 10800L, 3600L).groupBy(_._1)
+    val b = side("click", 9000L, 1800L).groupBy(_._1)
+    val want = a.keySet.intersect(b.keySet).toSeq.sorted.flatMap { u =>
+      val pairs = for {
+        (_, sa, ea) <- a(u); (_, sb, eb) <- b(u)
+        if sa < eb && sb < ea
+      } yield math.min(ea, eb) - math.max(sa, sb)
+      if (pairs.isEmpty) None
+      else Some((u, pairs.size.toLong, pairs.sum))
+    }
+    assert(got.toSeq == want)
+    assert(got.nonEmpty)   // the fixture must exercise the join at sf0.001
+    // every overlap is positive and capped by the shorter side's max span
+    assert(got.forall(t => t._3 > 0L && t._3 <= t._2 * 10799000000L))
+  }
+
+  test("driftReport: identical halves score TVD 0, a planted shift trips the flag") {
+    import spark.implicits._
+    val same = Seq(("a", 400L, 200L), ("b", 600L, 300L))
+      .toDF("event_type", "n_ref", "n_cur")
+    val s0 = Extensions.driftReport(same).collect()
+    // scale-free: halves of different sizes but identical SHAPE → 0
+    assert(s0.forall(r => r.getAs[Long]("tvd_ppm") == 0L &&
+      r.getAs[Long]("drift_flag") == 0L))
+    // 40/60 → 60/40 is TVD 0.2 = 200000 ppm ≥ the 5% flag line
+    val shifted = Seq(("a", 400L, 600L), ("b", 600L, 400L))
+      .toDF("event_type", "n_ref", "n_cur")
+    val s1 = Extensions.driftReport(shifted).collect()
+    assert(s1.forall(r => r.getAs[Long]("tvd_ppm") == 200000L &&
+      r.getAs[Long]("drift_flag") == 1L))
+    // a type present in one half only still lands one row (outer-join
+    // shape exercised by the declared query; here: share 0 on one side)
+    val oneSided = Seq(("a", 1000L, 0L), ("b", 0L, 1000L))
+      .toDF("event_type", "n_ref", "n_cur")
+    val s2 = Extensions.driftReport(oneSided).collect()
+    assert(s2.length == 2 &&
+      s2.forall(_.getAs[Long]("tvd_ppm") == 1000000L))
+  }
 }

@@ -59,8 +59,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "events_changepoint" -> 1, // 1-row max-|cusum| aggregate (peak flag);
                                // the totals broadcast sits behind the
                                // daily-frame localCheckpoint
-    "stream_changepoint" -> 1) // the same shared CUSUM tail over the
+    "stream_changepoint" -> 1, // the same shared CUSUM tail over the
                                // drained daily state
+    "dq_drift"           -> 1) // 1-row TVD aggregate (the totals
+                               // broadcast sits behind a checkpoint)
 
   // an allowlist entry for a query that no longer exists would silently
   // grant a future query of that name an unreviewed BNLJ allowance
@@ -117,6 +119,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     //  pre-checkpoint projection is text_ngrams' shape)
     ("q23_sessionize", "props", "user_id"),
     ("q14_range_join", "value", "user_id"),
+    ("interval_join", "props", "user_id"),           // events: id+user+ts+type
+    // (dq_drift's census scans sit behind driftReport's checkpoint,
+    //  invisible in the final plan — the text_tfidf situation)
     ("domain_quota", "o_orderstatus", "o_custkey"),  // orders: keys only
     ("layout_zorder", "o_totalprice", "o_orderdate"),// orders: cluster dims only
     ("corpus_offsets", "source", "text"),            // documents: id+text only
