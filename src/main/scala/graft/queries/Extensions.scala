@@ -506,9 +506,16 @@ object Extensions {
     * the probe itself INCLUDED (rank 1 at sim 1.0) — the verification
     * baseline every ANN paper reports recall against, cheap in the
     * 5-probe broadcast regime these queries run in. */
-  private def annExactTopK(emb: DataFrame, k: Int): DataFrame = {
+  private def annExactTopK(emb: DataFrame, k: Int): DataFrame =
+    annExactTopK(emb, emb.filter(col("vec_id") < 5), k)
+
+  /** [[annExactTopK]] with the probe batch decoupled from the corpus —
+    * the filtered-search twin needs queries drawn from the FULL
+    * collection while candidates come from the predicate's subset. */
+  private def annExactTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
     e.crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id").as("id"),
         round(graft.functions.Vecs.cosineSim(col("v"), col("qv")), 4).as("sim"))
@@ -583,6 +590,33 @@ object Extensions {
     val ann = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
       "vec_id", "embedding", k = 10, cents, nprobe = 4, books)
     annGate(annExactTopK(emb, 10), ann, floorPct = 30)  // measured 42-60%
+  }
+
+  /** FILTERED vector search — the production primitive every vector
+    * store ships (metadata predicate + kNN in one query: "nearest
+    * docs WITH label ∈ L"): queries come from the FULL collection,
+    * candidates only from the predicate's subset (labels ≡ 1 mod 3,
+    * ~30% of vectors). The engine PRE-filters — the IVF codebook is
+    * trained on and probes the filtered subset, so candidate
+    * generation never touches excluded vectors — rather than
+    * post-filtering a full-corpus top-k, the naive composition whose
+    * recall collapses as the predicate sharpens (a top-10 over
+    * everything may contain zero label-matching rows). At 100 TB the
+    * same shape is an IVF corpus partitioned by the predicate
+    * columns, probed lists pruned by both the codebook AND the
+    * predicate ([[annIvfStored]]'s partition filter with label as a
+    * second partition key). ORACLE-GATED via [[annGate]]: the exact
+    * twin is brute force over the SAME filtered subset with the same
+    * full-collection probes, recall floor 40% (the [[annIvf]] class
+    * measured on the subset). */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val sub = emb.filter(col("label") % 3 === 1)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cents = Similarity.sampleCentroids(sub, "vec_id", "embedding", nlist = 16)
+    val ann = Similarity.ivfTopK(sub, queries, "vec_id", "vec_id", "embedding",
+      k = 10, cents, nprobe = 4)
+    annGate(annExactTopK(sub, queries, 10), ann, floorPct = 40)
   }
 
   /** ANN over a storage-partitioned IVF corpus: same codebook and probe
@@ -7933,6 +7967,24 @@ object ExtensionOracles {
   val annExactTop10: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |m AS (SELECT q.qid, e.vec_id AS id,
+      |             round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+      |      FROM e, q),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |               ORDER BY sim DESC, id) AS rk FROM m)
+      |SELECT qid, CAST(rk AS INT) AS "rank", id, sim,
+      |       CAST(0 AS BIGINT) AS recall_gate
+      |FROM r WHERE rk <= 10 ORDER BY qid, "rank"""".stripMargin
+
+  /** [[Extensions.annFiltered]]: [[annExactTop10]] with candidates
+    * restricted to the metadata predicate's subset while probes stay
+    * full-collection — pre-filtering must be answer-equivalent to
+    * exact search over the filtered set. */
+  val annFilteredExact: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE label % 3 = 1),
+      |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < 5),
       |m AS (SELECT q.qid, e.vec_id AS id,
       |             round(list_cosine_similarity(e.v, q.qv), 4) AS sim
       |      FROM e, q),

@@ -271,6 +271,30 @@ object StreamingQueries {
         .agg(sum(col("cnt")).as("n")))
   }
 
+  /** Streaming drift monitoring — the dq_drift gate maintained from
+    * streaming state: the per-(type, day) census comes from the
+    * [[graft.streaming.EtlStream.eventWindowCounts]] drain, the two
+    * half-window censuses and the TVD report are batch arithmetic
+    * over that O(types × days) frame ([[Extensions.driftReport]], the
+    * shared tail). Shares dq_drift's oracle VERBATIM — drain ≡ batch
+    * is the gate. */
+  def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_drift_${System.nanoTime()}"
+    drainStaged(s, dir, copies = 1)(
+      graft.streaming.EtlStream.eventWindowCounts(s, _, name))
+    val census = drained(s, name)
+      .select(col("event_type"), to_date(col("day")).as("d"), col("cnt"))
+      .localCheckpoint()   // two consumers: the ref and cur half-censuses
+    val ref = census.filter(col("d") <= lit("2024-01-15").cast("date"))
+      .groupBy("event_type").agg(sum(col("cnt")).as("n_ref"))
+    val cur = census.filter(col("d") > lit("2024-01-15").cast("date"))
+      .groupBy("event_type").agg(sum(col("cnt")).as("n_cur"))
+    Extensions.driftReport(ref.join(cur, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+  }
+
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
     val name = s"stream_window_${System.nanoTime()}"
     drainStaged(s, dir, copies = 1)(

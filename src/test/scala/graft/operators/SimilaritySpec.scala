@@ -320,4 +320,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert((0L to 4L).exists(q => mmrSets(q) != relTop5(q)),
       "MMR selected exactly the relevance top-5 for every query — diversification is vacuous")
   }
+
+  test("filtered search: every IVF candidate honors the metadata predicate") {
+    // the ann_filtered arm run directly: candidates ONLY from the
+    // label ≡ 1 (mod 3) subset, probes from the full collection —
+    // pre-filtering, not post-filtering a full-corpus top-k
+    val sub = emb.filter($"label" % 3 === 1)
+    val subIds = sub.select("vec_id").as[Long].collect().toSet
+    val cents = Similarity.sampleCentroids(sub, "vec_id", "embedding", nlist = 16)
+    val got = Similarity.ivfTopK(sub, emb.filter($"vec_id" < 5), "vec_id",
+        "vec_id", "embedding", k = 10, cents, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, id) => subIds(id) },
+      "a candidate escaped the predicate subset")
+    // all 5 probes answered, even those whose own label is excluded
+    assert(got.map(_._1).toSet == (0L to 4L).toSet)
+  }
 }

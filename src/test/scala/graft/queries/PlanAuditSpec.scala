@@ -33,6 +33,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_ivf_topk",         // exact-twin gate: 5-row probe broadcast
     "ann_ivf_delta",        // exact-twin gate: 5-row probe broadcast (tail arm)
     "ann_ivf_kmeans",       // exact-twin gate: 5-row probe broadcast
+    "ann_filtered",         // exact-twin gate: 5-row probe broadcast
+                            // (filtered-subset candidates)
     "ann_ivfpq_topk",       // exact-twin gate: 5-row probe broadcast
     "emb_knn_graph",        // bounded probe batch (every 10th vector) broadcast
     "emb_hard_negatives",   // bounded probe batch (every 70th vector) broadcast
@@ -61,8 +63,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
                                // daily-frame localCheckpoint
     "stream_changepoint" -> 1, // the same shared CUSUM tail over the
                                // drained daily state
-    "dq_drift"           -> 1) // 1-row TVD aggregate (the totals
+    "dq_drift"           -> 1, // 1-row TVD aggregate (the totals
                                // broadcast sits behind a checkpoint)
+    "stream_drift"       -> 1) // the same shared drift tail over the
+                               // drained census
 
   // an allowlist entry for a query that no longer exists would silently
   // grant a future query of that name an unreviewed BNLJ allowance
