@@ -4565,6 +4565,67 @@ object Extensions {
       (c.getValue % InvIndexBuckets).toLong
     }.distinct
 
+  /** One stored character-TRIGRAM posting index per source dir per
+    * JVM — the pg_trgm / Lucene-wildcard layout: DISTINCT
+    * (gram, doc_id) pairs over the lowercased 3-char shingles
+    * ([[graft.functions.Sketches.charShingles]], the dedup_jaccard_char
+    * kernel), `partitionBy(crc32(gram) % 64)` like [[invStore]]'s
+    * word postings. */
+  private val trgmStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def trgmStore(s: SparkSession, dir: String): String =
+    trgmStores.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_trgm_q")
+      ivfTmpRoots.add(root)
+      val st = root.toString + "/postings"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Sketches.charShingles(col("text"), 3)).as("gram"))
+        .distinct()
+        .withColumn("gbucket", pmod(crc32(col("gram")), lit(InvIndexBuckets.toLong)))
+        .repartition(col("gbucket"))  // cluster each bucket, not 64 slivers per task
+        .write.partitionBy("gbucket").mode("overwrite").parquet(st)
+      st
+    })
+
+  private[graft] def trgmStorePath(s: SparkSession, dir: String): String =
+    trgmStore(s, dir)
+
+  /** Substring (`LIKE '%needle%'`) search SERVED FROM the stored
+    * trigram index — the pg_trgm primitive, the wildcard tier of the
+    * retrieval family ([[indexInvertedStored]] answers word
+    * conjunctions; THIS answers arbitrary substrings no tokenizer
+    * covers): the needle's own trigrams are pure driver arithmetic, so
+    * the probe reaches the posting scan as a STATIC partition filter
+    * (≤ 8 of 64 directories for the 10-char needle); docs carrying ALL
+    * needle trigrams — a condition substring containment IMPLIES, so
+    * no true match can be missed — form the bounded candidate set,
+    * broadcast into ONE exact `contains` verify pass over the doc
+    * store (at 100 TB that store is key-bucketed — [[bucketedJoin]]'s
+    * tier — so the verify is a point fetch, not a scan). Output is the
+    * verified doc ids plus `n_candidates`, pinning the index's
+    * candidate semantics; the oracle recomputes BOTH the direct
+    * substring scan and the trigram-conjunction count from raw text —
+    * index+probe+verify invariance in one hash. */
+  def indexTrgmProbe(s: SparkSession, dir: String): DataFrame = {
+    val needle = "merge part"
+    val grams = needle.toLowerCase.sliding(3).toSeq.distinct
+    val buckets = invBuckets(grams)
+    val cands = s.read.parquet(trgmStore(s, dir))
+      .filter(col("gbucket").isin(buckets: _*) && col("gram").isin(grams: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ng"))   // (gram, doc_id) unique in the index
+      .filter(col("ng") === grams.size)
+      .select("doc_id")
+      .localCheckpoint()   // two consumers: candidate count + verify join
+    val nCand = cands.count()   // bounded driver scalar, pinned by the oracle
+    t(s, dir, "documents")
+      .join(broadcast(cands), Seq("doc_id"), "left_semi")
+      .filter(instr(lower(col("text")), needle) > 0)
+      .select(col("doc_id"), lit(nCand).as("n_candidates"))
+      .orderBy("doc_id")
+  }
+
   /** BM25-scored keyword search SERVED FROM the stored inverted index —
     * [[indexInvertedStored]]'s partition-pruned posting probe carrying
     * [[graft.operators.TextAnalysis.bm25MoreLikeThis]]'s exact-integer
@@ -4866,6 +4927,7 @@ object Extensions {
       "hilbert_layout" -> hilbertStore(s, dir),
       "compact_layout" -> compactStore(s, dir)._2,
       "zonemap_layout" -> zonemapStore(s, dir)._1,
+      "trgm_index"     -> trgmStore(s, dir),
       "bucketed_orders"   -> bOrders,
       "bucketed_lineitem" -> bLineitem,
       "cdc_log"        -> cdcStore(s, dir),
@@ -7975,6 +8037,32 @@ object ExtensionOracles {
       |SELECT qid, CAST(rk AS INT) AS "rank", id, sim,
       |       CAST(0 AS BIGINT) AS recall_gate
       |FROM r WHERE rk <= 10 ORDER BY qid, "rank"""".stripMargin
+
+  /** [[Extensions.indexTrgmProbe]]: the direct substring scan AND the
+    * trigram-conjunction candidate count, both recomputed from raw
+    * text — index build, bucket probe, and exact verify must change
+    * nothing about the answer, and the candidate semantics are
+    * pinned. */
+  val indexTrgmProbe: String = {
+    val needle = "merge part"
+    val grams = needle.sliding(3).toSeq.distinct
+    val values = grams.map(g => s"('$g')").mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(lower(text)) <= 3 THEN [lower(text)]
+       |              ELSE [substr(lower(text), i, 3) for i in range(1, len(lower(text)) - 1)] END AS sg
+       |  FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram
+       |      FROM (SELECT doc_id, unnest(sg) AS gram FROM sh)),
+       |qg AS (SELECT * FROM (VALUES $values) t(gram)),
+       |cand AS (SELECT doc_id FROM g JOIN qg USING (gram)
+       |         GROUP BY 1 HAVING count(*) = ${grams.size}),
+       |n AS (SELECT count(*) AS n_candidates FROM cand)
+       |SELECT doc_id, CAST(n_candidates AS BIGINT) AS n_candidates
+       |FROM documents, n
+       |WHERE contains(lower(text), '$needle')
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** [[Extensions.annFiltered]]: [[annExactTop10]] with candidates
     * restricted to the metadata predicate's subset while probes stay

@@ -104,7 +104,7 @@ class MainSpec extends AnyFunSuite with SparkSpec {
   test("query --prepare builds every stored artifact; a stored probe then runs against it") {
     val dir = "/root/testdata/sf0.001"
     val built = graft.queries.Extensions.prepareStores(spark, dir)
-    assert(built.size == 13 && built.map(_._1).distinct.size == 13)
+    assert(built.size == 14 && built.map(_._1).distinct.size == 14)
     // each artifact location really exists on disk (bucketed tables are
     // catalog names, not paths — assert via the catalog instead)
     built.foreach { case (name, loc) =>

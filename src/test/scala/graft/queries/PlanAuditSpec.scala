@@ -369,6 +369,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"bins_read=${rows.head.getLong(3)} bins_total=${rows.head.getLong(4)}")
   }
 
+  test("index_trgm_probe: the needle's trigram buckets prune posting dirs at the scan") {
+    val df = graft.SparkEntry.queries("index_trgm_probe")(spark, dir)
+    // the posting probe runs pre-checkpoint; audit the probe frame the
+    // declared query builds (the invStore situation) via the store API
+    import org.apache.spark.sql.functions._
+    val grams = "merge part".sliding(3).toSeq.distinct
+    val buckets = grams.map { g =>
+      val c = new java.util.zip.CRC32()
+      c.update(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (c.getValue % 64).toLong
+    }.distinct
+    val probe = spark.read.parquet(
+        graft.queries.Extensions.trgmStorePath(spark, dir))
+      .filter(col("gbucket").isin(buckets: _*) && col("gram").isin(grams: _*))
+    // answer sanity: verified ⊆ candidates and the exact scan agrees
+    val plain = graft.core.Tables.t(spark, dir, "documents")
+      .filter(instr(lower(col("text")), "merge part") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == plain)
+    assert(rows.forall(_.getLong(1) >= plain.size))   // conjunction over-approximates
+    // pruning: the needle's 8 grams hash into <= 8 of 64 directories
+    val scan = probe.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan under the trigram probe"))
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(parts.size <= grams.size,
+      s"${parts.size} gram dirs listed; probe must keep <= ${grams.size} of 64")
+  }
+
   test("cdc_apply_stored: file-group filter prunes k_bucket directories at the scan") {
     val df = graft.SparkEntry.queries("cdc_apply_stored")(spark, dir)
     val scan = df.queryExecution.sparkPlan.collectLeaves()
