@@ -384,8 +384,16 @@ object Dedup {
                driverEdgeLimit: Long = 10_000_000L): DataFrame = {
     val edgeDf = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
     val base = ids.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-    if (edgeDf.count() <= driverEdgeLimit) {
-      val edges = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // One bounded collect decides the path AND delivers the edges: the
+    // old count()-then-collect() pair executed the verified-pair plan
+    // (LSH banding + exact verify, the expensive discovery pass) twice
+    // whenever the caller hadn't checkpointed it. limit(L+1) keeps the
+    // driver bound intact — L+1 rows ≈ the same 160 MB ceiling — and
+    // over-limit edge sets short-circuit into the distributed path.
+    val probeLimit = math.min(driverEdgeLimit, Int.MaxValue.toLong - 1L).toInt
+    val probed = edgeDf.limit(probeLimit + 1).collect()
+    if (probed.length <= probeLimit) {
+      val edges = probed.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

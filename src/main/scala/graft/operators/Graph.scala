@@ -179,22 +179,41 @@ object Graph {
     val cExpr = if (wide)
       expr("CAST((CAST(rank_e9 AS DECIMAL(38,0)) * w) DIV outdeg AS DECIMAL(38,0))")
     else expr("(rank_e9 * w) DIV outdeg")
+    // The dangling SET is static (a property of the edge list), so when
+    // it is empty — the common closed-graph case: every node has an
+    // out-edge — Dₖ is identically zero at EVERY step and the whole
+    // dangling apparatus (one scalar aggregate over the rank frame + one
+    // broadcast + one cross join per iteration, i.e. one extra driver-
+    // synchronized job per step) drops out of the loop. One isEmpty
+    // probe over the already-checkpointed node frame decides it; the
+    // zero-dmass update is term-for-term the general rule at Dₖ = 0, so
+    // the result is bit-identical (GraphSpec pins both paths).
+    val hasDangling = !nodesF.filter(!col("has_out")).isEmpty
     def damped = if (wide)
       expr(s"($dampingPct * (coalesce(s, CAST(0 AS DECIMAL(38,0))) + CAST(IF(is_seed, dmass DIV $nT, 0L) AS DECIMAL(38,0)))) DIV 100")
     else
       expr(s"($dampingPct * (coalesce(s, 0L) + IF(is_seed, dmass DIV $nT, 0L))) DIV 100")
+    def dampedNoDangling = if (wide)
+      expr(s"($dampingPct * coalesce(s, CAST(0 AS DECIMAL(38,0)))) DIV 100")
+    else
+      expr(s"($dampingPct * coalesce(s, 0L)) DIV 100")
     val baseExpr = expr(s"IF(is_seed, ${base}L, 0L)")
     for (_ <- 1 to iterations) {
-      val dmass = ranks.filter(!col("has_out"))
-        .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("dmass"))
       val contrib = edgesDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"), cExpr.as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodesF.join(contrib, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(dmass))
-        .select(col("node"), (baseExpr + damped).as("rank_e9"),
-          col("has_out"), col("is_seed"))
-        .localCheckpoint()
+      val joined = nodesF.join(contrib, col("node") === col("dst"), "left")
+      val updated =
+        if (hasDangling) {
+          val dmass = ranks.filter(!col("has_out"))
+            .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("dmass"))
+          joined.crossJoin(broadcast(dmass))
+            .select(col("node"), (baseExpr + damped).as("rank_e9"),
+              col("has_out"), col("is_seed"))
+        } else
+          joined.select(col("node"), (baseExpr + dampedNoDangling).as("rank_e9"),
+            col("has_out"), col("is_seed"))
+      ranks = updated.localCheckpoint()
     }
     ranks.select(col("node"), col("rank_e9"))
   }
@@ -296,6 +315,13 @@ object Graph {
   def triangleCounts(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val nset = nodes.select(col("node"))
     val und = canonicalUndirected(edges, nset)
+    triangleCountsOver(und, nset)
+  }
+
+  /** [[triangleCounts]] over an ALREADY-materialized canonical closure —
+    * lets [[clusteringCoefficientPpm]] share one closure + degree pass
+    * instead of re-running the semi-join/distinct derivation twice. */
+  private def triangleCountsOver(und: DataFrame, nset: DataFrame): DataFrame = {
     val deg = undirectedDegree(und)
     // orient a→b iff (deg, id) of a < (deg, id) of b (total order, acyclic)
     val oriented = und
@@ -331,7 +357,7 @@ object Graph {
     val nset = nodes.select(col("node"))
     val und = canonicalUndirected(edges, nset)
     val deg = undirectedDegree(und)
-    triangleCounts(edges, nset)
+    triangleCountsOver(und, nset)
       .join(deg.select(col("n").as("node"), col("d")), Seq("node"), "left")
       .select(col("node"),
         when(coalesce(col("d"), lit(0L)) < 2, lit(0L))
@@ -411,26 +437,38 @@ object Graph {
       .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .distinct().localCheckpoint()
-    // (origin, node, dist): shortest directed distance origin→node found
-    var known = nset.select(col("node").as("origin"), col("node"), lit(0).as("dist"))
-      .localCheckpoint()
-    var frontier = known
+    // (origin, node, dist): shortest directed distance origin→node
+    // found. Per-LEVEL checkpointed frames (the betweennessBrandesPpm
+    // forward-sweep pattern): the settled set for the anti-join is a
+    // UNION of already-materialized levels, so each step pays exactly
+    // one materialization job (the new frontier) — the old monolithic
+    // `known.unionByName(frontier).localCheckpoint()` re-copied every
+    // previously-discovered pair once per step, O(Σ|ball| · maxDist)
+    // rewritten bytes and a second job per step, for the same result.
+    val levels = scala.collection.mutable.ArrayBuffer(
+      nset.select(col("node").as("origin"), col("node"), lit(0).as("dist"))
+        .localCheckpoint())
+    var knownU = levels(0).select(col("origin"), col("node"))
+    var frontier = levels(0)
     var d = 0
     var done = false
     while (d < maxDist && !done) {
       d += 1
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(col("origin"), e("dst").as("node")).distinct()
-      frontier = cand.join(known, Seq("origin", "node"), "left_anti")
+      frontier = cand.join(knownU, Seq("origin", "node"), "left_anti")
         .select(col("origin"), col("node"), lit(d).as("dist"))
         .localCheckpoint()
       // empty frontier ⇒ every later step discovers nothing: BFS is
       // monotone, so exiting at exhaustion returns exactly what the
       // full maxDist budget would — callers may over-budget for free
       done = frontier.isEmpty
-      if (!done) known = known.unionByName(frontier).localCheckpoint()
+      if (!done) {
+        levels += frontier
+        knownU = knownU.unionByName(frontier.select(col("origin"), col("node")))
+      }
     }
-    known
+    levels.reduce(_ unionByName _)
   }
 
   /** Harmonic centrality at web scale — the HyperBall construction
@@ -693,9 +731,18 @@ object Graph {
     * every step. */
   def labelPropagationMinTie(edges: DataFrame, nodes: DataFrame,
                              iterations: Int): DataFrame = {
-    require(iterations >= 0)
     val nset = nodes.select(col("node"))
-    val und = canonicalUndirected(edges, nset)
+    labelPropagationMinTieOver(canonicalUndirected(edges, nset), nset, iterations)
+  }
+
+  /** [[labelPropagationMinTie]] over an ALREADY-materialized canonical
+    * closure — the assign-then-score compositions (modularity,
+    * conductance) derive the closure ONCE and share it between the LPA
+    * pass and the scoring aggregates instead of paying the semi-join +
+    * distinct derivation twice. */
+  private[graft] def labelPropagationMinTieOver(und: DataFrame, nset: DataFrame,
+                                                iterations: Int): DataFrame = {
+    require(iterations >= 0)
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
@@ -760,17 +807,22 @@ object Graph {
     while (it < maxIters && !converged) {
       it += 1
       val relaxed = e.join(dist, e("src") === dist("node"))
-        .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val merged = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"),
+          lit(false).as("old"))
+      // the previous distance rides through the SAME min-merge aggregate
+      // (each node appears at most once in `dist`, so min-over-old-rows
+      // IS the previous value): change detection costs no extra join —
+      // one shuffle per step instead of two
+      val merged = dist.withColumn("old", lit(true)).unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"),
+          min(when(col("old"), col("dist"))).as("od"))
         .localCheckpoint()
       // reached only grows, distances only fall: any new node or any
       // strict decrease = not yet converged; neither = fixpoint
-      converged = merged.join(dist.select(col("node"), col("dist").as("od")),
-          Seq("node"), "left")
+      converged = merged
         .filter(col("od").isNull || col("dist") < col("od"))
         .isEmpty
-      dist = merged
+      dist = merged.select(col("node"), col("dist"))
     }
     if (!converged) {
       // Budget exhausted with the last step still producing changes:
@@ -1058,9 +1110,14 @@ object Graph {
     * metrics are two hash aggregates over the edge list (map-side
     * combine under degree skew), never an all-pairs form. */
   def modularityPpm(edges: DataFrame, nodes: DataFrame,
-                    labels: DataFrame): DataFrame = {
-    val nset = nodes.select(col("node"))
-    val und = canonicalUndirected(edges, nset)
+                    labels: DataFrame): DataFrame =
+    modularityPpmOver(
+      canonicalUndirected(edges, nodes.select(col("node"))), labels)
+
+  /** [[modularityPpm]] over an ALREADY-materialized canonical closure
+    * (see [[labelPropagationMinTieOver]]). */
+  private[graft] def modularityPpmOver(und: DataFrame,
+                                       labels: DataFrame): DataFrame = {
     val la = labels.select(col("node").as("a"), col("label").as("l_a"))
     val lb = labels.select(col("node").as("b"), col("label").as("l_b"))
     val intra = und.join(la, "a").join(lb, "b")
@@ -1109,9 +1166,14 @@ object Graph {
     * list (map-side combine under skew), never all-pairs. Returns
     * (label, n_nodes, cut_edges, degree_sum, phi_ppm). */
   def conductancePpm(edges: DataFrame, nodes: DataFrame,
-                     labels: DataFrame): DataFrame = {
-    val nset = nodes.select(col("node"))
-    val und = canonicalUndirected(edges, nset)
+                     labels: DataFrame): DataFrame =
+    conductancePpmOver(
+      canonicalUndirected(edges, nodes.select(col("node"))), labels)
+
+  /** [[conductancePpm]] over an ALREADY-materialized canonical closure
+    * (see [[labelPropagationMinTieOver]]). */
+  private[graft] def conductancePpmOver(und: DataFrame,
+                                        labels: DataFrame): DataFrame = {
     val la = labels.select(col("node").as("a"), col("label").as("l_a"))
     val lb = labels.select(col("node").as("b"), col("label").as("l_b"))
     val cut = und.join(la, "a").join(lb, "b")

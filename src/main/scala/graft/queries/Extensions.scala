@@ -3322,9 +3322,15 @@ object Extensions {
     val bridges = nodes.filter(col("node") % 50 === 25 && col("node") + 50 < n)
       .select(col("node").as("src"), (col("node") + 50).as("dst"))
     val edges = cohesion.unionByName(bridges)
-    val labels = graft.operators.Graph.labelPropagationMinTie(
-      edges, nodes, iterations = 8)
-    graft.operators.Graph.modularityPpm(edges, nodes, labels)
+    // ONE canonical-closure derivation shared by the LPA pass and the
+    // scoring aggregates (the ...Over variants) — the closure is a pure
+    // function of the edge list, so deriving it per operator paid the
+    // semi-join + distinct materialization twice for the same frame
+    val nset = nodes.select(col("node"))
+    val und = graft.operators.Graph.canonicalUndirected(edges, nset)
+    val labels = graft.operators.Graph.labelPropagationMinTieOver(
+      und, nset, iterations = 8)
+    graft.operators.Graph.modularityPpmOver(und, labels)
   }
 
   /** [[graphTriangles]]'s volume twin (round 19): degree-ordered
@@ -3806,9 +3812,12 @@ object Extensions {
     val bridges = nodes.filter(col("node") % 10 === 5 && col("node") < 90)
       .select(col("node").as("src"), (col("node") + 10).as("dst"))
     val edges = chain.unionByName(skip).unionByName(bridges)
-    val labels = graft.operators.Graph.labelPropagationMinTie(
-      edges, nodes, iterations = 8)
-    graft.operators.Graph.modularityPpm(edges, nodes, labels)
+    // one shared canonical closure for assign + score (see the volume twin)
+    val nset = nodes.select(col("node"))
+    val und = graft.operators.Graph.canonicalUndirected(edges, nset)
+    val labels = graft.operators.Graph.labelPropagationMinTieOver(
+      und, nset, iterations = 8)
+    graft.operators.Graph.modularityPpmOver(und, labels)
   }
 
   /** Per-community conductance of the [[graphLpa]] assignment
@@ -3830,9 +3839,12 @@ object Extensions {
     val bridges = nodes.filter(col("node") % 10 === 5 && col("node") < 90)
       .select(col("node").as("src"), (col("node") + 10).as("dst"))
     val edges = chain.unionByName(skip).unionByName(bridges)
-    val labels = graft.operators.Graph.labelPropagationMinTie(
-      edges, nodes, iterations = 8)
-    graft.operators.Graph.conductancePpm(edges, nodes, labels)
+    // one shared canonical closure for assign + score (see graphModularityVolume)
+    val nset = nodes.select(col("node"))
+    val und = graft.operators.Graph.canonicalUndirected(edges, nset)
+    val labels = graft.operators.Graph.labelPropagationMinTieOver(
+      und, nset, iterations = 8)
+    graft.operators.Graph.conductancePpmOver(und, labels)
   }
 
   /** Exact k-NN graph over the embedding table — the all-pairs
@@ -4652,10 +4664,15 @@ object Extensions {
   def indexBm25Probe(s: SparkSession, dir: String): DataFrame = {
     val store = invStore(s, dir)
     val root = store.stripSuffix("/postings")
+    // ONE read of the 1-row stats parquet serves both consumers: the
+    // envelope guard needs the scalars on the driver anyway, and a
+    // driver-held 1-row frame re-enters the plan cheapest as literal
+    // columns — the second parquet scan AND the per-probe
+    // BroadcastExchange + cross join the old form paid are both gone
+    // (same contract as pageRankE9's N: a bounded driver scalar).
     val statsRow = s.read.parquet(root + "/stats").head()
     TextAnalysis.bm25RequireI64Envelope(
       statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
-    val stats = s.read.parquet(root + "/stats")
     val buckets = invBuckets(InvIndexTerms)
     val cand = s.read.parquet(store)
       .filter(col("tbucket").isin(buckets: _*) &&
@@ -4668,7 +4685,8 @@ object Extensions {
     val dfq = cand.groupBy("term").agg(count(lit(1)).as("df"))
     cand.join(broadcast(dfq), "term")
       .join(s.read.parquet(root + "/doclen"), "doc_id")
-      .crossJoin(broadcast(stats))
+      .withColumn("n_docs", lit(statsRow.getLong(0)))
+      .withColumn("s_tok", lit(statsRow.getLong(1)))
       .withColumn("idf_ppm",
         expr("(1000000 * (2 * (n_docs - df) + 1)) DIV (2 * df + 1)"))
       .withColumn("sat_ppm",
@@ -4748,10 +4766,10 @@ object Extensions {
   def indexBm25Phrase(s: SparkSession, dir: String): DataFrame = {
     val store = invStore(s, dir)
     val root = store.stripSuffix("/postings")
+    // ONE stats read + literal scalars — see indexBm25Probe.
     val statsRow = s.read.parquet(root + "/stats").head()
     TextAnalysis.bm25RequireI64Envelope(
       statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
-    val stats = s.read.parquet(root + "/stats")
     val buckets = invBuckets(PhraseTerms)
     val post = s.read.parquet(store)
       .filter(col("tbucket").isin(buckets: _*) &&
@@ -4771,7 +4789,8 @@ object Extensions {
     val dfq = cand.agg(count(lit(1)).as("df"))
     cand.crossJoin(broadcast(dfq))
       .join(s.read.parquet(root + "/doclen"), "doc_id")
-      .crossJoin(broadcast(stats))
+      .withColumn("n_docs", lit(statsRow.getLong(0)))
+      .withColumn("s_tok", lit(statsRow.getLong(1)))
       .withColumn("idf_ppm",
         expr("(1000000 * (2 * (n_docs - df) + 1)) DIV (2 * df + 1)"))
       .withColumn("sat_ppm",

@@ -314,13 +314,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     // (mat+sat+the) must beat doc 2 (zero shared terms — absent)
     assert(!bc.exists(_._3 == 2L) && !bc.exists(_._3 == 5L))
     // and the fallback really dropped the forced posting-join broadcast
-    // hints: the 1-row corpus-stats crossJoin keeps its hint in BOTH
-    // regimes (intended at any scale), so count hints — 3 vs 1
+    // hints: the corpus stats ride as LITERALS now (the envelope guard
+    // already collects them — no 1-row crossJoin), so the broadcast
+    // regime carries the three posting-side hints (qTerms, the df
+    // semi-join probe, dfQ) and the fallback carries none
     def hints(limit: Long) = "strategy=broadcast".r.findAllIn(TextAnalysis
       .bm25MoreLikeThis(docs, "doc_id", "text", id => id === 0L, k = 3,
         broadcastLimit = limit)
       .queryExecution.optimizedPlan.toString).size
-    assert(hints(Long.MaxValue) >= 3 && hints(0L) == 1)
+    assert(hints(Long.MaxValue) >= 3 && hints(0L) == 0)
   }
 
   test("bm25 i64 envelope: past the documented bounds the guard fails loudly") {
