@@ -440,15 +440,24 @@ object Graph {
     // (origin, node, dist): shortest directed distance origin→node
     // found. Per-LEVEL checkpointed frames (the betweennessBrandesPpm
     // forward-sweep pattern): the settled set for the anti-join is a
-    // UNION of already-materialized levels, so each step pays exactly
-    // one materialization job (the new frontier) — the old monolithic
-    // `known.unionByName(frontier).localCheckpoint()` re-copied every
-    // previously-discovered pair once per step, O(Σ|ball| · maxDist)
-    // rewritten bytes and a second job per step, for the same result.
+    // lazy UNION of already-materialized levels, so most steps pay
+    // exactly one materialization job (the new frontier) — the old
+    // monolithic `known.unionByName(frontier).localCheckpoint()`
+    // re-copied every previously-discovered pair once per step,
+    // O(Σ|ball| · maxDist) rewritten bytes and a second job per step.
+    // The union is COLLAPSED back to one materialized frame every
+    // `collapseEvery` levels: unbounded union legs grow the per-step
+    // plan linearly and measured SLOWER past ~4 legs (Catalyst
+    // planning + AQE orchestration per leg outweigh the avoided copy
+    // on overhead-dominated steps), so the hybrid re-copies the
+    // settled set maxDist/4 times instead of maxDist times while
+    // keeping every step's plan bounded at 4 scan legs.
+    val collapseEvery = 4
     val levels = scala.collection.mutable.ArrayBuffer(
       nset.select(col("node").as("origin"), col("node"), lit(0).as("dist"))
         .localCheckpoint())
     var knownU = levels(0).select(col("origin"), col("node"))
+    var legs = 1
     var frontier = levels(0)
     var d = 0
     var done = false
@@ -466,6 +475,8 @@ object Graph {
       if (!done) {
         levels += frontier
         knownU = knownU.unionByName(frontier.select(col("origin"), col("node")))
+        legs += 1
+        if (legs >= collapseEvery) { knownU = knownU.localCheckpoint(); legs = 1 }
       }
     }
     levels.reduce(_ unionByName _)

@@ -481,41 +481,33 @@ object TextAnalysis {
                        broadcastLimit: Long = 2_000_000L): DataFrame = {
     val pairs = tfPairs(df, idCol, textCol)
       .localCheckpoint()   // one tokenize scan feeds 4 consumers
-    // Per-doc lengths as ONE map-side-combined aggregate, materialized:
-    // it feeds the envelope guard AND the candidate scoring join. The
-    // old form computed it twice — once for the guard and once as a
-    // window over EVERY (term, doc, tf) row, which shuffles the whole
-    // pair frame by doc where the aggregate shuffles one combined
-    // partial per doc per map task (guide §2.3: aggregate before you
-    // shuffle), and the scoring join then touches candidate docs only.
-    val doclen = pairs.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint()
     // loud i64-envelope guard (pcaPowerIterate precedent): one bounded
-    // 1-row driver aggregate over the materialized doclen — non-ANSI
+    // 1-row driver aggregate over the checkpointed pairs — non-ANSI
     // Long arithmetic would wrap SILENTLY past the documented bounds
     // while the DuckDB oracle errors, silently diverging the scores.
     // Its scalars ARE the corpus stats (group count = N, Σdl = S), so
-    // they re-enter the scoring plan as literals — no second stats
-    // aggregate, no per-run 1-row BroadcastExchange + cross join.
-    val env = doclen.agg(count(lit(1)), sum(col("dl")), max(col("dl"))).head()
+    // they re-enter the scoring plan as LITERALS — the old second
+    // stats aggregate and its per-run 1-row BroadcastExchange + cross
+    // join are gone. (A doclen-aggregate + equi-join variant that also
+    // removed the dl window measured SLOWER at bench scale — the extra
+    // materialization and candidate-side join sort cost more than the
+    // one window shuffle saves; guide §1.1's revert-to-empirical rule.)
+    val env = pairs.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)), sum(col("dl")), max(col("dl"))).head()
     bm25RequireI64Envelope(env.getLong(0), env.getLong(1), env.getLong(2))
+    val withDl = pairs.withColumn("dl",
+      sum(col("tf")).over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
     val qTerms = pairs.filter(isQuery(col(idCol)))
       .select(col(idCol).as("query_id"), col("term"))
+    val dfQ = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(qTerms.select(col("term")).distinct(), "term")
     // one count over the checkpointed pairs decides both joins: dfQ is
     // ≤ qTerms' distinct-term cardinality, so the one gate bounds both
     val small = qTerms.count() <= broadcastLimit
     def side(t: DataFrame): DataFrame = if (small) broadcast(t) else t
-    // df restricted BEFORE the aggregate: the semi-join on the (small,
-    // broadcast) query-term set drops every non-query term's rows ahead
-    // of the exchange instead of aggregating df for the whole vocabulary
-    // and discarding all but the query terms afterwards
-    val dfQ = pairs
-      .join(side(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    pairs.join(side(qTerms), "term")
+    withDl.join(side(qTerms), "term")
       .filter(col(idCol) =!= col("query_id"))
       .join(side(dfQ), "term")
-      .join(doclen, idCol)
       .withColumn("n_docs", lit(env.getLong(0)))
       .withColumn("s_tok", lit(env.getLong(1)))
       .withColumn("idf_ppm",

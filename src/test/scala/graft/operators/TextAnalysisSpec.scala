@@ -316,13 +316,13 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     // and the fallback really dropped the forced posting-join broadcast
     // hints: the corpus stats ride as LITERALS now (the envelope guard
     // already collects them — no 1-row crossJoin), so the broadcast
-    // regime carries the three posting-side hints (qTerms, the df
-    // semi-join probe, dfQ) and the fallback carries none
+    // regime carries the two posting-side hints (qTerms, dfQ) and the
+    // fallback carries none
     def hints(limit: Long) = "strategy=broadcast".r.findAllIn(TextAnalysis
       .bm25MoreLikeThis(docs, "doc_id", "text", id => id === 0L, k = 3,
         broadcastLimit = limit)
       .queryExecution.optimizedPlan.toString).size
-    assert(hints(Long.MaxValue) >= 3 && hints(0L) == 0)
+    assert(hints(Long.MaxValue) >= 2 && hints(0L) == 0)
   }
 
   test("bm25 i64 envelope: past the documented bounds the guard fails loudly") {
