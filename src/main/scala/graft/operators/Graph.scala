@@ -179,6 +179,7 @@ object Graph {
     val cExpr = if (wide)
       expr("CAST((CAST(rank_e9 AS DECIMAL(38,0)) * w) DIV outdeg AS DECIMAL(38,0))")
     else expr("(rank_e9 * w) DIV outdeg")
+    val cType = if (wide) "decimal(38,0)" else "bigint"
     // The dangling SET is static (a property of the edge list), so when
     // it is empty — the common closed-graph case: every node has an
     // out-edge — Dₖ is identically zero at EVERY step and the whole
@@ -198,20 +199,36 @@ object Graph {
     else
       expr(s"($dampingPct * coalesce(s, 0L)) DIV 100")
     val baseExpr = expr(s"IF(is_seed, ${base}L, 0L)")
+    // The per-node flag row and the per-edge contribution rows ride ONE
+    // union into ONE groupBy(node) — sum(c) over the same integer
+    // addends (the base leg's NULL c adds nothing; a no-inflow node
+    // sums to NULL exactly as the old left join produced), the static
+    // flags recovered by max over the single non-null flag row — so the
+    // old contrib-aggregate + nodes-left-join pair (two Exchanges, one
+    // of them re-shuffling the node frame EVERY step) collapses to one
+    // Exchange per step carrying the same bytes (guide §2.4: operations
+    // keyed the same way share one exchange). Bit-identical update:
+    // same addends, same integer fold, same NULL semantics.
+    val baseLeg = nodesF.select(col("node"),
+      lit(null).cast(cType).as("c"), col("has_out"), col("is_seed"))
     for (_ <- 1 to iterations) {
-      val contrib = edgesDeg.join(ranks, col("src") === col("node"))
-        .select(col("dst"), cExpr.as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val joined = nodesF.join(contrib, col("node") === col("dst"), "left")
+      val contribLeg = edgesDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"), cExpr.as("c"),
+          lit(null).cast("boolean").as("has_out"),
+          lit(null).cast("boolean").as("is_seed"))
+      val merged = baseLeg.unionByName(contribLeg)
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("s"), max(col("has_out")).as("has_out"),
+          max(col("is_seed")).as("is_seed"))
       val updated =
         if (hasDangling) {
           val dmass = ranks.filter(!col("has_out"))
             .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("dmass"))
-          joined.crossJoin(broadcast(dmass))
+          merged.crossJoin(broadcast(dmass))
             .select(col("node"), (baseExpr + damped).as("rank_e9"),
               col("has_out"), col("is_seed"))
         } else
-          joined.select(col("node"), (baseExpr + dampedNoDangling).as("rank_e9"),
+          merged.select(col("node"), (baseExpr + dampedNoDangling).as("rank_e9"),
             col("has_out"), col("is_seed"))
       ranks = updated.localCheckpoint()
     }
@@ -463,9 +480,18 @@ object Graph {
     var done = false
     while (d < maxDist && !done) {
       d += 1
+      // Union-fold (guide §2.4): candidates and the settled set ride ONE
+      // groupBy(origin, node) — max(old) marks pairs already settled,
+      // the filter keeps exactly the old distinct-then-anti-join's
+      // output, and the step pays one Exchange instead of two (the
+      // distinct's and the anti-join's, which both shuffled the settled
+      // legs anyway).
       val cand = frontier.join(e, frontier("node") === e("src"))
-        .select(col("origin"), e("dst").as("node")).distinct()
-      frontier = cand.join(knownU, Seq("origin", "node"), "left_anti")
+        .select(col("origin"), e("dst").as("node"), lit(false).as("old"))
+      frontier = knownU.select(col("origin"), col("node"), lit(true).as("old"))
+        .unionByName(cand)
+        .groupBy(col("origin"), col("node")).agg(max(col("old")).as("old"))
+        .filter(!col("old"))
         .select(col("origin"), col("node"), lit(d).as("dist"))
         .localCheckpoint()
       // empty frontier ⇒ every later step discovers nothing: BFS is
@@ -634,16 +660,31 @@ object Graph {
     var converged = false
     while (it < iterations && !converged) {
       it += 1
-      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy(col("src").as("n2")).agg(min(col("component")).as("nbr_min"))
       // labels only decrease, so a step with no strict decrease is the
       // fixpoint and every later step is a no-op — exiting early
-      // returns exactly the budgeted result (generous budgets are free)
-      val lNew = least(col("component"),
-        coalesce(col("nbr_min"), col("component")))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-        .select(col("node"), lNew.as("component"),
-          (lNew < col("component")).as("chg"))
+      // returns exactly the budgeted result (generous budgets are free).
+      // One union-fold per step (guide §2.4): the node's OWN label rides
+      // as a marker row through the SAME min-merge aggregate the
+      // neighbor labels fold through — min over the union IS
+      // least(own, nbr_min), the previous value recovered from the
+      // single marker row for change detection — so the old
+      // groupBy-then-left-join pair (two Exchanges, one re-shuffling the
+      // label frame every step) collapses to one Exchange per step.
+      val nbr = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("component").as("cand"),
+          lit(false).as("own"))
+      val base = labels.select(col("node"), col("component").as("cand"),
+        lit(true).as("own"))
+      val next = base.unionByName(nbr).groupBy(col("node"))
+        .agg(min(col("cand")).as("component"),
+          min(when(col("own"), col("cand"))).as("old"))
+        // this operator does NOT induce-restrict `edges` (labels exist
+        // only for `nodes` — the old left join enforced that); a
+        // symmetrized edge whose src is outside the node set groups
+        // here without a marker row and must stay out of the label set
+        .filter(col("old").isNotNull)
+        .select(col("node"), col("component"),
+          (col("component") < col("old")).as("chg"))
         .localCheckpoint()
       converged = next.filter(col("chg")).isEmpty
       labels = next.select(col("node"), col("component"))
@@ -695,21 +736,33 @@ object Graph {
     var converged = false
     while (it < iterations && !converged) {
       it += 1
-      val hist = sym.join(cur, sym("dst") === cur("node"))
-        .groupBy(sym("src").as("nn"), col("c"))
-        .agg(count(lit(1)).as("cnt"))
-      val h = hist
+      // Union-fold (guide §2.4): the node's own value enters the
+      // neighbor-value histogram as a ZERO-COUNT row. The cumulative
+      // n_ge is a sum of counts, so a zero-count row changes no other
+      // row's n_ge; its own h-candidate min(own_c, #neighbors ≥ own_c)
+      // never exceeds the h-index (H = max over ALL thresholds t of
+      // min(t, n≥t) — adding an evaluation point is sound); and an
+      // isolated node's only row is (own_c, 0) ⇒ h = min(own_c, 0) = 0,
+      // reproducing the old coalesce(h, 0). The previous value for
+      // change detection rides out of the same aggregate via the
+      // zero-count marker — the old per-step cur-side left join and its
+      // Exchange are gone. The h-index sequence is pointwise
+      // non-increasing, so "no row decreased" IS the fixpoint and every
+      // later step is a no-op — early exit returns exactly what the
+      // full budget would.
+      val nbrVals = sym.join(cur, sym("dst") === cur("node"))
+        .select(sym("src").as("nn"), col("c"), lit(1L).as("v"))
+      val ownVal = cur.select(col("node").as("nn"), col("c"), lit(0L).as("v"))
+      val hist = ownVal.unionByName(nbrVals)
+        .groupBy(col("nn"), col("c"))
+        .agg(sum(col("v")).as("cnt"), max(col("v") === 0L).as("has_own"))
+      val next = hist
         .withColumn("n_ge", sum(col("cnt")).over(w))
-        .groupBy(col("nn")).agg(max(least(col("c"), col("n_ge"))).as("h"))
-      // joining against cur (same node set as nset, plus the previous
-      // value) lets the step flag strict decreases in the same pass:
-      // the h-index sequence is pointwise non-increasing, so "no row
-      // decreased" IS the fixpoint and every later step is a no-op —
-      // early exit returns exactly what the full budget would
-      val next = cur.join(h, cur("node") === h("nn"), "left")
-        .select(cur("node"),
-          coalesce(col("h"), lit(0L)).as("c2"),
-          (coalesce(col("h"), lit(0L)) < col("c")).as("chg"))
+        .groupBy(col("nn"))
+        .agg(max(least(col("c"), col("n_ge"))).as("h"),
+          max(when(col("has_own"), col("c"))).as("own_c"))
+        .select(col("nn").as("node"), col("h").as("c2"),
+          (col("h") < col("own_c")).as("chg"))
         .localCheckpoint()
       converged = next.filter(col("chg")).isEmpty
       cur = next.select(col("node"), col("c2").as("c"))
@@ -760,15 +813,22 @@ object Graph {
     var labels = nset.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
+      // Union-fold (guide §2.4): the node's own label enters the vote
+      // census as a ZERO-WEIGHT row — sum(v) counts only real neighbor
+      // votes, so collisions with a voted label leave its count
+      // unchanged, the (cnt DESC, label ASC) argmax is untouched
+      // whenever any real vote exists (0 < 1), and an isolated node's
+      // only row is its own zero-weight label, reproducing the
+      // keep-own-label fallback — which deletes the old per-step
+      // labels-side left join and its Exchange.
       val votes = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy(sym("src").as("nn"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      val win = votes
+        .select(sym("src").as("nn"), col("label"), lit(1L).as("v"))
+      val own = labels.select(col("node").as("nn"), col("label"), lit(0L).as("v"))
+      labels = own.unionByName(votes)
+        .groupBy(col("nn"), col("label")).agg(sum(col("v")).as("cnt"))
         .groupBy(col("nn"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("nn"), (-col("m.nl")).as("winner"))
-      labels = labels.join(win, labels("node") === win("nn"), "left")
-        .select(col("node"), coalesce(col("winner"), col("label")).as("label"))
+        .select(col("nn").as("node"), (-col("m.nl")).as("label"))
         .localCheckpoint()
     }
     labels
@@ -942,15 +1002,26 @@ object Graph {
       var converged = false
       while (step < propagationIters && !converged) {
         step += 1
+        // Union-fold (guide §2.4, the connectedComponentsMinLabel
+        // pattern): the node's own (f, b) pair rides as a marker row
+        // through the SAME min-merge aggregate as the direction-tagged
+        // messages — min over the union IS least(own, incoming), the
+        // previous pair recovered from the single marker row for change
+        // detection — deleting the old per-step labels-side left join
+        // and its Exchange.
         val msgs = bi.join(labels, bi("u") === labels("node"))
-          .groupBy(col("v").as("n2"))
-          .agg(min(when(col("fw"), col("f"))).as("nf"),
-            min(when(!col("fw"), col("b"))).as("nb"))
-        val nf = least(col("f"), coalesce(col("nf"), col("f")))
-        val nb = least(col("b"), coalesce(col("nb"), col("b")))
-        labels = labels.join(msgs, labels("node") === msgs("n2"), "left")
-          .select(col("node"), nf.as("f"), nb.as("b"),
-            (nf < col("f") || nb < col("b")).as("chg"))
+          .select(col("v").as("node"),
+            when(col("fw"), col("f")).as("mf"),
+            when(!col("fw"), col("b")).as("mb"),
+            lit(false).as("own"))
+        val base = labels.select(col("node"), col("f").as("mf"),
+          col("b").as("mb"), lit(true).as("own"))
+        labels = base.unionByName(msgs).groupBy(col("node"))
+          .agg(min(col("mf")).as("f"), min(col("mb")).as("b"),
+            min(when(col("own"), col("mf"))).as("of"),
+            min(when(col("own"), col("mb"))).as("ob"))
+          .select(col("node"), col("f"), col("b"),
+            (col("f") < col("of") || col("b") < col("ob")).as("chg"))
           .localCheckpoint()
         converged = labels.filter(col("chg")).isEmpty
       }
@@ -1030,11 +1101,19 @@ object Graph {
     var growing = true
     while (levelFrames.size <= maxDist && growing) {
       val prev = levelFrames.last
+      // Union-fold (guide §2.4, the bfsPairs pattern): settled pairs
+      // ride the σ-merge aggregate as null-σ marker rows — sum(sigma)
+      // ignores them, max(old) flags the pair, and the filter keeps
+      // exactly the old anti-join's output for one Exchange instead of
+      // two.
       val fresh = prev.join(e, prev("node") === e("src"))
-        .groupBy(col("pivot"), e("dst").as("nn"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .join(settledU.select(col("pivot"), col("node").as("nn")),
-          Seq("pivot", "nn"), "left_anti")
+        .select(col("pivot"), e("dst").as("nn"), col("sigma"),
+          lit(false).as("old"))
+        .unionByName(settledU.select(col("pivot"), col("node").as("nn"),
+          lit(null).cast("long").as("sigma"), lit(true).as("old")))
+        .groupBy(col("pivot"), col("nn"))
+        .agg(sum(col("sigma")).as("sigma"), max(col("old")).as("old"))
+        .filter(!col("old"))
         .select(col("pivot"), col("nn").as("node"), col("sigma"))
         .localCheckpoint()
       if (fresh.isEmpty) growing = false
@@ -1236,25 +1315,35 @@ object Graph {
     // reused, not recomputed — ReuseExchange dedups the identical
     // aRaw subtree between the max aggregate and the join side), so a
     // step costs one materialization job, not two; only the LAST
-    // auth is checkpointed, for the final join. Halves the per-step
-    // fixed job overhead on overhead-dominated graphs.
+    // auth is checkpointed, for the final join.
+    //
+    // SPARSE score frames (guide §2.3 — shuffle fewer bytes): the loop
+    // carries scores ONLY for nodes the aggregates produce (auth on
+    // nodes with in-edges, hub on nodes with out-edges). A node absent
+    // from the frame scores EXACTLY 0 — it contributes 0 to every
+    // downstream sum whether the edge row joins a 0 or is dropped — so
+    // the per-iteration nset completion joins (two Exchanges per step
+    // re-shuffling the full node set) are deleted and every node is
+    // completed ONCE at exit via coalesce-0 left joins. The per-step
+    // max is unchanged: it is always attained by a strictly positive
+    // sum (e non-empty ⇒ some authority sum > 0 ⇒ some hub sum > 0,
+    // inductively), which both forms retain.
     for (i <- 1 to iterations) {
       val aRaw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
       val aMax = aRaw.agg(max(col("ar")).as("amax"))
-      auth = nset.join(aRaw, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(aMax))
-        .select(col("node"), normExpr("ar", "amax").as("a"))
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("dst").as("node"), normExpr("ar", "amax").as("a"))
       if (i == iterations) auth = auth.localCheckpoint()
       val hRaw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
       val hMax = hRaw.agg(max(col("hr")).as("hmax"))
-      hub = nset.join(hRaw, col("node") === col("src"), "left")
-        .crossJoin(broadcast(hMax))
-        .select(col("node"), normExpr("hr", "hmax").as("h"))
+      hub = hRaw.crossJoin(broadcast(hMax))
+        .select(col("src").as("node"), normExpr("hr", "hmax").as("h"))
         .localCheckpoint()
     }
-    hub.join(auth, "node")
-      .select(col("node"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+    nset.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_ppm"),
+        coalesce(col("a"), lit(0L)).as("auth_ppm"))
   }
 }
