@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
   * reason tfidf/familiarity use scaled integers.)
   *
   * Scale shape (the part that matters at 100 TB of edges):
-  *  - Each iteration is the canonical two-shuffle BSP step: join ranks
-  *    to edges on `src` (edges ship with their out-degree attached, so
-  *    the per-edge contribution `rank DIV outdeg` needs no second
-  *    lookup), then `groupBy(dst).sum` — and the sum is associative, so
+  *  - Each iteration is ONE exchange (round 21): join ranks to edges on
+  *    `src` (edges ship with their out-degree attached, so the per-edge
+  *    contribution `rank DIV outdeg` needs no second lookup), then the
+  *    per-edge contributions AND the per-node flag rows ride one union
+  *    into one `groupBy(node).sum` — the sum is associative, so
   *    map-side partial aggregation absorbs in-degree skew (a celebrity
   *    page's million in-links combine to one partial per map task)
-  *    before the exchange.
+  *    before the exchange, and folding the node frame into the same
+  *    aggregate deletes the second per-step exchange the old
+  *    update-join paid.
   *  - The edge table is joined to its degree table ONCE and
   *    `localCheckpoint`ed: it is re-read every iteration, and without
   *    the lineage cut each iteration would re-run the degree aggregate.

@@ -4268,6 +4268,16 @@ object Extensions {
     val j = jIn.localCheckpoint()   // consumers: totals + shares
     val tot = j.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
     val scored = j.crossJoin(broadcast(tot))
+      // fail-loudly guard (round-20 advice): an EMPTY half-census makes
+      // t_ref/t_cur zero, integer DIV then yields NULL shares and a
+      // NULL tvd_ppm, and drift_flag silently stays 0 — a quality gate
+      // passing because its reference window is empty. assert_true
+      // rides the same projection (no extra job) and aborts the query
+      // instead; the predicate holds on any non-degenerate window, so
+      // plans and results are unchanged wherever the gate was valid.
+      .where(expr("assert_true(t_ref > 0 AND t_cur > 0, " +
+        "'driftReport: empty reference or current half-census — the TVD " +
+        "drift gate is undefined; fix the window bounds') IS NULL"))
       .select(col("event_type"), col("n_ref"), col("n_cur"),
         expr("(n_ref * 1000000) DIV t_ref").as("share_ref_ppm"),
         expr("(n_cur * 1000000) DIV t_cur").as("share_cur_ppm"))
@@ -4619,9 +4629,16 @@ object Extensions {
     * candidate semantics; the oracle recomputes BOTH the direct
     * substring scan and the trigram-conjunction count from raw text —
     * index+probe+verify invariance in one hash. */
+  /** The one trigram-probe needle BOTH the engine and the oracle
+    * derive from, pre-lowercased (round-20 advice: the needle was
+    * duplicated as a literal on both sides and the oracle skipped the
+    * lowercasing — safe only while the literal happened to be
+    * lowercase already; one shared constant cannot desynchronize). */
+  private[queries] val trgmNeedle = "merge part".toLowerCase
+
   def indexTrgmProbe(s: SparkSession, dir: String): DataFrame = {
-    val needle = "merge part"
-    val grams = needle.toLowerCase.sliding(3).toSeq.distinct
+    val needle = trgmNeedle
+    val grams = needle.sliding(3).toSeq.distinct
     val buckets = invBuckets(grams)
     val cands = s.read.parquet(trgmStore(s, dir))
       .filter(col("gbucket").isin(buckets: _*) && col("gram").isin(grams: _*))
@@ -8063,7 +8080,10 @@ object ExtensionOracles {
     * nothing about the answer, and the candidate semantics are
     * pinned. */
   val indexTrgmProbe: String = {
-    val needle = "merge part"
+    // the ONE shared, pre-lowercased needle (see Extensions.trgmNeedle):
+    // gram derivation here now matches the engine's lowercased slide
+    // by construction instead of by literal coincidence
+    val needle = Extensions.trgmNeedle
     val grams = needle.sliding(3).toSeq.distinct
     val values = grams.map(g => s"('$g')").mkString(", ")
     s"""WITH sh AS (
