@@ -31,6 +31,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Pre-launch 1-minute load average, sampled BEFORE the session
+    // exists: every later sample is polluted by the bench's own 32-way
+    // work (a quiet-machine run still shows boundary load1 up to ~6),
+    // so this is the only sample that measures EXTERNAL contention —
+    // the record-quality gate below keys on it.
+    val loadPre = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -79,18 +86,41 @@ object Bench {
     // adjudicate contention instead of trusting the min
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},""" +
       passes.zipWithIndex.map { case (p, i) => s""""pass${i + 1}":${obj(p)}""" }.mkString(",") +
-      s""","load1":[${loads.mkString(",")}],"errors":$errs,"sf":"$sfDir"}"""
+      s""","load1":[${loads.mkString(",")}],"load1_prelaunch":$loadPre,""" +
+      s""""errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // also land the line as a file: the driver's stdout capture tail-
     // truncates long sbt output, and a judge diffing rounds should not
-    // have to scrape logs
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    // have to scrape logs.
+    //
+    // Record-quality gate (round-21 verdict item 1, mechanized): a run
+    // that STARTED on a contended machine must not become the canonical
+    // cross-round record — rounds 20 and 21 both closed on records with
+    // elevated load and their round-over-round comparisons were noise.
+    // The stdout JSON line above is always printed (the driver contract
+    // is untouched); only the BENCH_LOCAL.json refresh is withheld, to
+    // BENCH_LOCAL_REJECTED.json, when the PRE-LAUNCH load1 exceeds the
+    // bound (boundary samples measure the bench's own work and can
+    // legitimately reach ~6 on a quiet machine — see the sampling note
+    // at loadPre). BenchRecordSpec pins the committed record's
+    // load1_prelaunch to the same default bound, so a forced record
+    // cannot slip into the repo unnoticed.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD1_MAX", "1.5").toDouble
+    val forced = sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("1")
+    val quiet = loadPre < 0 || loadPre <= loadMax // -1 = platform doesn't report
+    val target = if (quiet || forced) "BENCH_LOCAL.json" else "BENCH_LOCAL_REJECTED.json"
+    if (!(quiet || forced))
+      System.err.println(f"BENCH: pre-launch load1 $loadPre%.2f > $loadMax%.2f — " +
+        "writing BENCH_LOCAL_REJECTED.json, not the canonical record " +
+        "(SPARK_GRAFT_FORCE_RECORD=1 overrides)")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(target), json + "\n")
     catch { case _: Throwable => () }
     // Canonical-number rule (BASELINE.md round 17+): the COMMITTED file
     // is the cross-round record. Enforcement lives in BenchRecordSpec
     // (fails when the committed record's query set drifts from
-    // SparkEntry.queries), not here — a benchmark binary must not
-    // mutate the git index as a side effect.
+    // SparkEntry.queries or its load1_prelaunch exceeds the bound), not
+    // here — a benchmark binary must not mutate the git index as a side
+    // effect.
     spark.stop()
   }
 }

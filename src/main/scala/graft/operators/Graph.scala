@@ -40,12 +40,17 @@ import org.apache.spark.sql.functions._
   *    physical plan re-executes the whole history. With it, iteration
   *    k is always one join + one aggregate over materialized inputs.
   *  - Dangling mass: nodes with no out-links would leak their rank;
-  *    instead each iteration redistributes it uniformly — one scalar
-  *    aggregate over the rank frame (a 1-row DataFrame, broadcast into
-  *    the update via cross join, so no driver collect and no extra
-  *    wide shuffle per iteration). On link graphs built so every node
-  *    has out-edges the term is identically zero and the update
-  *    reduces to the classic two-shuffle step.
+  *    instead each iteration redistributes it uniformly. Dₖ is a
+  *    bounded driver scalar observed on step k's own materialization
+  *    (`Dataset.observe` riding the localCheckpoint job — round 22)
+  *    and enters step k+1 as a literal, so the redistribution costs no
+  *    aggregate job, no broadcast and no cross join per iteration.
+  *  - Driver loops run under [[graft.core.BspLoop.pinned]] (round 22):
+  *    AQE off, shuffle width pinned to the width AQE chose when it
+  *    materialized the loop inputs — per-step plans are fixed-shape,
+  *    so AQE's per-exchange re-plan round trips are pure critical-path
+  *    latency inside the loop (see BspLoop's scaladoc for the
+  *    100 TB-posture argument).
   */
 object Graph {
 
@@ -114,8 +119,6 @@ object Graph {
                  weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val Scale = 1000000000L
-    val n = nodes.count()
-    require(n > 0, "empty node set")
     // Induced-subgraph restriction BEFORE degree/dangling derivation
     // (matching harmonicCentralityE9/triangleCounts): on a non-closed
     // edge list, a node whose out-edges all leave `nodes` must count as
@@ -132,45 +135,63 @@ object Graph {
     // iterations re-read a materialized (src, dst, w, outdeg) table
     // instead of re-aggregating
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
-    val edgesDeg = e.join(deg, "src").localCheckpoint()
     // Fail-loudly convention (matching shortestDistances/SCC): a
     // NULL/zero/negative weight silently corrupts W(u) and leaks rank
     // mass (null drops the edge from sum(w) AND from contributions), so
-    // reject it here — one cheap scan over the already-materialized
-    // edge frame, only when a weight column is actually in play.
+    // reject it here — the census rides the materialization job as an
+    // observed metric (BspLoop.checkpointObserved), not a second scan,
+    // and costs nothing when no weight column is in play (w ≡ 1).
+    val (edgesDeg, Seq(badW)) = graft.core.BspLoop.checkpointObserved(
+      e.join(deg, "src"),
+      count(when(col("w").isNull || col("w") <= 0L, 1)))
     weightCol.foreach { c =>
-      val bad = edgesDeg.filter(col("w").isNull || col("w") <= 0L).count()
-      require(bad == 0L,
-        s"pageRankE9 weightCol=$c: $bad edge(s) with NULL/zero/negative " +
+      require(badW == 0L,
+        s"pageRankE9 weightCol=$c: $badW edge(s) with NULL/zero/negative " +
           "weight; drop or repair them upstream (an all-zero-out-weight " +
           "node belongs in the dangling set — drop its edges)")
     }
     // the teleport-set size |S| (= n under the uniform prior) is the
     // second bounded driver scalar; seeds restricted to the node set
-    // BEFORE counting so an out-of-graph seed can't swallow mass
-    val seedSet = seeds.map(_.select(col("node")).distinct()
-      .join(nset, Seq("node"), "left_semi").localCheckpoint())
-    val nT = seedSet.map(_.count()).getOrElse(n)
-    require(nT > 0, "empty teleport set")
-    val base = (100L - dampingPct) * Scale / (100L * nT)
+    // BEFORE counting so an out-of-graph seed can't swallow mass.
+    // Every setup scalar (|S|, N) is observed on a materialization the
+    // setup pays anyway — no dedicated count() jobs.
+    val seedSet = seeds.map { sd =>
+      graft.core.BspLoop.checkpointObserved(
+        sd.select(col("node")).distinct()
+          .join(nset, Seq("node"), "left_semi"), count(lit(1)))
+    }
     // the dangling set is static (a property of the edge list), so the
     // flag rides along in the node/rank frames and the per-iteration
-    // dangling mass is a filter + scalar aggregate — no join per step;
-    // same treatment for the seed flag
+    // dangling mass is an observed metric on the step's own
+    // materialization — no aggregate job, no broadcast, no cross join
+    // per step; same treatment for the seed flag
     val nodesF0 = nodes
       .join(deg.select(col("src").as("node"), lit(true).as("has_out")), Seq("node"), "left")
       .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
-    val nodesF = (seedSet match {
-      case Some(sd) => nodesF0
-        .join(sd.select(col("node"), lit(true).as("is_seed")), Seq("node"), "left")
-        .select(col("node"), col("has_out"),
-          coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      case None => nodesF0.withColumn("is_seed", lit(true))
-    }).localCheckpoint()
-    var ranks = nodesF.select(col("node"),
+    val (nodesF, Seq(n)) = graft.core.BspLoop.checkpointObserved(
+      seedSet match {
+        case Some((sd, _)) => nodesF0
+          .join(sd.select(col("node"), lit(true).as("is_seed")), Seq("node"), "left")
+          .select(col("node"), col("has_out"),
+            coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        case None => nodesF0.withColumn("is_seed", lit(true))
+      }, count(lit(1)))
+    require(n > 0, "empty node set")
+    val nT = seedSet.map(_._2.head).getOrElse(n)
+    require(nT > 0, "empty teleport set")
+    val base = (100L - dampingPct) * Scale / (100L * nT)
+    // D₀ = the dangling mass of the INITIAL distribution, observed on
+    // the init materialization; each step's checkpoint then observes
+    // Dₖ for step k+1 (always ≥ 0, ≤ total mass ≈ SCALE — an i64 sum
+    // on both the narrow and wide paths, exactly as before)
+    val dmassMetric =
+      coalesce(sum(when(!col("has_out"), col("rank_e9"))), lit(0L))
+    val (ranks0, Seq(dmass0)) = graft.core.BspLoop.checkpointObserved(
+      nodesF.select(col("node"),
         when(col("is_seed"), lit(Scale / nT)).otherwise(lit(0L)).as("rank_e9"),
-        col("has_out"), col("is_seed"))
-      .localCheckpoint()
+        col("has_out"), col("is_seed")), dmassMetric)
+    var ranks = ranks0
+    var dmass = dmass0
     // narrow: pure i64. wide: the two expressions that can overflow i64
     // (the in-edge contribution sum and the damped product) in
     // DECIMAL(38,0); `DIV` (IntegralDivide) accepts decimals and lands
@@ -183,24 +204,21 @@ object Graph {
       expr("CAST((CAST(rank_e9 AS DECIMAL(38,0)) * w) DIV outdeg AS DECIMAL(38,0))")
     else expr("(rank_e9 * w) DIV outdeg")
     val cType = if (wide) "decimal(38,0)" else "bigint"
-    // The dangling SET is static (a property of the edge list), so when
-    // it is empty — the common closed-graph case: every node has an
-    // out-edge — Dₖ is identically zero at EVERY step and the whole
-    // dangling apparatus (one scalar aggregate over the rank frame + one
-    // broadcast + one cross join per iteration, i.e. one extra driver-
-    // synchronized job per step) drops out of the loop. One isEmpty
-    // probe over the already-checkpointed node frame decides it; the
-    // zero-dmass update is term-for-term the general rule at Dₖ = 0, so
-    // the result is bit-identical (GraphSpec pins both paths).
-    val hasDangling = !nodesF.filter(!col("has_out")).isEmpty
-    def damped = if (wide)
-      expr(s"($dampingPct * (coalesce(s, CAST(0 AS DECIMAL(38,0))) + CAST(IF(is_seed, dmass DIV $nT, 0L) AS DECIMAL(38,0)))) DIV 100")
+    // Dₖ enters the update as a LITERAL (round 22): it is a bounded
+    // driver scalar already observed on step k's materialization, so
+    // the per-step dangling apparatus the r20/r21 code paid (one scalar
+    // aggregate over the rank frame + one 1-row broadcast + one cross
+    // join = one extra driver-synchronized job per iteration whenever
+    // the graph has any dangling node) is GONE — `dTerm` = Dₖ div |S|
+    // computed in Scala (floor division of non-negative longs ≡ SQL
+    // DIV) and inlined. Dₖ = 0 (closed graph) reduces term for term to
+    // the classic rule, so the old empty-dangling fast path is now just
+    // the same expression with dTerm = 0 — one code path, bit-identical
+    // results on both (GraphSpec pins them).
+    def damped(dTerm: Long) = if (wide)
+      expr(s"($dampingPct * (coalesce(s, CAST(0 AS DECIMAL(38,0))) + CAST(IF(is_seed, ${dTerm}L, 0L) AS DECIMAL(38,0)))) DIV 100")
     else
-      expr(s"($dampingPct * (coalesce(s, 0L) + IF(is_seed, dmass DIV $nT, 0L))) DIV 100")
-    def dampedNoDangling = if (wide)
-      expr(s"($dampingPct * coalesce(s, CAST(0 AS DECIMAL(38,0)))) DIV 100")
-    else
-      expr(s"($dampingPct * coalesce(s, 0L)) DIV 100")
+      expr(s"($dampingPct * (coalesce(s, 0L) + IF(is_seed, ${dTerm}L, 0L))) DIV 100")
     val baseExpr = expr(s"IF(is_seed, ${base}L, 0L)")
     // The per-node flag row and the per-edge contribution rows ride ONE
     // union into ONE groupBy(node) — sum(c) over the same integer
@@ -214,26 +232,24 @@ object Graph {
     // same addends, same integer fold, same NULL semantics.
     val baseLeg = nodesF.select(col("node"),
       lit(null).cast(cType).as("c"), col("has_out"), col("is_seed"))
-    for (_ <- 1 to iterations) {
-      val contribLeg = edgesDeg.join(ranks, col("src") === col("node"))
-        .select(col("dst").as("node"), cExpr.as("c"),
-          lit(null).cast("boolean").as("has_out"),
-          lit(null).cast("boolean").as("is_seed"))
-      val merged = baseLeg.unionByName(contribLeg)
-        .groupBy(col("node"))
-        .agg(sum(col("c")).as("s"), max(col("has_out")).as("has_out"),
-          max(col("is_seed")).as("is_seed"))
-      val updated =
-        if (hasDangling) {
-          val dmass = ranks.filter(!col("has_out"))
-            .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("dmass"))
-          merged.crossJoin(broadcast(dmass))
-            .select(col("node"), (baseExpr + damped).as("rank_e9"),
-              col("has_out"), col("is_seed"))
-        } else
-          merged.select(col("node"), (baseExpr + dampedNoDangling).as("rank_e9"),
+    graft.core.BspLoop.pinned(edges.sparkSession, edgesDeg, ranks) {
+      for (step <- 1 to iterations) {
+        val contribLeg = edgesDeg.join(ranks, col("src") === col("node"))
+          .select(col("dst").as("node"), cExpr.as("c"),
+            lit(null).cast("boolean").as("has_out"),
+            lit(null).cast("boolean").as("is_seed"))
+        val merged = baseLeg.unionByName(contribLeg)
+          .groupBy(col("node"))
+          .agg(sum(col("c")).as("s"), max(col("has_out")).as("has_out"),
+            max(col("is_seed")).as("is_seed"))
+        val updated = merged
+          .select(col("node"), (baseExpr + damped(dmass / nT)).as("rank_e9"),
             col("has_out"), col("is_seed"))
-      ranks = updated.localCheckpoint()
+        graft.core.BspLoop.capture("pagerank", step, updated)
+        val (ck, obs) = graft.core.BspLoop.checkpointObserved(updated, dmassMetric)
+        ranks = ck
+        dmass = obs.head
+      }
     }
     ranks.select(col("node"), col("rank_e9"))
   }
@@ -481,31 +497,37 @@ object Graph {
     var frontier = levels(0)
     var d = 0
     var done = false
-    while (d < maxDist && !done) {
-      d += 1
-      // Union-fold (guide §2.4): candidates and the settled set ride ONE
-      // groupBy(origin, node) — max(old) marks pairs already settled,
-      // the filter keeps exactly the old distinct-then-anti-join's
-      // output, and the step pays one Exchange instead of two (the
-      // distinct's and the anti-join's, which both shuffled the settled
-      // legs anyway).
-      val cand = frontier.join(e, frontier("node") === e("src"))
-        .select(col("origin"), e("dst").as("node"), lit(false).as("old"))
-      frontier = knownU.select(col("origin"), col("node"), lit(true).as("old"))
-        .unionByName(cand)
-        .groupBy(col("origin"), col("node")).agg(max(col("old")).as("old"))
-        .filter(!col("old"))
-        .select(col("origin"), col("node"), lit(d).as("dist"))
-        .localCheckpoint()
-      // empty frontier ⇒ every later step discovers nothing: BFS is
-      // monotone, so exiting at exhaustion returns exactly what the
-      // full maxDist budget would — callers may over-budget for free
-      done = frontier.isEmpty
-      if (!done) {
-        levels += frontier
-        knownU = knownU.unionByName(frontier.select(col("origin"), col("node")))
-        legs += 1
-        if (legs >= collapseEvery) { knownU = knownU.localCheckpoint(); legs = 1 }
+    graft.core.BspLoop.pinned(e.sparkSession, e, levels(0)) {
+      while (d < maxDist && !done) {
+        d += 1
+        // Union-fold (guide §2.4): candidates and the settled set ride ONE
+        // groupBy(origin, node) — max(old) marks pairs already settled,
+        // the filter keeps exactly the old distinct-then-anti-join's
+        // output, and the step pays one Exchange instead of two (the
+        // distinct's and the anti-join's, which both shuffled the settled
+        // legs anyway).
+        val cand = frontier.join(e, frontier("node") === e("src"))
+          .select(col("origin"), e("dst").as("node"), lit(false).as("old"))
+        val frontierPre = knownU.select(col("origin"), col("node"), lit(true).as("old"))
+          .unionByName(cand)
+          .groupBy(col("origin"), col("node")).agg(max(col("old")).as("old"))
+          .filter(!col("old"))
+          .select(col("origin"), col("node"), lit(d).as("dist"))
+        graft.core.BspLoop.capture("bfs", d, frontierPre)
+        // empty frontier ⇒ every later step discovers nothing: BFS is
+        // monotone, so exiting at exhaustion returns exactly what the
+        // full maxDist budget would — callers may over-budget for free.
+        // The emptiness probe rides the checkpoint job (observed count).
+        val (fck, Seq(nFound)) = graft.core.BspLoop.checkpointObserved(
+          frontierPre, count(lit(1)))
+        frontier = fck
+        done = nFound == 0L
+        if (!done) {
+          levels += frontier
+          knownU = knownU.unionByName(frontier.select(col("origin"), col("node")))
+          legs += 1
+          if (legs >= collapseEvery) { knownU = knownU.localCheckpoint(); legs = 1 }
+        }
       }
     }
     levels.reduce(_ unionByName _)
@@ -547,20 +569,22 @@ object Graph {
       .withColumn("est", graft.functions.HllF.hllEstimate(col("regs")))
       .withColumn("h", lit(0.0))
       .localCheckpoint()
-    for (d <- 1 to maxDist) {
-      val cur = state.select(col("node").as("sn"), col("regs"))
-      val unioned = e.join(cur, e("src") === col("sn"))
-        .select(col("dst").as("node"), col("regs"))
-        .unionByName(state.select(col("node"), col("regs")))
-        .groupBy(col("node"))
-        .agg(graft.functions.HllF.hllUnion(col("regs"), m).as("regs"))
-      state = unioned
-        .join(state.select(col("node"), col("est").as("prev_est"), col("h")), Seq("node"))
-        .withColumn("est", graft.functions.HllF.hllEstimate(col("regs")))
-        .select(col("node"), col("regs"), col("est"),
-          // estimates can jitter down a hair as registers fill; deltas clamp at 0
-          (col("h") + greatest(lit(0.0), (col("est") - col("prev_est")) / d)).as("h"))
-        .localCheckpoint()
+    graft.core.BspLoop.pinned(e.sparkSession, e, state) {
+      for (d <- 1 to maxDist) {
+        val cur = state.select(col("node").as("sn"), col("regs"))
+        val unioned = e.join(cur, e("src") === col("sn"))
+          .select(col("dst").as("node"), col("regs"))
+          .unionByName(state.select(col("node"), col("regs")))
+          .groupBy(col("node"))
+          .agg(graft.functions.HllF.hllUnion(col("regs"), m).as("regs"))
+        state = unioned
+          .join(state.select(col("node"), col("est").as("prev_est"), col("h")), Seq("node"))
+          .withColumn("est", graft.functions.HllF.hllEstimate(col("regs")))
+          .select(col("node"), col("regs"), col("est"),
+            // estimates can jitter down a hair as registers fill; deltas clamp at 0
+            (col("h") + greatest(lit(0.0), (col("est") - col("prev_est")) / d)).as("h"))
+          .localCheckpoint()
+      }
     }
     state.select(col("node"), col("h").as("harmonic_approx"))
   }
@@ -602,19 +626,21 @@ object Graph {
       .withColumn("est", graft.functions.HllF.hllEstimate(col("regs")))
       .localCheckpoint()
     val mass0 = state.agg(sum(col("est")).as("mass0"))
-    val steps = (1 to maxDist).map { d =>
-      val cur = state.select(col("node").as("sn"), col("regs"))
-      state = e.join(cur, e("src") === col("sn"))
-        .select(col("dst").as("node"), col("regs"))
-        .unionByName(state.select(col("node"), col("regs")))
-        .groupBy(col("node"))
-        .agg(graft.functions.HllF.hllUnion(col("regs"), m).as("regs"))
-        .withColumn("est", graft.functions.HllF.hllEstimate(col("regs")))
-        .localCheckpoint()
-      state.agg(sum(col("est")).as("mass"))
-        .crossJoin(broadcast(mass0))
-        .select(lit(d.toLong).as("dist"),
-          greatest(lit(0.0), col("mass") - col("mass0")).as("pairs_approx"))
+    val steps = graft.core.BspLoop.pinned(e.sparkSession, e, state) {
+      (1 to maxDist).map { d =>
+        val cur = state.select(col("node").as("sn"), col("regs"))
+        state = e.join(cur, e("src") === col("sn"))
+          .select(col("dst").as("node"), col("regs"))
+          .unionByName(state.select(col("node"), col("regs")))
+          .groupBy(col("node"))
+          .agg(graft.functions.HllF.hllUnion(col("regs"), m).as("regs"))
+          .withColumn("est", graft.functions.HllF.hllEstimate(col("regs")))
+          .localCheckpoint()
+        state.agg(sum(col("est")).as("mass"))
+          .crossJoin(broadcast(mass0))
+          .select(lit(d.toLong).as("dist"),
+            greatest(lit(0.0), col("mass") - col("mass0")).as("pairs_approx"))
+      }
     }
     steps.reduce(_ unionByName _)
   }
@@ -661,6 +687,7 @@ object Graph {
       .localCheckpoint()
     var it = 0
     var converged = false
+    graft.core.BspLoop.pinned(sym.sparkSession, sym, labels) {
     while (it < iterations && !converged) {
       it += 1
       // labels only decrease, so a step with no strict decrease is the
@@ -678,7 +705,7 @@ object Graph {
           lit(false).as("own"))
       val base = labels.select(col("node"), col("component").as("cand"),
         lit(true).as("own"))
-      val next = base.unionByName(nbr).groupBy(col("node"))
+      val nextPre = base.unionByName(nbr).groupBy(col("node"))
         .agg(min(col("cand")).as("component"),
           min(when(col("own"), col("cand"))).as("old"))
         // this operator does NOT induce-restrict `edges` (labels exist
@@ -688,9 +715,14 @@ object Graph {
         .filter(col("old").isNotNull)
         .select(col("node"), col("component"),
           (col("component") < col("old")).as("chg"))
-        .localCheckpoint()
-      converged = next.filter(col("chg")).isEmpty
+      graft.core.BspLoop.capture("cc", it, nextPre)
+      // the convergence probe rides the checkpoint job (observed
+      // metric) instead of re-scanning the frame as a second job
+      val (next, Seq(nChg)) = graft.core.BspLoop.checkpointObserved(
+        nextPre, count(when(col("chg"), 1)))
+      converged = nChg == 0L
       labels = next.select(col("node"), col("component"))
+    }
     }
     labels
   }
@@ -737,6 +769,7 @@ object Graph {
       .partitionBy(col("nn")).orderBy(col("c").desc)
     var it = 0
     var converged = false
+    graft.core.BspLoop.pinned(sym.sparkSession, sym, cur) {
     while (it < iterations && !converged) {
       it += 1
       // Union-fold (guide §2.4): the node's own value enters the
@@ -759,16 +792,19 @@ object Graph {
       val hist = ownVal.unionByName(nbrVals)
         .groupBy(col("nn"), col("c"))
         .agg(sum(col("v")).as("cnt"), max(col("v") === 0L).as("has_own"))
-      val next = hist
+      val nextPre = hist
         .withColumn("n_ge", sum(col("cnt")).over(w))
         .groupBy(col("nn"))
         .agg(max(least(col("c"), col("n_ge"))).as("h"),
           max(when(col("has_own"), col("c"))).as("own_c"))
         .select(col("nn").as("node"), col("h").as("c2"),
           (col("h") < col("own_c")).as("chg"))
-        .localCheckpoint()
-      converged = next.filter(col("chg")).isEmpty
+      graft.core.BspLoop.capture("kcore", it, nextPre)
+      val (next, Seq(nChg)) = graft.core.BspLoop.checkpointObserved(
+        nextPre, count(when(col("chg"), 1)))
+      converged = nChg == 0L
       cur = next.select(col("node"), col("c2").as("c"))
+    }
     }
     cur.select(col("node"), col("c").as("coreness"))
   }
@@ -815,7 +851,8 @@ object Graph {
       .localCheckpoint()
     var labels = nset.select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    for (_ <- 1 to iterations) {
+    graft.core.BspLoop.pinned(sym.sparkSession, sym, labels) {
+    for (step <- 1 to iterations) {
       // Union-fold (guide §2.4): the node's own label enters the vote
       // census as a ZERO-WEIGHT row — sum(v) counts only real neighbor
       // votes, so collisions with a voted label leave its count
@@ -827,12 +864,14 @@ object Graph {
       val votes = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("nn"), col("label"), lit(1L).as("v"))
       val own = labels.select(col("node").as("nn"), col("label"), lit(0L).as("v"))
-      labels = own.unionByName(votes)
+      val nextPre = own.unionByName(votes)
         .groupBy(col("nn"), col("label")).agg(sum(col("v")).as("cnt"))
         .groupBy(col("nn"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("nn").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+      graft.core.BspLoop.capture("lpa", step, nextPre)
+      labels = nextPre.localCheckpoint()
+    }
     }
     labels
   }
@@ -878,6 +917,7 @@ object Graph {
       .localCheckpoint()
     var it = 0
     var converged = false
+    graft.core.BspLoop.pinned(e.sparkSession, e, dist) {
     while (it < maxIters && !converged) {
       it += 1
       val relaxed = e.join(dist, e("src") === dist("node"))
@@ -886,16 +926,16 @@ object Graph {
       // the previous distance rides through the SAME min-merge aggregate
       // (each node appears at most once in `dist`, so min-over-old-rows
       // IS the previous value): change detection costs no extra join —
-      // one shuffle per step instead of two
-      val merged = dist.withColumn("old", lit(true)).unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"),
-          min(when(col("old"), col("dist"))).as("od"))
-        .localCheckpoint()
-      // reached only grows, distances only fall: any new node or any
-      // strict decrease = not yet converged; neither = fixpoint
-      converged = merged
-        .filter(col("od").isNull || col("dist") < col("od"))
-        .isEmpty
+      // one shuffle per step instead of two. The fixpoint probe rides
+      // the checkpoint job as an observed count: reached only grows,
+      // distances only fall, so any new node or any strict decrease =
+      // not yet converged; neither = fixpoint.
+      val (merged, Seq(nChg)) = graft.core.BspLoop.checkpointObserved(
+        dist.withColumn("old", lit(true)).unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"),
+            min(when(col("old"), col("dist"))).as("od")),
+        count(when(col("od").isNull || col("dist") < col("od"), 1)))
+      converged = nChg == 0L
       dist = merged.select(col("node"), col("dist"))
     }
     if (!converged) {
@@ -909,6 +949,7 @@ object Graph {
         .join(dist.select(col("node"), col("dist").as("od")), Seq("node"), "left")
         .filter(col("od").isNull || col("probe") < col("od"))
         .isEmpty
+    }
     }
     require(converged,
       s"shortest-path relaxation hit the $maxIters-step budget before its " +
@@ -977,7 +1018,8 @@ object Graph {
                                   maxRounds: Int = 16): DataFrame = {
     require(propagationIters >= 1 && maxRounds >= 1)
     val nset = nodes.select(col("node"))
-    var active = nset.localCheckpoint()
+    var (active, Seq(remaining0)) =
+      graft.core.BspLoop.checkpointObserved(nset, count(lit(1)))
     val e = edges.select(col("src"), col("dst"))
       .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
@@ -992,7 +1034,8 @@ object Graph {
     // schema-polymorphic empty accumulator: same id type as `nodes`
     var assigned = nset.select(col("node"), col("node").as("scc_id")).limit(0)
     var round = 0
-    var remaining = active.count()
+    var remaining = remaining0
+    graft.core.BspLoop.pinned(nodes.sparkSession, bi, active) {
     while (remaining > 0) {
       round += 1
       require(round <= maxRounds,
@@ -1019,14 +1062,17 @@ object Graph {
             lit(false).as("own"))
         val base = labels.select(col("node"), col("f").as("mf"),
           col("b").as("mb"), lit(true).as("own"))
-        labels = base.unionByName(msgs).groupBy(col("node"))
+        val nextPre = base.unionByName(msgs).groupBy(col("node"))
           .agg(min(col("mf")).as("f"), min(col("mb")).as("b"),
             min(when(col("own"), col("mf"))).as("of"),
             min(when(col("own"), col("mb"))).as("ob"))
           .select(col("node"), col("f"), col("b"),
             (col("f") < col("of") || col("b") < col("ob")).as("chg"))
-          .localCheckpoint()
-        converged = labels.filter(col("chg")).isEmpty
+        graft.core.BspLoop.capture("scc", step, nextPre)
+        val (next, Seq(nChg)) = graft.core.BspLoop.checkpointObserved(
+          nextPre, count(when(col("chg"), 1)))
+        labels = next
+        converged = nChg == 0L
       }
       // an unconverged F/B frame could assign v to SCC(m) while the
       // true SCC minimum m* < m hadn't propagated to v yet — a SPLIT
@@ -1038,13 +1084,16 @@ object Graph {
       val done = labels.filter(col("f") === col("b"))
         .select(col("node"), col("f").as("scc_id"))
       assigned = assigned.unionByName(done).localCheckpoint()
-      active = active.join(done.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
-      remaining = active.count()
+      val (ack, Seq(nActive)) = graft.core.BspLoop.checkpointObserved(
+        active.join(done.select("node"), Seq("node"), "left_anti"),
+        count(lit(1)))
+      active = ack
+      remaining = nActive
       if (remaining > 0)
         bi = bi.join(active.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(active.select(col("node").as("v")), Seq("v"), "left_semi")
           .localCheckpoint()
+    }
     }
     assigned
   }
@@ -1101,6 +1150,14 @@ object Graph {
       p0.select(col("node").as("pivot"), col("node"), lit(1L).as("sigma"))
         .localCheckpoint())
     var settledU = levelFrames(0).select(col("pivot"), col("node"))
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    graft.core.BspLoop.pinned(e.sparkSession, e, levelFrames(0)) {
+    // Settled-union collapse (the bfsPairs treatment, measured there):
+    // unbounded lazy union legs grow the per-level plan linearly, so the
+    // settled set is re-materialized every `collapseEvery` levels —
+    // bounded plans at the cost of depth/4 extra copies of the pair set.
+    val collapseEvery = 4
+    var legs = 1
     var growing = true
     while (levelFrames.size <= maxDist && growing) {
       val prev = levelFrames.last
@@ -1109,7 +1166,7 @@ object Graph {
       // ignores them, max(old) flags the pair, and the filter keeps
       // exactly the old anti-join's output for one Exchange instead of
       // two.
-      val fresh = prev.join(e, prev("node") === e("src"))
+      val freshPre = prev.join(e, prev("node") === e("src"))
         .select(col("pivot"), e("dst").as("nn"), col("sigma"),
           lit(false).as("old"))
         .unionByName(settledU.select(col("pivot"), col("node").as("nn"),
@@ -1118,35 +1175,56 @@ object Graph {
         .agg(sum(col("sigma")).as("sigma"), max(col("old")).as("old"))
         .filter(!col("old"))
         .select(col("pivot"), col("nn").as("node"), col("sigma"))
-        .localCheckpoint()
-      if (fresh.isEmpty) growing = false
+      graft.core.BspLoop.capture("betweenness_fwd", levelFrames.size, freshPre)
+      val (fresh, Seq(nFresh)) = graft.core.BspLoop.checkpointObserved(
+        freshPre, count(lit(1)))
+      if (nFresh == 0L) growing = false
       else {
         levelFrames += fresh
         settledU = settledU.unionByName(fresh.select(col("pivot"), col("node")))
+        legs += 1
+        if (legs >= collapseEvery) { settledU = settledU.localCheckpoint(); legs = 1 }
       }
     }
-    // Backward level sweep: deltaNext holds level d+1's (pivot, w,
-    // delta_ppm); each level's contributions also accumulate into levels
+    // Backward level sweep, FUSED (guide §2.4): level d+1's (σ_w, δ_w)
+    // pairing used to cost a dedicated join per level (levelFrames(d+1)
+    // left-joined to the previous contrib frame). Instead each level's
+    // σ values ride the SAME groupBy that folds the δ contributions, as
+    // zero-information marker rows (term NULL — sum ignores them; every
+    // (pivot, node) pair is settled exactly once, so max over the single
+    // marker recovers σ), and the aggregate emits (pivot, node, σ, δ)
+    // directly — `down` — which the next level consumes with no join.
+    // A node with no qualifying out-edges surfaces with δ = NULL; the
+    // old contrib frame omitted it, so `levels` filters it out (its
+    // coalesced δ = 0 rides into `down` either way, exactly what the
+    // old left join's coalesce produced). Two joins + one aggregate per
+    // level becomes two joins + one aggregate MINUS one exchange — the
+    // delta-attach join's — per level.
     val depth = levelFrames.size - 1
-    var deltaNext = levelFrames(depth)
-      .select(col("pivot"), col("node").as("w"), lit(0L).as("delta_ppm"))
-    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var down = levelFrames(depth)
+      .select(col("pivot"), col("node").as("w"), col("sigma").as("sw"),
+        lit(0L).as("dw"))
     for (lvl <- (depth - 1) to 0 by -1) {
       val vs = levelFrames(lvl)
         .select(col("pivot"), col("node").as("v"), col("sigma").as("sv"))
-      val ws = levelFrames(lvl + 1)
-        .select(col("pivot"), col("node").as("w"), col("sigma").as("sw"))
-        .join(deltaNext, Seq("pivot", "w"), "left")
-        .select(col("pivot"), col("w"), col("sw"),
-          coalesce(col("delta_ppm"), lit(0L)).as("dw"))
-      val contrib = vs.join(e, vs("v") === e("src"))
+      val terms = vs.join(e, vs("v") === e("src"))
         .select(col("pivot"), col("v"), col("sv"), e("dst").as("w"))
-        .join(ws, Seq("pivot", "w"))
+        .join(down, Seq("pivot", "w"))
+        .select(col("pivot"), col("v"),
+          expr("sv * (1000000L + dw) DIV sw").as("t"),
+          lit(null).cast("long").as("sv_m"))
+      val fusedPre = vs.select(col("pivot"), col("v"),
+          lit(null).cast("long").as("t"), col("sv").as("sv_m"))
+        .unionByName(terms)
         .groupBy(col("pivot"), col("v"))
-        .agg(sum(expr("sv * (1000000L + dw) DIV sw")).as("delta_ppm"))
-        .localCheckpoint()
-      deltaNext = contrib.select(col("pivot"), col("v").as("w"), col("delta_ppm"))
-      levels += deltaNext
+        .agg(sum(col("t")).as("delta_ppm"), max(col("sv_m")).as("sv"))
+      graft.core.BspLoop.capture("betweenness_back", depth - lvl, fusedPre)
+      val fused = fusedPre.localCheckpoint()
+      down = fused.select(col("pivot"), col("v").as("w"), col("sv").as("sw"),
+        coalesce(col("delta_ppm"), lit(0L)).as("dw"))
+      levels += fused.filter(col("delta_ppm").isNotNull)
+        .select(col("pivot"), col("v").as("w"), col("delta_ppm"))
+    }
     }
     val acc =
       if (levels.isEmpty)
@@ -1302,11 +1380,12 @@ object Graph {
     require(iterations >= 1, "HITS needs at least one mutual update")
     val Scale = 1000000L
     val nset = nodes.select(col("node"))
-    val e = edges.select(col("src"), col("dst"))
-      .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
-      .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi")
-      .localCheckpoint()
-    require(e.limit(1).count() > 0,
+    val (e, Seq(nE)) = graft.core.BspLoop.checkpointObserved(
+      edges.select(col("src"), col("dst"))
+        .join(nset.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(nset.select(col("node").as("dst")), Seq("dst"), "left_semi"),
+      count(lit(1)))
+    require(nE > 0,
       "hitsPpm: empty induced edge list — the normalizing max would be " +
         "0; HITS is undefined on an edgeless graph")
     val normExpr = (raw: String, mx: String) =>
@@ -1331,6 +1410,7 @@ object Graph {
     // max is unchanged: it is always attained by a strictly positive
     // sum (e non-empty ⇒ some authority sum > 0 ⇒ some hub sum > 0,
     // inductively), which both forms retain.
+    graft.core.BspLoop.pinned(e.sparkSession, e, hub) {
     for (i <- 1 to iterations) {
       val aRaw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
@@ -1344,6 +1424,7 @@ object Graph {
       hub = hRaw.crossJoin(broadcast(hMax))
         .select(col("src").as("node"), normExpr("hr", "hmax").as("h"))
         .localCheckpoint()
+    }
     }
     nset.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_ppm"),

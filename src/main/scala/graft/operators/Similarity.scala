@@ -215,6 +215,7 @@ object Similarity {
                    iters: Int = 3): Array[(Long, Array[Double])] = {
     var cents = centroids
     var it = 0
+    graft.core.BspLoop.pinned(corpus.sparkSession, corpus) {
     while (it < iters) {
       val means = ivfAssign(corpus, idCol, vecCol, cents)
         .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -226,6 +227,7 @@ object Similarity {
         }
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
       it += 1
+    }
     }
     cents
   }

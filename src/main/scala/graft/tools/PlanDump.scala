@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only: write each named query's `.explain("formatted")` to
-  * plans/r21/<name>_<tag>.txt — the judge-facing plan evidence.
+  * plans/r22/<name>_<tag>.txt — the judge-facing plan evidence.
   * Args: tag name [name ...] [/abs/sfDir]. For checkpoint-loop
   * operators the final plan is a scan over the materialized loop
   * output; the per-iteration shape is documented via scheduler
@@ -23,13 +23,13 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Files.createDirectories(Paths.get("plans/r21"))
+    Files.createDirectories(Paths.get("plans/r22"))
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      Files.writeString(Paths.get(s"plans/r21/${n}_$tag.txt"), plan)
-      println(s"PLANDUMP $n -> plans/r21/${n}_$tag.txt (${plan.length} chars)")
+      Files.writeString(Paths.get(s"plans/r22/${n}_$tag.txt"), plan)
+      println(s"PLANDUMP $n -> plans/r22/${n}_$tag.txt (${plan.length} chars)")
     }
     spark.stop()
   }
