@@ -1388,16 +1388,21 @@ object Graph {
     require(nE > 0,
       "hitsPpm: empty induced edge list — the normalizing max would be " +
         "0; HITS is undefined on an edgeless graph")
-    val normExpr = (raw: String, mx: String) =>
-      expr(s"CAST((CAST(coalesce($raw, 0L) AS DECIMAL(38,0)) * $Scale) DIV $mx AS BIGINT)")
+    val normExpr = (raw: String, mx: Long) =>
+      expr(s"CAST((CAST(coalesce($raw, 0L) AS DECIMAL(38,0)) * $Scale) DIV ${mx}L AS BIGINT)")
     var hub = nset.select(col("node"), lit(Scale).as("h")).localCheckpoint()
     var auth = nset.select(col("node"), lit(0L).as("a"))
-    // ONE checkpoint per mutual update, on the hub side only: auth
-    // stays lazy inside hub's lineage (its shuffle exchanges are
-    // reused, not recomputed — ReuseExchange dedups the identical
-    // aRaw subtree between the max aggregate and the join side), so a
-    // step costs one materialization job, not two; only the LAST
-    // auth is checkpointed, for the final join.
+    // Each mutual update is TWO observed checkpoints (round 22): the
+    // raw sums materialize with their L∞ max observed on the same job
+    // (BspLoop.checkpointObserved — the pageRank-dangling treatment),
+    // and the normalization divides by the max as a LITERAL in a lazy
+    // projection over the materialized frame. The r21 shape paid, per
+    // side, a scalar max aggregate + a 1-row BroadcastExchange + a
+    // cross join (one extra driver-synchronized job each); both are
+    // gone, and the ReuseExchange subtlety the old single-checkpoint
+    // shape depended on is moot — each raw aggregate simply runs once.
+    // The max itself is unchanged: a bounded driver scalar (i64 — raw
+    // sums are ≤ 1e6·N before normalization), same integers, same DIV.
     //
     // SPARSE score frames (guide §2.3 — shuffle fewer bytes): the loop
     // carries scores ONLY for nodes the aggregates produce (auth on
@@ -1412,18 +1417,16 @@ object Graph {
     // inductively), which both forms retain.
     graft.core.BspLoop.pinned(e.sparkSession, e, hub) {
     for (i <- 1 to iterations) {
-      val aRaw = e.join(hub, e("src") === hub("node"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
-      val aMax = aRaw.agg(max(col("ar")).as("amax"))
-      auth = aRaw.crossJoin(broadcast(aMax))
-        .select(col("dst").as("node"), normExpr("ar", "amax").as("a"))
-      if (i == iterations) auth = auth.localCheckpoint()
-      val hRaw = e.join(auth, e("dst") === auth("node"))
-        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
-      val hMax = hRaw.agg(max(col("hr")).as("hmax"))
-      hub = hRaw.crossJoin(broadcast(hMax))
-        .select(col("src").as("node"), normExpr("hr", "hmax").as("h"))
-        .localCheckpoint()
+      val (aRaw, Seq(aMax)) = graft.core.BspLoop.checkpointObserved(
+        e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("ar")),
+        coalesce(max(col("ar")), lit(0L)))
+      auth = aRaw.select(col("dst").as("node"), normExpr("ar", aMax).as("a"))
+      val (hRaw, Seq(hMax)) = graft.core.BspLoop.checkpointObserved(
+        e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("hr")),
+        coalesce(max(col("hr")), lit(0L)))
+      hub = hRaw.select(col("src").as("node"), normExpr("hr", hMax).as("h"))
     }
     }
     nset.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
